@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: the Spark implementation plus (optionally) the
+  * equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
+  *
+  * Column names and row order must match between `fn` and `oracle` — the
+  * driver sorts columns by name and hashes values.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(sql))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}
+
+object T {
+  /** Read one driver-generated table. Filters/projections on the result are
+    * pushed into the parquet scan by Catalyst (verify via PushedFilters in
+    * `.explain`).
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; `nanosAsLong` surfaces it as LongType epoch-nanos (lossless —
+    * Spark's TimestampType is µs, so the typed read would truncate anyway).
+    * Set here so the queries work under any session, including the
+    * driver's. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events.ts` (epoch nanos, see above) as epoch seconds. */
+  def tsSeconds: org.apache.spark.sql.Column =
+    (org.apache.spark.sql.functions.col("ts") / 1000000000L).cast("long")
+}
+
+/** Numeric conventions shared by every query and its oracle.
+  *
+  * Money columns in the testdata are doubles. Summing doubles is
+  * order-dependent, and Spark's and DuckDB's aggregation orders differ — so
+  * any double-sum would be a flaky hash. Both sides therefore cast to
+  * DECIMAL(12,4) first (exact, order-independent sums; 12+4 digits covers
+  * every money column at any SF we run) and cast the final aggregate back to
+  * double. Products stay within DECIMAL(38,12) so both engines keep them
+  * exact.
+  */
+object Num {
+  val Dec = DecimalType(12, 4)
+  def dec(c: Column): Column = c.cast(Dec)
+  /** Exact order-independent sum, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact mean: decimal sum cast to double, divided by count. */
+  def dmean(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+}

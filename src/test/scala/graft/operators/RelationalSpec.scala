@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Smoke + shape checks for the Part-B relational surface. Value-level
+  * correctness is enforced by the DuckDB oracle (tools/check.py locally,
+  * the driver's t2 gate per round). */
+class RelationalSpec extends SparkSpec {
+
+  test("every query name is unique and every oracle key has a query") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for (q <- Relational.all) {
+    test(s"${q.name} runs at sf0.001 and returns rows") {
+      val df = q.fn(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q01 aggregates match a hand computation") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.q01PricingSummary.fn(spark, sfDir)
+    val li = T(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    assert(total == li.count())
+  }
+
+  test("q19 bands partition all orders exactly once") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.q19PriceBands.fn(spark, sfDir)
+    val n = df.agg(sum("n")).head.getLong(0)
+    assert(n == T(spark, sfDir, "orders").count())
+  }
+
+  test("entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
