@@ -12,7 +12,9 @@ import graft.operators._
 object SparkEntry {
 
   /** Every registered query module. */
-  def allQueries: Seq[Q] = Relational.all
+  def allQueries: Seq[Q] =
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md §2
+  * Part B, LLM-pipeline extensions): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB):
+  *  - exact dedup is one hash-partitioned groupBy on a 128-bit content hash;
+  *  - n-gram Jaccard joins on *shingle* (the inverted-index join) — never a
+  *    doc×doc cross join; at scale you additionally cap hot shingles
+  *    (document-frequency cut) before the self-join;
+  *  - MinHash-LSH reduces the candidate space to band-bucket collisions
+  *    (b=4 bands × r=3 rows here), then verifies exact Jaccard only on
+  *    candidates — the classic sub-quadratic near-dup pipeline;
+  *  - SimHash pairs join on 4-bit chunk equality (pigeonhole: hamming ≤ 7
+  *    over 8 chunks guarantees ≥ 1 equal chunk), again sub-quadratic;
+  *  - embedding near-dup at this SF is the exact quadratic baseline; the
+  *    sub-quadratic path is the hyperplane-LSH variant in [[Similarity]].
+  */
+object Dedup {
+
+  /** Exact dedup: group by content md5, keep the smallest doc_id. */
+  val d26ExactDedup = Q(
+    "d26_exact_dedup",
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+       FROM documents GROUP BY md5(text) ORDER BY keep_id""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  /** doc_id + distinct word-3-gram shingle set. */
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "case when size(split(text, ' ')) >= 3 then " +
+        "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), " +
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))) " +
+        "else array() end as s")
+
+  private val duckShingles =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                     range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE []::VARCHAR[] END AS s FROM tok)"""
+
+  /** N-gram Jaccard near-dup: inverted-index self-join on shingles, exact
+    * Jaccard ≥ 0.5 (integer counts; the division is exact on both engines). */
+  val d27NgramJaccard = Q(
+    "d27_ngram_jaccard",
+    s"""WITH $duckShingles,
+        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+                  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh)
+        SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val sh = shingles(spark, dir)
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    val pairs = a.join(b, col("sh") === col("sh_b") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    val sz = sh.select(col("doc_id"), size(col("s")).cast("long").as("n_sh"))
+    pairs
+      .join(sz.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // MinHash: K=12 permutations h_k(x) = ((2k+1)·h32(x) + k²+1) mod p over
+  // the shingle hash; LSH: 4 bands of 3 rows each.
+  private val P = "2147483647"
+  private def sigSpark =
+    s"transform(sequence(0, 11), k -> array_min(transform(s, " +
+      s"x -> ((2*k + 1) * ${H.s("x")} + (k*k + 1)) % $P)))"
+  private def sigDuck =
+    s"list_transform(range(0, 12), k -> list_min(list_transform(s, " +
+      s"x -> ((2*k + 1) * ${H.d("x")} + (k*k + 1)) % $P)))"
+
+  /** MinHash-LSH near-dup: signatures → band buckets → candidate pairs →
+    * exact-Jaccard verification at ≥ 0.5. Only bucket-colliding pairs are
+    * verified — the candidate join is on (band, band_key). */
+  val d28MinhashLsh = Q(
+    "d28_minhash_lsh",
+    s"""WITH $duckShingles,
+        sig AS (SELECT doc_id, s, $sigDuck AS m FROM sh),
+        band AS (SELECT doc_id, b,
+                 m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
+                 FROM sig, range(0, 4) r(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+                 FROM band a JOIN band c ON a.b = c.b AND a.bkey = c.bkey
+                                        AND a.doc_id < c.doc_id),
+        v AS (SELECT a_id, b_id,
+                     CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+                     CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b
+              FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id)
+        SELECT a_id, b_id, n_common, n_a, n_b,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val sh = shingles(spark, dir).cache()
+    val sig = sh.withColumn("m", expr(sigSpark))
+    val band = sig
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
+      .selectExpr("doc_id", "b",
+        "concat(cast(m[b*3] as string), ',', cast(m[b*3+1] as string), ',', cast(m[b*3+2] as string)) as bkey")
+    val cand = band.select(col("b"), col("bkey"), col("doc_id").as("a_id"))
+      .join(band.select(col("b").as("b2"), col("bkey").as("bkey2"), col("doc_id").as("b_id")),
+        col("b") === col("b2") && col("bkey") === col("bkey2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("s_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("s_b")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
+      .withColumn("n_a", size(col("s_a")).cast("long"))
+      .withColumn("n_b", size(col("s_b")).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  // 32-bit SimHash: per bit, majority vote of token-hash bits (token
+  // multiset, order-insensitive).
+  private def simhashSpark =
+    "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + " +
+      "(case when 2 * size(filter(th, h -> (shiftright(h, b) & 1) = 1)) > size(th) " +
+      "then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
+  private val duckSimhash =
+    s"""th AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> ${H.d("x")}) AS th
+               FROM documents),
+        sim AS (SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, 32), b ->
+                    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
+                         THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                         ELSE CAST(0 AS BIGINT) END)),
+                  (acc, x) -> acc + x) AS simhash FROM th)"""
+
+  /** Per-document 32-bit SimHash fingerprint + its 8 LSH chunks (4 bits
+    * each) — the value-level contract for [[d30SimhashPairs]]. */
+  val d29Simhash = Q(
+    "d29_simhash",
+    s"""WITH $duckSimhash
+        SELECT doc_id, simhash,
+               (simhash >> 0) & 15 AS c0, (simhash >> 4) & 15 AS c1,
+               (simhash >> 8) & 15 AS c2, (simhash >> 12) & 15 AS c3,
+               (simhash >> 16) & 15 AS c4, (simhash >> 20) & 15 AS c5,
+               (simhash >> 24) & 15 AS c6, (simhash >> 28) & 15 AS c7
+        FROM sim ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .selectExpr("doc_id", s"transform(split(text, ' '), x -> ${H.s("x")}) as th")
+      .selectExpr("doc_id", s"$simhashSpark as simhash")
+      .selectExpr(Seq("doc_id", "simhash") ++
+        (0 until 8).map(c => s"(shiftright(simhash, ${4 * c}) & 15) as c$c"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: chunk-equality join (8 chunks × 4 bits), then
+    * hamming ≤ 7 — exact by pigeonhole, no cross join. */
+  val d30SimhashPairs = Q(
+    "d30_simhash_pairs",
+    s"""WITH $duckSimhash,
+        chunk AS (SELECT doc_id, simhash, c, (simhash >> CAST(c*4 AS INTEGER)) & 15 AS cv
+                  FROM sim, range(0, 8) r(c)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS sim_a,
+                                 b.doc_id AS b_id, b.simhash AS sim_b
+                 FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv
+                                          AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, sim_a, sim_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 7
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val sim = T(spark, dir, "documents")
+      .selectExpr("doc_id", s"transform(split(text, ' '), x -> ${H.s("x")}) as th")
+      .selectExpr("doc_id", s"$simhashSpark as simhash")
+    val chunk = sim
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 7)")).as("c"))
+      .withColumn("cv", expr("shiftright(simhash, c*4) & 15"))
+    val cand = chunk.select(col("c"), col("cv"), col("doc_id").as("a_id"), col("simhash").as("sim_a"))
+      .join(chunk.select(col("c").as("c2"), col("cv").as("cv2"),
+        col("doc_id").as("b_id"), col("simhash").as("sim_b")),
+        col("c") === col("c2") && col("cv") === col("cv2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sim_a", "sim_b").distinct()
+    cand
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+      .filter(col("hamming") <= 7)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup (exact quadratic baseline; both engines run
+    * the identical left-to-right double fold, so cosines are bit-equal). */
+  val d31EmbeddingNeardup = Q(
+    "d31_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS va, b.v AS vb
+              FROM e a, e b WHERE a.vec_id < b.vec_id),
+        c AS (SELECT a_id, b_id, ${Cosine.duck("va", "vb")} AS cos FROM p)
+        SELECT a_id, b_id, cos FROM c WHERE cos >= 0.45 ORDER BY a_id, b_id""") { (spark, dir) =>
+    val e = T(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+    e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("v").as("vb")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", expr(Cosine.spark("va", "vb")))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
+    d29Simhash, d30SimhashPairs, d31EmbeddingNeardup)
+}
+
+/** Cosine similarity as an identical sequential double fold in both SQL
+  * dialects — bit-equal results, so the oracle can compare raw doubles.
+  * Spark side is pure higher-order built-ins (codegen'd, no UDF). */
+object Cosine {
+  def spark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t)" +
+      s" / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))" +
+      s" * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + x * x)))"
+  def duck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (acc, t) -> acc + t)" +
+      s" / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> $a[i] * $a[i])), (acc, t) -> acc + t))" +
+      s" * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($b)+1), i -> $b[i] * $b[i])), (acc, t) -> acc + t)))"
+}

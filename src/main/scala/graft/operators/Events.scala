@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Num._
+
+/** Event-stream operators over `events` (batch forms of the streaming
+  * surface — the Structured Streaming variants live in
+  * [[graft.streaming.StreamOps]] and are spec-tested; these batch twins are
+  * what the DuckDB oracle can check).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as epoch-nano
+  * LongType (see [[T]]), DuckDB as TIMESTAMP_NS via `epoch_ns` — both sides
+  * window on the identical integer nanos.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows: count / exact sum / distinct users per
+    * (window, event_type). The batch twin of a watermarked streaming agg. */
+  val q51EventWindows = Q(
+    "q51_event_windows",
+    """SELECT epoch_ns(ts) // 3600000000000 AS w, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2 ORDER BY w, event_type""") { (spark, dir) =>
+    T(spark, dir, "events")
+      .selectExpr("ts div 3600000000000 as w", "event_type", "value", "user_id")
+      .groupBy("w", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("w", "event_type")
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running sum
+    * (the batch twin of `session_window`). One shuffle on user_id; both
+    * window functions reuse the same partitioning. */
+  val q52Sessionization = Q(
+    "q52_sessionization",
+    """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+       l AS (SELECT user_id, event_id, tsn,
+                    LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+             FROM x),
+       f AS (SELECT user_id, event_id, tsn,
+                    CASE WHEN prev IS NULL OR tsn - prev > 1800000000000
+                         THEN 1 ELSE 0 END AS is_new
+             FROM l),
+       s AS (SELECT user_id, event_id, tsn,
+                    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM f)
+       SELECT user_id, sess, COUNT(*) AS n_events,
+              (MAX(tsn) - MIN(tsn)) // 1000000000 AS dur_s
+       FROM s GROUP BY user_id, sess ORDER BY user_id, sess""") { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+    T(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "ts as tsn")
+      .withColumn("prev", lag(col("tsn"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsn") - col("prev") > 1800000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        // integer div, not double `/`: a double quotient can round across
+        // the integer boundary before the cast, diverging from DuckDB's `//`
+        expr("(max(tsn) - min(tsn)) div 1000000000").as("dur_s"))
+      .orderBy("user_id", "sess")
+  }
+
+  val all: Seq[Q] = Seq(q51EventWindows, q52Sessionization)
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2 Part B, LLM-pipeline extensions).
+  *
+  * Three tiers, mirroring a production ANN stack:
+  *  - [[s32KnnBruteforce]]: exact brute-force cosine top-k — the correctness
+  *    baseline; quadratic, only viable for small query sets;
+  *  - [[s33AnnLsh]]: random-hyperplane LSH — vectors bucketed by the sign
+  *    pattern of 6 deterministic hyperplanes; candidates = same-bucket only.
+  *    At 100 TB this is a bucket-partitioned equi-join instead of a cross
+  *    join (×64 candidate reduction here);
+  *  - [[s34AnnIvf]]: IVF — a coarse quantizer assigns every vector to its
+  *    nearest centroid cell; queries probe the 2 nearest cells. The
+  *    assignment is one broadcast join against the (tiny) centroid set.
+  *
+  * Cosines use [[Cosine]] (identical sequential fold on both engines →
+  * bit-equal doubles → ranks agree exactly with the oracle).
+  */
+object Similarity {
+
+  /** embeddings as (vec_id, v: array<double>). */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+
+  private val duckVecs = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  /** Exact brute-force cosine top-5 for the first 10 vectors as queries. */
+  val s32KnnBruteforce = Q(
+    "s32_knn_bruteforce",
+    s"""WITH $duckVecs,
+        p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                     ${Cosine.duck("q.v", "n.v")} AS cos
+              FROM e q JOIN e n ON n.vec_id <> q.vec_id
+              WHERE q.vec_id < 10),
+        r AS (SELECT q_id, n_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+              FROM p)
+        SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(n, col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr(Cosine.spark("vq", "vn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  // Random-hyperplane LSH: weight(b, d) = h32('hp<b>_<d>') % 2001 - 1000,
+  // bucket = Σ_b [dot(v, w_b) > 0] << b  (6 hyperplanes → 64 buckets).
+  private def bucketSpark =
+    "aggregate(sequence(0, 5), cast(0 as bigint), (acc, b) -> acc + " +
+      "(case when aggregate(sequence(0, size(v) - 1), cast(0 as double), " +
+      s"(acc2, d) -> acc2 + v[d] * ((${H.s("concat('hp', cast(b as string), '_', cast(d as string))")}) % 2001 - 1000)) " +
+      "> cast(0 as double) then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
+  private def bucketDuck =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), b -> " +
+      "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, len(v)), " +
+      s"d -> v[d+1] * ((${H.d("'hp' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)")}) % 2001 - 1000))), (x, y) -> x + y) " +
+      "> CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket (the
+    * scale path — equi-join on bucket, no cross join). */
+  val s33AnnLsh = Q(
+    "s33_ann_lsh",
+    s"""WITH $duckVecs,
+        bk AS (SELECT vec_id, v, $bucketDuck AS bucket FROM e),
+        p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.bucket AS bucket,
+                     ${Cosine.duck("q.v", "n.v")} AS cos
+              FROM bk q JOIN bk n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+              WHERE q.vec_id < 10),
+        r AS (SELECT q_id, n_id, bucket, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+              FROM p)
+        SELECT q_id, n_id, bucket, CAST(rnk AS BIGINT) AS rnk, cos
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val bk = vecs(spark, dir).withColumn("bucket", expr(bucketSpark))
+    val q = bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("bucket"))
+    val n = bk.select(col("vec_id").as("n_id"), col("v").as("vn"), col("bucket").as("bn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(n, col("bucket") === col("bn") && col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr(Cosine.spark("vq", "vn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "bucket", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVF ANN: centroids = vec_id < 8; every vector assigned to its nearest
+    * centroid (broadcast join); queries probe their 2 nearest cells and rank
+    * candidates within them. */
+  val s34AnnIvf = Q(
+    "s34_ann_ivf",
+    s"""WITH $duckVecs,
+        cent AS (SELECT vec_id AS c_id, v AS vc FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, c.c_id, ${Cosine.duck("e.v", "c.vc")} AS cos,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${Cosine.duck("e.v", "c.vc")} DESC, c.c_id) AS rnk
+                 FROM e, cent c),
+        asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
+        probe AS (SELECT vec_id AS q_id, c_id AS cell FROM asg0
+                  WHERE rnk <= 2 AND vec_id < 10),
+        cand AS (SELECT p.q_id, a.vec_id AS n_id, p.cell
+                 FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+        sc AS (SELECT c.q_id, c.n_id, c.cell, ${Cosine.duck("q.v", "n.v")} AS cos
+               FROM cand c JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id),
+        r AS (SELECT q_id, n_id, cell, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+              FROM sc)
+        SELECT q_id, n_id, cell, CAST(rnk AS BIGINT) AS rnk, cos
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("vc"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    val asg0 = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(Cosine.spark("v", "vc")))
+      .withColumn("rnk", row_number().over(wAsg))
+    val asg = asg0.filter(col("rnk") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val probe = asg0.filter(col("rnk") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cand = probe.join(asg, "cell").filter(col("n_id") =!= col("q_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn")), "n_id")
+      .withColumn("cos", expr(Cosine.spark("vq", "vn")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "cell", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf)
+}

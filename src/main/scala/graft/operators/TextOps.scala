@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic hashing used by the text/dedup/similarity operators.
+  *
+  * Both the Spark implementation and the DuckDB oracle need the *same* hash
+  * function, so we derive a 32-bit unsigned value from the first 8 hex chars
+  * of a standard md5 — computable with built-ins on both engines (and fully
+  * codegen'd on the Spark side: md5/substring/conv are native expressions).
+  * All downstream arithmetic stays below 2^63 (DuckDB errors on overflow
+  * instead of wrapping, so the two engines would otherwise diverge).
+  */
+object H {
+  /** Spark SQL dialect: 32-bit hash of expression `x` as bigint. */
+  def s(x: String): String =
+    s"cast(conv(substring(md5($x),1,8),16,10) as bigint)"
+  /** DuckDB dialect of the same hash. */
+  def d(x: String): String =
+    s"CAST('0x' || substring(md5($x),1,8) AS BIGINT)"
+}
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2 Part B,
+  * LLM-pipeline extensions): token counting, per-language profiling, quality
+  * scoring, heuristic language ID, and document fingerprinting.
+  *
+  * Scale posture: every operator is a single narrow projection or one
+  * hash-partitioned aggregation over the scan — no joins, no driver
+  * collection; at 100 TB these run as embarrassingly-parallel map stages
+  * (plus one shuffle for the groupBy profiles).
+  */
+object TextOps {
+  private val M = "1000000007" // poly-hash modulus, keeps products < 2^63
+
+  /** Token counting: whitespace tokens, distinct tokens, chars, and a
+    * regex ("BPE-ish") token count — all codegen'd built-ins. */
+  val t21TokenStats = Q(
+    "t21_token_stats",
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens
+       FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "cast(size(split(text, ' ')) as bigint) as n_tokens",
+      "cast(size(array_distinct(split(text, ' '))) as bigint) as n_distinct",
+      "cast(length(text) as bigint) as n_chars_calc",
+      "cast(regexp_count(text, '[a-z]+') as bigint) as n_word_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus profile (one shuffle, map-side partial agg). */
+  val t22LangProfile = Q(
+    "t22_lang_profile",
+    """SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+       FROM documents GROUP BY lang ORDER BY lang""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(expr("cast(size(split(text, ' ')) as bigint)")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Quality scoring: stopword ratio, mean word length, length-band flag.
+    * Ratios are exact double divisions of integers — identical on both
+    * engines, so the oracle compares values, not approximations. */
+  val t23QualityScore = Q(
+    "t23_quality_score",
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_word_len,
+       CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 120
+                  AND CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                      / len(string_split(text, ' ')) <= 0.25
+             THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+       FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "cast(size(split(text, ' ')) as bigint) as n_tokens",
+      "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as double)" +
+        " / size(split(text, ' ')) as stop_ratio",
+      "cast(length(text) - size(split(text, ' ')) + 1 as double)" +
+        " / size(split(text, ' ')) as avg_word_len",
+      "cast(case when size(split(text, ' ')) between 20 and 120" +
+        " and cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as double)" +
+        " / size(split(text, ' ')) <= 0.25 then 1 else 0 end as bigint) as is_quality")
+      .orderBy("doc_id")
+  }
+
+  // Heuristic language-ID: score each language by counts of marker
+  // substrings (character-n-gram profile, unigram/bigram level), pick the
+  // argmax with a fixed precedence. Pure integer arithmetic over
+  // length/replace — the identical snippet runs on both engines.
+  private def occ(sub: String): String =
+    s"(length(text) - length(replace(text, '$sub', '')))"
+  private val sEn = s"(${occ("th")} + ${occ("w")})"
+  private val sEs = s"(${occ("rr")} + 2*${occ("o ")})"
+  private val sDe = s"(${occ("sch")} + ${occ("z")})"
+  private val sFr = s"(${occ("ou")} + ${occ("q")})"
+  private val sZh = s"(${occ("zh")} * 3)"
+  private val predLang =
+    s"""CASE WHEN $sEn >= $sEs AND $sEn >= $sDe AND $sEn >= $sFr AND $sEn >= $sZh THEN 'en'
+            WHEN $sEs >= $sDe AND $sEs >= $sFr AND $sEs >= $sZh THEN 'es'
+            WHEN $sDe >= $sFr AND $sDe >= $sZh THEN 'de'
+            WHEN $sFr >= $sZh THEN 'fr'
+            ELSE 'zh' END"""
+
+  /** Heuristic n-gram language ID (deterministic; the oracle re-runs the
+    * same formula — correctness is formula equivalence, the profile weights
+    * are pluggable). */
+  val t24LangId = Q(
+    "t24_lang_id",
+    s"""SELECT doc_id, lang, $predLang AS pred_lang,
+        CAST(CASE WHEN $predLang = lang THEN 1 ELSE 0 END AS BIGINT) AS agree
+        FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents").selectExpr(
+      "doc_id", "lang", s"$predLang AS pred_lang",
+      s"CAST(CASE WHEN $predLang = lang THEN 1 ELSE 0 END AS BIGINT) AS agree")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: content md5, order-sensitive rolling
+    * polynomial hash over tokens (mod 1e9+7), and the min token hash
+    * (a 1-permutation minhash). */
+  val t25Fingerprint = Q(
+    "t25_fingerprint",
+    s"""SELECT doc_id, md5(text) AS content_md5,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '), x -> ${H.d("x")} % $M)),
+          (acc, h) -> (acc * 31 + h) % $M) AS poly_fp,
+        list_min(list_transform(string_split(text, ' '), x -> ${H.d("x")})) AS min_tok_hash
+        FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "md5(text) as content_md5",
+      s"aggregate(transform(split(text, ' '), x -> ${H.s("x")} % $M)," +
+        s" cast(0 as bigint), (acc, h) -> (acc * 31 + h) % $M) as poly_fp",
+      s"array_min(transform(split(text, ' '), x -> ${H.s("x")})) as min_tok_hash")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
+    t24LangId, t25Fingerprint)
+}
