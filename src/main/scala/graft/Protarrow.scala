@@ -1,0 +1,123 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.proto._
+import graft.conv._
+
+/** Public facade mirroring the reference's exported API 1:1
+  * (reference __init__.py:14-26): `message_type_to_schema`,
+  * `message_type_to_struct_type`, `messages_to_record_batch`,
+  * `messages_to_table`, `record_batch_to_messages`, `table_to_messages`,
+  * `cast_table`, `cast_record_batch`, `cast_struct_array`,
+  * `MessageExtractor`, `ProtarrowConfig` (= [[graft.conv.GraftConfig]]).
+  *
+  * Batch/table distinction collapses in Spark — a DataFrame is already the
+  * chunked "table"; the record-batch entry points are the local (driver)
+  * builders, the table entry points the distributed ones.
+  */
+object Protarrow {
+
+  def messageTypeToSchema(md: PMessageDesc, cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): StructType =
+    SchemaConversion.messageTypeToSchema(md, cfg, reg)
+
+  def messageTypeToStructType(md: PMessageDesc, cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): StructType =
+    SchemaConversion.messageTypeToStructType(md, cfg, reg)
+
+  /** messages → DataFrame, local rows (messages_to_record_batch,
+    * proto_to_arrow.py:690-702). Defined for empty input: yields the full
+    * typed schema with zero rows. */
+  def messagesToDataFrame(spark: SparkSession, msgs: Seq[DynamicMessage],
+      md: PMessageDesc, cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): DataFrame = {
+    val schema = messageTypeToSchema(md, cfg, reg)
+    val writer = Codecs.rowWriter(md, cfg, reg)
+    spark.createDataFrame(msgs.map(writer).asJava, schema)
+  }
+
+  /** Distributed variant (messages_to_table): messages already on
+    * executors as a Dataset stay there — encode runs per partition, no
+    * driver round trip. */
+  def messagesDatasetToDataFrame(ds: Dataset[DynamicMessage], md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): DataFrame = {
+    val spark = ds.sparkSession
+    val schema = messageTypeToSchema(md, cfg, reg)
+    val writer = Codecs.rowWriter(md, cfg, reg)
+    spark.createDataFrame(ds.rdd.mapPartitions(_.map(writer)), schema)
+  }
+
+  /** DataFrame → messages on the driver (table_to_messages,
+    * arrow_to_proto.py:667-671). Tolerates missing columns. */
+  def dataFrameToMessages(df: DataFrame, md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): Seq[DynamicMessage] = {
+    val reader = Codecs.rowReader(md, df.schema, cfg, reg)
+    df.toLocalIterator().asScala.map(reader).toVector
+  }
+
+  /** Local rows → messages (record_batch_to_messages). */
+  def rowsToMessages(rows: Seq[Row], schema: StructType, md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): Seq[DynamicMessage] = {
+    val reader = Codecs.rowReader(md, schema, cfg, reg)
+    rows.map(reader)
+  }
+
+  /** Distributed decode: stays on executors, yields a Dataset of wire-format
+    * proto bytes (the Spark-native way to "return messages" at scale without
+    * collecting — pair with [[fromProtoBinary]]). */
+  def toProtoBinary(df: DataFrame, md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): Dataset[Array[Byte]] = {
+    val schema = df.schema
+    val reader = Codecs.rowReader(md, schema, cfg, reg)
+    df.mapPartitions(rows => rows.map(r => ProtoWire.encode(reader(r))))(Encoders.BINARY)
+  }
+
+  /** Distributed encode from wire-format bytes (micro-batch/Kafka shape —
+    * the reference's streaming use case, docs/faq.md:20-25). */
+  def fromProtoBinary(ds: Dataset[Array[Byte]], md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): DataFrame = {
+    val spark = ds.sparkSession
+    val schema = messageTypeToSchema(md, cfg, reg)
+    val writer = Codecs.rowWriter(md, cfg, reg)
+    val rdd = ds.rdd.mapPartitions(_.map(b => writer(ProtoWire.decode(b, md, reg))))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Proto-JSONL scan (the fixture-loader shape,
+    * tests/test_conversion.py:99-105): schema-directed distributed parse. */
+  def readProtoJsonl(spark: SparkSession, path: String, md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): DataFrame = {
+    val schema = messageTypeToSchema(md, cfg, reg)
+    val writer = Codecs.rowWriter(md, cfg, reg)
+    val rdd = spark.read.textFile(path).rdd.mapPartitions { lines =>
+      lines.filter(_.trim.nonEmpty).map(l => writer(ProtoJson.parse(l, md, reg)))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Schema-directed cast/normalize (cast_table, cast_to_proto.py:243-253):
+    * pure Column expressions, fully Catalyst-optimized. */
+  def castToProto(df: DataFrame, md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): DataFrame =
+    CastToProto.castDataFrame(df, md, cfg, reg)
+
+  /** Row-wise extraction (MessageExtractor, message_extractor.py:144-162). */
+  final class MessageExtractor(schema: StructType, md: PMessageDesc,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry) extends Serializable {
+    private val reader = Codecs.rowReader(md, schema, cfg, reg)
+    def apply(row: Row): DynamicMessage = reader(row)
+    /** Extract row `i` of the DataFrame as one message. */
+    def readTableRow(df: DataFrame, i: Int): DynamicMessage =
+      reader(df.limit(i + 1).tail(1).head)
+  }
+}

@@ -14,7 +14,7 @@ object SparkEntry {
   /** Every registered query module. */
   def allQueries: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Events.all
+      Multimodal.all ++ Events.all ++ ProtoOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Protarrow
+import graft.proto._
+import graft.proto.PType._
+import graft.conv.GraftConfig
+
+/** Part-A conversion surface exposed as driver-checkable queries
+  * (SURVEY.md §2 Part A): schema-directed cast/normalize over a real
+  * parquet table (DuckDB-oracle-checked), proto-JSONL scan, and the
+  * distributed wire-format round trip.
+  */
+object ProtoOps {
+
+  /** A proto shape for a slice of `lineitem`: present columns are cast,
+    * `quality_tier` / `tags` are absent from the source (→ proto defaults),
+    * and the source's extra columns are dropped — the cast_table contract
+    * (cast_to_proto.py:166-213) on real data. */
+  private val lineSlim = PMessageDesc("graft.LineSlim", Seq(
+    PField("l_orderkey", 1, PInt64),
+    PField("l_linenumber", 2, PInt32),
+    PField("l_quantity", 3, PDouble),
+    PField("l_returnflag", 4, PString),
+    PField("quality_tier", 5, PString),
+    PField("tags", 6, PInt64, repeated = true)))
+
+  val pa61CastNormalize = Q(
+    "pa61_cast_normalize",
+    """SELECT l_orderkey,
+       CAST(l_linenumber AS INTEGER) AS l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_quantity,
+       l_returnflag,
+       '' AS quality_tier,
+       []::BIGINT[] AS tags
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (spark, dir) =>
+    val src = T(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate" /* extra column: must be dropped by the cast */)
+    Protarrow.castToProto(src, lineSlim, GraftConfig(), WellKnown.registry)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Proto-JSONL scan (schema-directed distributed parse, the reference's
+    * fixture-loader shape). No SQL oracle — DuckDB has no proto-JSON
+    * reader; the driver records rows>0 and the ScalaTest round-trip suite
+    * pins values. */
+  val pa62ProtoJsonlScan = Q.noOracle("pa62_proto_jsonl_scan") { (spark, _) =>
+    val path = Fixtures.materialize("ExampleMessage")
+    val md = Schemas.msg("ExampleMessage")
+    Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), Schemas.registry)
+      .select(col("int32_value"), col("int64_value"), col("string_value"),
+        size(col("double_values")).as("n_doubles"),
+        map_keys(col("int32_string_map")).as("map_keys"))
+  }
+
+  /** Distributed wire-format round trip: DataFrame → proto bytes
+    * (executor-side decode+encode) → DataFrame; reports byte sizes. */
+  val pa63WireRoundtrip = Q.noOracle("pa63_wire_roundtrip") { (spark, _) =>
+    val path = Fixtures.materialize("ExampleMessage")
+    val md = Schemas.msg("ExampleMessage")
+    val reg = Schemas.registry
+    val df = Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), reg)
+    val bytes = Protarrow.toProtoBinary(df, md, GraftConfig(), reg)
+    val back = Protarrow.fromProtoBinary(bytes, md, GraftConfig(), reg)
+    // value-level check: both tables must decode to identical messages
+    // (set-ops can't compare map columns, message equality can)
+    val n = df.count()
+    val nBack = back.count()
+    val matches = Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg) ==
+      Protarrow.dataFrameToMessages(back, md, GraftConfig(), reg)
+    import spark.implicits._
+    Seq((n, nBack, matches)).toDF("n_rows", "n_back", "roundtrip_ok")
+  }
+
+  val all: Seq[Q] = Seq(pa61CastNormalize, pa62ProtoJsonlScan, pa63WireRoundtrip)
+}
+
+/** Classpath fixtures → temp files (spark.read needs paths). */
+object Fixtures {
+  def materialize(name: String): String = {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_fixture_$name.jsonl")
+    if (!java.nio.file.Files.exists(target)) {
+      val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
+      java.nio.file.Files.copy(in, target)
+      in.close()
+    }
+    target.toString
+  }
+}

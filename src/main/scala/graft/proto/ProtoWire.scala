@@ -1,0 +1,221 @@
+package graft.proto
+
+import java.io.ByteArrayOutputStream
+import graft.proto.PType._
+
+/** Proto3 wire-format codec over the descriptor IR (the public protobuf
+  * encoding spec: varint / zigzag / fixed32 / fixed64 / length-delimited;
+  * packed repeated scalars; maps as repeated entry messages).
+  *
+  * Needed because the environment has no protobuf-java (SURVEY.md §7.0);
+  * powers `to_proto`/`from_proto` binary parity
+  * ([[graft.Protarrow.toProtoBinary]] / fromProtoBinary).
+  */
+object ProtoWire {
+
+  private final val Varint = 0
+  private final val Fixed64 = 1
+  private final val Len = 2
+  private final val Fixed32 = 5
+
+  private def wireType(t: PType): Int = t match {
+    case PDouble | PFixed64 | PSFixed64 => Fixed64
+    case PFloat | PFixed32 | PSFixed32 => Fixed32
+    case PString | PBytes | PMessage(_) => Len
+    case _ => Varint
+  }
+
+  private def packable(t: PType): Boolean = t match {
+    case PString | PBytes | PMessage(_) => false
+    case _ => true
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  final class Writer(val out: ByteArrayOutputStream = new ByteArrayOutputStream()) {
+    def varint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7FL) != 0) {
+        out.write(((x & 0x7F) | 0x80).toInt)
+        x = x >>> 7
+      }
+      out.write(x.toInt)
+    }
+    def tag(field: Int, wt: Int): Unit = varint((field.toLong << 3) | wt)
+    def fixed32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    def fixed64(v: Long): Unit = { fixed32(v.toInt); fixed32((v >>> 32).toInt) }
+    def bytes(b: Array[Byte]): Unit = { varint(b.length.toLong); out.write(b) }
+  }
+
+  def zigzag32(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xFFFFFFFFL
+  def zigzag64(v: Long): Long = (v << 1) ^ (v >> 63)
+  def unzigzag32(v: Long): Int = (((v >>> 1) ^ -(v & 1)).toInt)
+  def unzigzag64(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private def writeScalar(w: Writer, t: PType, v: Any, reg: ProtoRegistry): Unit = t match {
+    case PDouble => w.fixed64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case PFloat => w.fixed32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+    case PInt32 => w.varint(v.asInstanceOf[Int].toLong) // sign-extended per spec
+    case PInt64 => w.varint(v.asInstanceOf[Long])
+    case PUInt32 => w.varint(v.asInstanceOf[Long] & 0xFFFFFFFFL)
+    case PFixed32 => w.fixed32(v.asInstanceOf[Long].toInt)
+    case PUInt64 => w.varint(v.asInstanceOf[Long])
+    case PFixed64 => w.fixed64(v.asInstanceOf[Long])
+    case PSInt32 => w.varint(zigzag32(v.asInstanceOf[Int]))
+    case PSInt64 => w.varint(zigzag64(v.asInstanceOf[Long]))
+    case PSFixed32 => w.fixed32(v.asInstanceOf[Int])
+    case PSFixed64 => w.fixed64(v.asInstanceOf[Long])
+    case PBool => w.varint(if (v.asInstanceOf[Boolean]) 1L else 0L)
+    case PString => w.bytes(v.asInstanceOf[String]
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case PBytes => w.bytes(v.asInstanceOf[Bytes].toArray)
+    case PEnum(_) => w.varint(v.asInstanceOf[Int].toLong)
+    case PMessage(_) => w.bytes(encode(v.asInstanceOf[DynamicMessage], reg))
+  }
+
+  def encode(m: DynamicMessage, reg: ProtoRegistry = WellKnown.registry): Array[Byte] = {
+    val w = new Writer()
+    // ascending field number: canonical, deterministic output
+    m.descriptor.fields.sortBy(_.number).foreach { f =>
+      m.get(f.number).foreach { v =>
+        if (f.isMap) {
+          v.asInstanceOf[Map[Any, Any]].foreach { case (k, mv) =>
+            val entry = new Writer()
+            if (k != PType.defaultOf(f.mapKey)) {
+              entry.tag(1, wireType(f.mapKey)); writeScalar(entry, f.mapKey, k, reg)
+            }
+            val isDefault = f.mapValue match {
+              case PMessage(_) => false
+              case t => mv == PType.defaultOf(t)
+            }
+            if (!isDefault) {
+              entry.tag(2, wireType(f.mapValue)); writeScalar(entry, f.mapValue, mv, reg)
+            }
+            w.tag(f.number, Len); w.bytes(entry.out.toByteArray)
+          }
+        } else if (f.repeated) {
+          val xs = v.asInstanceOf[Vector[Any]]
+          if (packable(f.typ)) {
+            // proto3 default: packed
+            val payload = new Writer()
+            xs.foreach(x => writeScalar(payload, f.typ, x, reg))
+            w.tag(f.number, Len); w.bytes(payload.out.toByteArray)
+          } else xs.foreach { x =>
+            w.tag(f.number, wireType(f.typ)); writeScalar(w, f.typ, x, reg)
+          }
+        } else {
+          w.tag(f.number, wireType(f.typ)); writeScalar(w, f.typ, v, reg)
+        }
+      }
+    }
+    w.out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var result = 0L
+      while (shift < 64) {
+        val b = buf(pos); pos += 1
+        result |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+    def fixed32(): Int = {
+      val v = (buf(pos) & 0xFF) | ((buf(pos + 1) & 0xFF) << 8) |
+        ((buf(pos + 2) & 0xFF) << 16) | ((buf(pos + 3) & 0xFF) << 24)
+      pos += 4; v
+    }
+    def fixed64(): Long =
+      (fixed32().toLong & 0xFFFFFFFFL) | (fixed32().toLong << 32)
+    def bytes(): Array[Byte] = {
+      val len = varint().toInt
+      val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len; b
+    }
+    def slice(): Reader = {
+      val len = varint().toInt
+      val r = new Reader(buf, pos, pos + len)
+      pos += len; r
+    }
+    def skip(wt: Int): Unit = wt match {
+      case Varint => varint(); ()
+      case Fixed64 => pos += 8
+      case Fixed32 => pos += 4
+      case Len => val len = varint().toInt; pos += len
+      case other => throw new IllegalArgumentException(s"bad wire type $other")
+    }
+  }
+
+  private def readScalar(r: Reader, t: PType, reg: ProtoRegistry): Any = t match {
+    case PDouble => java.lang.Double.longBitsToDouble(r.fixed64())
+    case PFloat => java.lang.Float.intBitsToFloat(r.fixed32())
+    case PInt32 => r.varint().toInt
+    case PInt64 => r.varint()
+    case PUInt32 => r.varint() & 0xFFFFFFFFL
+    case PUInt64 => r.varint()
+    case PSInt32 => unzigzag32(r.varint())
+    case PSInt64 => unzigzag64(r.varint())
+    case PFixed32 => r.fixed32().toLong & 0xFFFFFFFFL
+    case PFixed64 => r.fixed64()
+    case PSFixed32 => r.fixed32()
+    case PSFixed64 => r.fixed64()
+    case PBool => r.varint() != 0L
+    case PString => new String(r.bytes(), java.nio.charset.StandardCharsets.UTF_8)
+    case PBytes => Bytes.owned(r.bytes())
+    case PEnum(_) => r.varint().toInt
+    case PMessage(name) => decodeReader(r.slice(), reg.message(name), reg)
+  }
+
+  def decode(bytes: Array[Byte], md: PMessageDesc,
+      reg: ProtoRegistry = WellKnown.registry): DynamicMessage =
+    decodeReader(new Reader(bytes), md, reg)
+
+  private def decodeReader(r: Reader, md: PMessageDesc, reg: ProtoRegistry): DynamicMessage = {
+    var values = Map.empty[Int, Any]
+    while (r.hasMore) {
+      val t = r.varint()
+      val num = (t >>> 3).toInt
+      val wt = (t & 7).toInt
+      md.byNumber.get(num) match {
+        case None => r.skip(wt) // unknown field
+        case Some(f) if f.isMap =>
+          val er = r.slice()
+          var k: Any = PType.defaultOf(f.mapKey)
+          var v: Any = f.mapValue match {
+            case PMessage(name) => DynamicMessage.empty(reg.message(name))
+            case mt => PType.defaultOf(mt)
+          }
+          while (er.hasMore) {
+            val et = er.varint()
+            (et >>> 3).toInt match {
+              case 1 => k = readScalar(er, f.mapKey, reg)
+              case 2 => v = readScalar(er, f.mapValue, reg)
+              case _ => er.skip((et & 7).toInt)
+            }
+          }
+          val prev = values.getOrElse(num, Map.empty[Any, Any]).asInstanceOf[Map[Any, Any]]
+          values += (num -> (prev + (k -> v)))
+        case Some(f) if f.repeated =>
+          val prev = values.getOrElse(num, Vector.empty[Any]).asInstanceOf[Vector[Any]]
+          if (wt == Len && packable(f.typ)) {
+            val pr = r.slice()
+            var xs = prev
+            while (pr.hasMore) xs = xs :+ readScalar(pr, f.typ, reg)
+            values += (num -> xs)
+          } else values += (num -> (prev :+ readScalar(r, f.typ, reg)))
+        case Some(f) =>
+          values += (num -> readScalar(r, f.typ, reg))
+      }
+    }
+    DynamicMessage(md, values)
+  }
+}
