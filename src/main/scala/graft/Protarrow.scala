@@ -56,7 +56,9 @@ object Protarrow {
       cfg: GraftConfig = GraftConfig(),
       reg: ProtoRegistry = WellKnown.registry): Seq[DynamicMessage] = {
     val reader = Codecs.rowReader(md, df.schema, cfg, reg)
-    df.toLocalIterator().asScala.map(reader).toVector
+    // one job, not one per partition (toLocalIterator) — this API is
+    // driver-side by contract; the distributed path is toProtoBinary
+    df.collect().iterator.map(reader).toVector
   }
 
   /** Local rows → messages (record_batch_to_messages). */

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash-LSH reduces the candidate space to band-bucket collisions
   *    (b=4 bands × r=3 rows here), then verifies exact Jaccard only on
   *    candidates — the classic sub-quadratic near-dup pipeline;
-  *  - SimHash pairs join on 4-bit chunk equality (pigeonhole: hamming ≤ 7
-  *    over 8 chunks guarantees ≥ 1 equal chunk), again sub-quadratic;
+  *  - SimHash pairs join on 8-bit chunk equality (pigeonhole: hamming ≤ 3
+  *    over 4 chunks guarantees ≥ 1 equal chunk), again sub-quadratic;
   *  - embedding near-dup at this SF is the exact quadratic baseline; the
   *    sub-quadratic path is the hyperplane-LSH variant in [[Similarity]].
   */
@@ -85,12 +85,14 @@ object Dedup {
   // MinHash: K=12 permutations h_k(x) = ((2k+1)·h32(x) + k²+1) mod p over
   // the shingle hash; LSH: 4 bands of 3 rows each.
   private val P = "2147483647"
+  // shingle hashes are computed ONCE per doc (sh2.th); the 12 permutations
+  // are cheap integer maps over that array — not 12 recomputed md5 passes
   private def sigSpark =
-    s"transform(sequence(0, 11), k -> array_min(transform(s, " +
-      s"x -> ((2*k + 1) * ${H.s("x")} + (k*k + 1)) % $P)))"
+    s"transform(sequence(0, 11), k -> array_min(transform(th, " +
+      s"h -> ((2*k + 1) * h + (k*k + 1)) % $P)))"
   private def sigDuck =
-    s"list_transform(range(0, 12), k -> list_min(list_transform(s, " +
-      s"x -> ((2*k + 1) * ${H.d("x")} + (k*k + 1)) % $P)))"
+    s"list_transform(range(0, 12), k -> list_min(list_transform(th, " +
+      s"h -> ((2*k + 1) * h + (k*k + 1)) % $P)))"
 
   /** MinHash-LSH near-dup: signatures → band buckets → candidate pairs →
     * exact-Jaccard verification at ≥ 0.5. Only bucket-colliding pairs are
@@ -98,7 +100,8 @@ object Dedup {
   val d28MinhashLsh = Q(
     "d28_minhash_lsh",
     s"""WITH $duckShingles,
-        sig AS (SELECT doc_id, s, $sigDuck AS m FROM sh),
+        sh2 AS (SELECT doc_id, s, list_transform(s, x -> ${H.d("x")}) AS th FROM sh),
+        sig AS (SELECT doc_id, s, $sigDuck AS m FROM sh2),
         band AS (SELECT doc_id, b,
                  m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
                  FROM sig, range(0, 4) r(b)),
@@ -114,7 +117,8 @@ object Dedup {
         FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
     val sh = shingles(spark, dir).cache()
-    val sig = sh.withColumn("m", expr(sigSpark))
+    val sig = sh.withColumn("th", expr(s"transform(s, x -> ${H.s("x")})"))
+      .withColumn("m", expr(sigSpark))
     val band = sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
       .selectExpr("doc_id", "b",
@@ -172,27 +176,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: chunk-equality join (8 chunks × 4 bits), then
-    * hamming ≤ 7 — exact by pigeonhole, no cross join. */
+  /** SimHash near-dup pairs: chunk-equality join (4 chunks × 8 bits), then
+    * hamming ≤ 3 — exact by pigeonhole (4 differing bits would need 4
+    * distinct chunks), no cross join; 8-bit chunks keep buckets small. */
   val d30SimhashPairs = Q(
     "d30_simhash_pairs",
     s"""WITH $duckSimhash,
-        chunk AS (SELECT doc_id, simhash, c, (simhash >> CAST(c*4 AS INTEGER)) & 15 AS cv
-                  FROM sim, range(0, 8) r(c)),
+        chunk AS (SELECT doc_id, simhash, c, (simhash >> CAST(c*8 AS INTEGER)) & 255 AS cv
+                  FROM sim, range(0, 4) r(c)),
         cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS sim_a,
                                  b.doc_id AS b_id, b.simhash AS sim_b
                  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv
                                           AND a.doc_id < b.doc_id)
         SELECT a_id, b_id, sim_a, sim_b,
                CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 7
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
         ORDER BY a_id, b_id""") { (spark, dir) =>
     val sim = T(spark, dir, "documents")
       .selectExpr("doc_id", s"transform(split(text, ' '), x -> ${H.s("x")}) as th")
       .selectExpr("doc_id", s"$simhashSpark as simhash")
     val chunk = sim
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 7)")).as("c"))
-      .withColumn("cv", expr("shiftright(simhash, c*4) & 15"))
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("cv", expr("shiftright(simhash, c*8) & 255"))
     val cand = chunk.select(col("c"), col("cv"), col("doc_id").as("a_id"), col("simhash").as("sim_a"))
       .join(chunk.select(col("c").as("c2"), col("cv").as("cv2"),
         col("doc_id").as("b_id"), col("simhash").as("sim_b")),
@@ -200,7 +205,7 @@ object Dedup {
       .select("a_id", "b_id", "sim_a", "sim_b").distinct()
     cand
       .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
   }
 
@@ -208,17 +213,20 @@ object Dedup {
     * the identical left-to-right double fold, so cosines are bit-equal). */
   val d31EmbeddingNeardup = Q(
     "d31_embedding_neardup",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS va, b.v AS vb
-              FROM e a, e b WHERE a.vec_id < b.vec_id),
-        c AS (SELECT a_id, b_id, ${Cosine.duck("va", "vb")} AS cos FROM p)
-        SELECT a_id, b_id, cos FROM c WHERE cos >= 0.45 ORDER BY a_id, b_id""") { (spark, dir) =>
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, ${Cosine.duckNorm("v")} AS nrm FROM e0),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""") { (spark, dir) =>
+    // norms once per vector (not per pair): the pair loop is dot-only
     val e = T(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
-    e.select(col("vec_id").as("a_id"), col("v").as("va"))
-      .crossJoin(e.select(col("vec_id").as("b_id"), col("v").as("vb")))
+      .withColumn("nrm", expr(Cosine.sparkNorm("v")))
+    e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", expr(Cosine.spark("va", "vb")))
+      .withColumn("cos", expr(Cosine.sparkDot("va", "vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.45)
       .select("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
@@ -232,12 +240,16 @@ object Dedup {
   * dialects — bit-equal results, so the oracle can compare raw doubles.
   * Spark side is pure higher-order built-ins (codegen'd, no UDF). */
 object Cosine {
+  def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t)"
+  def sparkNorm(a: String): String =
+    s"sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))"
   def spark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t)" +
-      s" / (sqrt(aggregate($a, cast(0 as double), (acc, x) -> acc + x * x))" +
-      s" * sqrt(aggregate($b, cast(0 as double), (acc, x) -> acc + x * x)))"
+    s"${sparkDot(a, b)} / (${sparkNorm(a)} * ${sparkNorm(b)})"
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (acc, t) -> acc + t)"
+  def duckNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> $a[i] * $a[i])), (acc, t) -> acc + t))"
   def duck(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (acc, t) -> acc + t)" +
-      s" / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> $a[i] * $a[i])), (acc, t) -> acc + t))" +
-      s" * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($b)+1), i -> $b[i] * $b[i])), (acc, t) -> acc + t)))"
+    s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
 }

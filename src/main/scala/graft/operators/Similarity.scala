@@ -23,19 +23,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** embeddings as (vec_id, v: array<double>). */
+  /** embeddings as (vec_id, v: array<double>, nrm) — the L2 norm is
+    * computed once per vector so every pair evaluation is dot-only. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .withColumn("nrm", expr(Cosine.sparkNorm("v")))
 
-  private val duckVecs = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+  private val duckVecs =
+    s"e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"e AS (SELECT vec_id, v, ${Cosine.duckNorm("v")} AS nrm FROM e0)"
 
   /** Exact brute-force cosine top-5 for the first 10 vectors as queries. */
   val s32KnnBruteforce = Q(
     "s32_knn_bruteforce",
     s"""WITH $duckVecs,
         p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-                     ${Cosine.duck("q.v", "n.v")} AS cos
+                     ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
               FROM e q JOIN e n ON n.vec_id <> q.vec_id
               WHERE q.vec_id < 10),
         r AS (SELECT q_id, n_id, cos,
@@ -44,11 +48,12 @@ object Similarity {
         SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
     val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("vq"))
-    val n = e.select(col("vec_id").as("n_id"), col("v").as("vn"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(n, col("n_id") =!= col("q_id"))
-      .withColumn("cos", expr(Cosine.spark("vq", "vn")))
+      .withColumn("cos", expr(Cosine.sparkDot("vq", "vn")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "rnk", "cos")
@@ -73,9 +78,9 @@ object Similarity {
   val s33AnnLsh = Q(
     "s33_ann_lsh",
     s"""WITH $duckVecs,
-        bk AS (SELECT vec_id, v, $bucketDuck AS bucket FROM e),
+        bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e),
         p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.bucket AS bucket,
-                     ${Cosine.duck("q.v", "n.v")} AS cos
+                     ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
               FROM bk q JOIN bk n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
               WHERE q.vec_id < 10),
         r AS (SELECT q_id, n_id, bucket, cos,
@@ -85,11 +90,12 @@ object Similarity {
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
     val bk = vecs(spark, dir).withColumn("bucket", expr(bucketSpark))
     val q = bk.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("bucket"))
-    val n = bk.select(col("vec_id").as("n_id"), col("v").as("vn"), col("bucket").as("bn"))
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"), col("bucket"))
+    val n = bk.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
+      col("bucket").as("bn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     q.join(n, col("bucket") === col("bn") && col("n_id") =!= col("q_id"))
-      .withColumn("cos", expr(Cosine.spark("vq", "vn")))
+      .withColumn("cos", expr(Cosine.sparkDot("vq", "vn")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "bucket", "rnk", "cos")
@@ -102,17 +108,20 @@ object Similarity {
   val s34AnnIvf = Q(
     "s34_ann_ivf",
     s"""WITH $duckVecs,
-        cent AS (SELECT vec_id AS c_id, v AS vc FROM e WHERE vec_id < 8),
-        asg0 AS (SELECT e.vec_id, c.c_id, ${Cosine.duck("e.v", "c.vc")} AS cos,
+        cent AS (SELECT vec_id AS c_id, v AS vc, nrm AS cnrm FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, c.c_id,
+                        ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) AS cos,
                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                          ORDER BY ${Cosine.duck("e.v", "c.vc")} DESC, c.c_id) AS rnk
+                          ORDER BY ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) DESC,
+                                   c.c_id) AS rnk
                  FROM e, cent c),
         asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
         probe AS (SELECT vec_id AS q_id, c_id AS cell FROM asg0
                   WHERE rnk <= 2 AND vec_id < 10),
         cand AS (SELECT p.q_id, a.vec_id AS n_id, p.cell
                  FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id),
-        sc AS (SELECT c.q_id, c.n_id, c.cell, ${Cosine.duck("q.v", "n.v")} AS cos
+        sc AS (SELECT c.q_id, c.n_id, c.cell,
+                      ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
                FROM cand c JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id),
         r AS (SELECT q_id, n_id, cell, cos,
                      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
@@ -121,11 +130,11 @@ object Similarity {
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
     val e = vecs(spark, dir)
     val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("vc"))
+      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("c_id"))
     val asg0 = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(Cosine.spark("v", "vc")))
+      .withColumn("ccos", expr(Cosine.sparkDot("v", "vc")) / (col("nrm") * col("cnrm")))
       .withColumn("rnk", row_number().over(wAsg))
     val asg = asg0.filter(col("rnk") === 1)
       .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
@@ -134,9 +143,9 @@ object Similarity {
     val cand = probe.join(asg, "cell").filter(col("n_id") =!= col("q_id"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cand
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq")), "q_id")
-      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn")), "n_id")
-      .withColumn("cos", expr(Cosine.spark("vq", "vn")))
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")), "n_id")
+      .withColumn("cos", expr(Cosine.sparkDot("vq", "vn")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "cell", "rnk", "cos")

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.proto._
+import graft.conv.GraftConfig
+import graft.SparkSpec
+
+/** Streaming specs over MemoryStream: proto-payload decode, watermarked
+  * tumbling windows, session windows, and the foreachBatch proto sink. */
+class StreamingSpec extends SparkSpec {
+
+  private val reg = Schemas.registry
+  private val md = Schemas.msg("MyProto")
+
+  test("streaming proto payload decode + windowless aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Array[Byte]]
+    val msgs = (1 to 10).map(i => DynamicMessage(md, Map(1 -> s"u${i % 2}", 2 -> i)))
+    stream.addData(msgs.map(m => ProtoWire.encode(m, reg)))
+
+    val decoded = StreamOps.decodeProtoStream(stream.toDS(), md, GraftConfig(), reg)
+    val agg = decoded.groupBy("name").agg(sum("id").as("total"))
+    val q = agg.writeStream.format("memory").queryName("proto_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("proto_agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out === Map("u0" -> 30L, "u1" -> 25L))
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling windows over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val base = Timestamp.valueOf("2024-01-01 00:10:00").getTime
+    stream.addData((0 until 8).map(i =>
+      (new Timestamp(base + i * 20 * 60 * 1000L), s"k${i % 2}", i.toDouble)))
+
+    val events = stream.toDS().toDF("ts", "key", "value")
+    val q = StreamOps.windowedCounts(events, "ts", "key")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(col("window.start"), col("key"), col("n")).collect()
+      assert(rows.nonEmpty)
+      // 8 events at 20-min spacing from 00:10 → hours 00,01,02 covered
+      val totalN = rows.map(_.getLong(2)).sum
+      assert(totalN === 8L)
+    } finally q.stop()
+  }
+
+  test("session windows (30-min gap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val base = Timestamp.valueOf("2024-01-01 09:00:00").getTime
+    // key a: two bursts separated by 2h → 2 sessions; key b: one burst
+    stream.addData(Seq(0L, 5L, 10L, 130L, 135L).map(m =>
+      (new Timestamp(base + m * 60000L), "a")) ++
+      Seq(1L, 2L).map(m => (new Timestamp(base + m * 60000L), "b")))
+
+    val events = stream.toDS().toDF("ts", "key")
+    val q = StreamOps.sessionCounts(events, "ts", "key")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions").select("key", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(rows === Seq(("a", 2L), ("a", 3L), ("b", 2L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch proto sink re-encodes each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Int)]
+    stream.addData(Seq(("x", 1), ("y", 2)))
+    val collected = scala.collection.mutable.Buffer[DynamicMessage]()
+    val q = StreamOps.protoSink(
+      stream.toDS().toDF("name", "id"), md, GraftConfig(), reg) { ds =>
+      collected ++= ds.collect().map(b => ProtoWire.decode(b, md, reg))
+    }.start()
+    try {
+      q.processAllAvailable()
+      assert(collected.toSet === Set(
+        DynamicMessage(md, Map(1 -> "x", 2 -> 1)),
+        DynamicMessage(md, Map(1 -> "y", 2 -> 2))))
+    } finally q.stop()
+  }
+}
