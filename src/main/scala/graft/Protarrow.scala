@@ -105,6 +105,17 @@ object Protarrow {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Proto-JSONL sink: distributed write of proto-JSON lines (the inverse
+    * of [[readProtoJsonl]]). */
+  def writeProtoJsonl(df: DataFrame, md: PMessageDesc, path: String,
+      cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): Unit = {
+    val schema = df.schema
+    val reader = Codecs.rowReader(md, schema, cfg, reg)
+    df.mapPartitions(rows => rows.map(r => ProtoJson.toJson(reader(r), reg)))(Encoders.STRING)
+      .write.mode("overwrite").text(path)
+  }
+
   /** Schema-directed cast/normalize (cast_table, cast_to_proto.py:243-253):
     * pure Column expressions, fully Catalyst-optimized. */
   def castToProto(df: DataFrame, md: PMessageDesc,

@@ -13,8 +13,8 @@ object SparkEntry {
 
   /** Every registered query module. */
   def allQueries: Seq[Q] =
-    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Events.all ++ ProtoOps.all
+    Relational.all ++ Relational2.all ++ TextOps.all ++ Dedup.all ++
+      Similarity.all ++ Multimodal.all ++ Events.all ++ ProtoOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -35,7 +35,7 @@ object Dedup {
   }
 
   /** doc_id + distinct word-3-gram shingle set. */
-  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+  def shingles(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents").selectExpr(
       "doc_id",
       "case when size(split(text, ' ')) >= 3 then " +

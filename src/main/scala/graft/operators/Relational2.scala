@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Num._
+
+/** Part-B completion set: outer joins, GROUPING SETS, array functions over
+  * deterministic collected lists, RANGE window frames, approximate
+  * distinct. */
+object Relational2 {
+
+  /** Left outer join with null-producing right side. */
+  val q21LeftJoin = Q(
+    "q21_left_join",
+    """SELECT n_nationkey, n_name, COALESCE(s.cnt, 0) AS n_suppliers
+       FROM nation LEFT JOIN
+         (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) s
+       ON n_nationkey = s.s_nationkey
+       ORDER BY n_nationkey""") { (spark, dir) =>
+    val n = T(spark, dir, "nation")
+    val s = T(spark, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    n.join(s, col("n_nationkey") === col("s_nationkey"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube). */
+  val q22GroupingSets = Q(
+    "q22_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (spark, dir) =>
+    T(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  /** Array functions over a deterministic collected list: sort_array +
+    * transform/filter/aggregate/slice on real grouped data. */
+  val q23ArrayFns = Q(
+    "q23_array_fns",
+    """SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS lines,
+       len(list_sort(list(l_linenumber))) AS n_lines,
+       list_transform(list_sort(list(l_linenumber)), x -> x * 10) AS lines_x10,
+       len(list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0)) AS n_even,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(list_sort(list(l_linenumber)), x -> CAST(x AS BIGINT))),
+         (a, x) -> a + x) AS line_sum,
+       (list_sort(list(l_linenumber)))[1] AS first_line
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""") { (spark, dir) =>
+    T(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .selectExpr(
+        "l_orderkey",
+        "lines",
+        "cast(size(lines) as bigint) as n_lines",
+        "transform(lines, x -> x * 10) as lines_x10",
+        "cast(size(filter(lines, x -> x % 2 = 0)) as bigint) as n_even",
+        "aggregate(transform(lines, x -> cast(x as bigint)), cast(0 as bigint), (a, x) -> a + x) as line_sum",
+        "lines[0] as first_line")
+      .orderBy("l_orderkey")
+  }
+
+  /** RANGE window frame (value-based, not row-based): revenue of orders
+    * within ±2 days of each order, per customer. */
+  val q24RangeFrame = Q(
+    "q24_range_frame",
+    """SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(epoch_ns(o_orderdate) // 86400000000000 AS BIGINT)
+                  RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS nearby_rev
+       FROM orders
+       ORDER BY o_custkey, o_orderkey""") { (spark, dir) =>
+    val day = expr("cast(unix_timestamp(o_orderdate) div 86400 as bigint)")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+      .rangeBetween(-2, 2)
+    T(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("nearby_rev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Approximate distinct (HLL++). The sketch is engine-specific, so the
+    * driver records rows-only; the spec pins the ±5% rel-error contract
+    * against exact counts. */
+  val q25ApproxDistinct = Q.noOracle("q25_approx_distinct") { (spark, dir) =>
+    T(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** MinHash signatures via a typed Aggregator (SURVEY.md §7.3): the
+    * incremental/mergeable form of d28's expression pipeline — elementwise
+    * min is associative+commutative, so partial aggregation happens
+    * map-side and the same aggregator works in streaming. The oracle
+    * recomputes signatures with the list-expression formula: both paths
+    * must agree exactly. */
+  val d32MinhashAgg = Q(
+    "d32_minhash_agg",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                      range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE []::VARCHAR[] END AS s FROM tok),
+        sh2 AS (SELECT doc_id, list_transform(s, x -> ${H.d("x")}) AS th FROM sh)
+        SELECT doc_id,
+               list_transform(range(0, 12), k -> list_min(list_transform(th,
+                 h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647))) AS sig
+        FROM sh2 WHERE len(th) > 0 ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val ex = Dedup.shingles(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("sh"))
+      .withColumn("h", expr(H.s("sh")))
+      .as[(Long, String, Long)]
+    ex.groupByKey(_._1)
+      .agg(graft.functions.MinHashAgg.of(12).name("sig"))
+      .toDF("doc_id", "sig")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
+    q24RangeFrame, q25ApproxDistinct, d32MinhashAgg)
+}
