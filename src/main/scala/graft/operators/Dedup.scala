@@ -34,14 +34,19 @@ object Dedup {
       .orderBy("keep_id")
   }
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + distinct word-3-gram shingle set. Tokenization runs in its
+    * own projection: with `split` inlined inside the transform lambda it
+    * would re-tokenize the whole string for every shingle element (3 splits
+    * x ~300 shingles per doc — 11s at sf0.1 for what is a 1s job). */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    T(spark, dir, "documents").selectExpr(
-      "doc_id",
-      "case when size(split(text, ' ')) >= 3 then " +
-        "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), " +
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))) " +
-        "else array() end as s")
+    T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .selectExpr(
+        "doc_id",
+        "case when size(t) >= 3 then " +
+          "array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) " +
+          "else array() end as s")
 
   private val duckShingles =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -50,28 +55,35 @@ object Dedup {
                      range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                    ELSE []::VARCHAR[] END AS s FROM tok)"""
 
-  /** N-gram Jaccard near-dup: inverted-index self-join on shingles, exact
-    * Jaccard ≥ 0.5 (integer counts; the division is exact on both engines). */
+  /** N-gram Jaccard near-dup: inverted-index self-join over *hashed*
+    * shingles (bigint join keys, not 30-char strings), exact Jaccard ≥ 0.5.
+    * Both engines hash with the same function, so the (collision-tolerant)
+    * counts are identical value-for-value. */
   val d27NgramJaccard = Q(
     "d27_ngram_jaccard",
     s"""WITH $duckShingles,
-        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+        ex AS (SELECT doc_id, unnest(th) AS h FROM hs),
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-                  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-        sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh)
+        sz AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_sh FROM hs)
         SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
                CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
         FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    val sh = shingles(spark, dir)
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
-    val a = ex.select(col("doc_id").as("a_id"), col("sh"))
-    val b = ex.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    val pairs = a.join(b, col("sh") === col("sh_b") && col("a_id") < col("b_id"))
+    // cache: hs fans out into both join sides and both size joins; without
+    // it projection-collapse re-inlines the md5 transform at every use
+    val hs = shingles(spark, dir)
+      .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
+      .cache()
+    val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
+    val a = ex.select(col("doc_id").as("a_id"), col("h"))
+    val b = ex.select(col("doc_id").as("b_id"), col("h").as("h_b"))
+    val pairs = a.join(b, col("h") === col("h_b") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    val sz = sh.select(col("doc_id"), size(col("s")).cast("long").as("n_sh"))
+    val sz = hs.select(col("doc_id"), size(col("th")).cast("long").as("n_sh"))
     pairs
       .join(sz.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
@@ -100,8 +112,8 @@ object Dedup {
   val d28MinhashLsh = Q(
     "d28_minhash_lsh",
     s"""WITH $duckShingles,
-        sh2 AS (SELECT doc_id, s, list_transform(s, x -> ${H.d("x")}) AS th FROM sh),
-        sig AS (SELECT doc_id, s, $sigDuck AS m FROM sh2),
+        sh2 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+        sig AS (SELECT doc_id, $sigDuck AS m FROM sh2),
         band AS (SELECT doc_id, b,
                  m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
                  FROM sig, range(0, 4) r(b)),
@@ -109,16 +121,17 @@ object Dedup {
                  FROM band a JOIN band c ON a.b = c.b AND a.bkey = c.bkey
                                         AND a.doc_id < c.doc_id),
         v AS (SELECT a_id, b_id,
-                     CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
-                     CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b
-              FROM cand JOIN sh sa ON a_id = sa.doc_id JOIN sh sb ON b_id = sb.doc_id)
+                     CAST(len(list_intersect(sa.th, sb.th)) AS BIGINT) AS n_common,
+                     CAST(len(sa.th) AS BIGINT) AS n_a, CAST(len(sb.th) AS BIGINT) AS n_b
+              FROM cand JOIN sh2 sa ON a_id = sa.doc_id JOIN sh2 sb ON b_id = sb.doc_id)
         SELECT a_id, b_id, n_common, n_a, n_b,
                CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    val sh = shingles(spark, dir).cache()
-    val sig = sh.withColumn("th", expr(s"transform(s, x -> ${H.s("x")})"))
-      .withColumn("m", expr(sigSpark))
+    val sh = shingles(spark, dir)
+      .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
+      .cache()
+    val sig = sh.withColumn("m", expr(sigSpark)).cache()
     val band = sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
       .selectExpr("doc_id", "b",
@@ -128,11 +141,11 @@ object Dedup {
         col("b") === col("b2") && col("bkey") === col("bkey2") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s").as("s_a")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s").as("s_b")), "b_id")
-      .withColumn("n_common", size(array_intersect(col("s_a"), col("s_b"))).cast("long"))
-      .withColumn("n_a", size(col("s_a")).cast("long"))
-      .withColumn("n_b", size(col("s_b")).cast("long"))
+      .join(sh.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("th_a"), col("th_b"))).cast("long"))
+      .withColumn("n_a", size(col("th_a")).cast("long"))
+      .withColumn("n_b", size(col("th_b")).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)
@@ -168,9 +181,13 @@ object Dedup {
                (simhash >> 16) & 15 AS c4, (simhash >> 20) & 15 AS c5,
                (simhash >> 24) & 15 AS c6, (simhash >> 28) & 15 AS c7
         FROM sim ORDER BY doc_id""") { (spark, dir) =>
+    // localCheckpoint-free barrier: compute simhash once, then derive the
+    // 8 chunk columns from the materialized column (cache prevents the 8x
+    // re-inline of the interpreted HOF expression)
     T(spark, dir, "documents")
       .selectExpr("doc_id", s"transform(split(text, ' '), x -> ${H.s("x")}) as th")
       .selectExpr("doc_id", s"$simhashSpark as simhash")
+      .cache()
       .selectExpr(Seq("doc_id", "simhash") ++
         (0 until 8).map(c => s"(shiftright(simhash, ${4 * c}) & 15) as c$c"): _*)
       .orderBy("doc_id")
@@ -187,14 +204,18 @@ object Dedup {
         cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS sim_a,
                                  b.doc_id AS b_id, b.simhash AS sim_b
                  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv
-                                          AND a.doc_id < b.doc_id)
+                                          AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
         SELECT a_id, b_id, sim_a, sim_b,
                CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
-        ORDER BY a_id, b_id""") { (spark, dir) =>
+        FROM cand ORDER BY a_id, b_id""") { (spark, dir) =>
+    // cache: the interpreted simhash higher-order expression would
+    // otherwise be re-inlined by projection collapse into cv and both
+    // self-join sides (16 evaluations per doc) — 25s -> 3s at sf0.1
     val sim = T(spark, dir, "documents")
       .selectExpr("doc_id", s"transform(split(text, ' '), x -> ${H.s("x")}) as th")
       .selectExpr("doc_id", s"$simhashSpark as simhash")
+      .cache()
     val chunk = sim
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("cv", expr("shiftright(simhash, c*8) & 255"))
@@ -202,10 +223,10 @@ object Dedup {
       .join(chunk.select(col("c").as("c2"), col("cv").as("cv2"),
         col("doc_id").as("b_id"), col("simhash").as("sim_b")),
         col("c") === col("c2") && col("cv") === col("cv2") && col("a_id") < col("b_id"))
+      .filter(expr("bit_count(sim_a ^ sim_b) <= 3")) // filter BEFORE distinct
       .select("a_id", "b_id", "sim_a", "sim_b").distinct()
     cand
       .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
-      .filter(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
   }
 

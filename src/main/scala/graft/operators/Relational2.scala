@@ -122,14 +122,16 @@ object Relational2 {
                list_transform(range(0, 12), k -> list_min(list_transform(th,
                  h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647))) AS sig
         FROM sh2 WHERE len(th) > 0 ORDER BY doc_id""") { (spark, dir) =>
-    import spark.implicits._
-    val ex = Dedup.shingles(spark, dir)
+    // ScalaAggregator runs via ObjectHashAggregate, which falls back to
+    // sort-based aggregation after 128 distinct groups by default — far too
+    // low for per-document signatures
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    val mh = graft.functions.MinHashAgg.udafOf(12)
+    Dedup.shingles(spark, dir)
       .select(col("doc_id"), explode(col("s")).as("sh"))
       .withColumn("h", expr(H.s("sh")))
-      .as[(Long, String, Long)]
-    ex.groupByKey(_._1)
-      .agg(graft.functions.MinHashAgg.of(12).name("sig"))
-      .toDF("doc_id", "sig")
+      .groupBy("doc_id")
+      .agg(mh(col("h")).as("sig"))
       .orderBy("doc_id")
   }
 

@@ -19,10 +19,9 @@ class FunctionsSpec extends SparkSpec {
         "transform(sequence(0, 11), k -> array_min(transform(th, " +
           "h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647))) as sig")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    // aggregator path
-    val aggSig = ex.as[(Long, String, Long)]
-      .groupByKey(_._1).agg(MinHashAgg.of(12).name("sig"))
-      .collect().toMap
+    // aggregator path (untyped udaf registration)
+    val aggSig = ex.groupBy("doc_id").agg(MinHashAgg.udafOf(12)(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(aggSig.keySet === exprSig.keySet)
     aggSig.foreach { case (id, sig) => assert(sig === exprSig(id), s"doc $id") }
   }
