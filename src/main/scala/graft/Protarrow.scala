@@ -123,6 +123,21 @@ object Protarrow {
       reg: ProtoRegistry = WellKnown.registry): DataFrame =
     CastToProto.castDataFrame(df, md, cfg, reg)
 
+  /** cast_record_batch parity: normalize local rows (the batch-level twin
+    * of [[castToProto]]; a DataFrame is already the chunked table, so this
+    * simply runs the same Column-expression cast over a local batch). */
+  def castRecordBatch(spark: SparkSession, rows: Seq[Row], schema: StructType,
+      md: PMessageDesc, cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): DataFrame =
+    castToProto(spark.createDataFrame(rows.asJava, schema), md, cfg, reg)
+
+  /** cast_struct_array parity (cast_to_proto.py:216-240): cast one struct
+    * column to a message's shape, preserving the struct-level null mask. */
+  def castStructColumn(c: org.apache.spark.sql.Column, srcType: StructType,
+      md: PMessageDesc, cfg: GraftConfig = GraftConfig(),
+      reg: ProtoRegistry = WellKnown.registry): org.apache.spark.sql.Column =
+    CastToProto.castStructColumn(c, srcType, md, cfg, reg)
+
   /** Row-wise extraction (MessageExtractor, message_extractor.py:144-162). */
   final class MessageExtractor(schema: StructType, md: PMessageDesc,
       cfg: GraftConfig = GraftConfig(),

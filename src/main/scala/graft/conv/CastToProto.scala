@@ -35,6 +35,14 @@ object CastToProto {
       trace: Vector[String]): DataType =
     SchemaConversion.fieldToDataType(f, cfg, reg, trace)
 
+  /** Cast a single struct column to `md`'s shape (cast_struct_array,
+    * cast_to_proto.py:216-240). */
+  def castStructColumn(c: Column, srcType: StructType, md: PMessageDesc,
+      cfg: GraftConfig, reg: ProtoRegistry): Column = {
+    SchemaConversion.messageTypeToSchema(md, cfg, reg) // recursion check
+    castValue(c, srcType, PMessage(md.fullName), cfg, reg, Vector.empty)
+  }
+
   /** One descriptor field → output Column (get_casted_array,
     * cast_to_proto.py:166-193): present → cast; absent+presence → nulls;
     * absent+no-presence → default-filled. */

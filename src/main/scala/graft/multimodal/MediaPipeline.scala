@@ -26,7 +26,7 @@ object StubImageCodec extends MediaCodec {
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
   /** Same 32-bit hash as [[graft.operators.H]]: first 8 md5 hex chars. */
-  private def h32(b: Array[Byte]): Long =
+  def h32(b: Array[Byte]): Long =
     java.lang.Long.parseLong(md5Hex(b).substring(0, 8), 16)
 
   def decode(blob: MediaBlob): MediaFeatures = {
@@ -67,4 +67,50 @@ object MediaPipeline {
       .as[MediaBlob]
     decodeBatched(blobs, StubImageCodec).toDF()
   }
+
+  /** Frame sampling: one row per sampled frame (up to `maxFrames` of the
+    * blob's n_frames), with per-frame stub features. The explode happens
+    * executor-side inside the batched pipeline — the shape a video
+    * pipeline needs (one blob in, N frame rows out, memory bounded by
+    * batch × maxFrames). */
+  def sampleFrames(spark: SparkSession, documents: DataFrame,
+      maxFrames: Int = 5): DataFrame = {
+    import spark.implicits._
+    val blobs = documents
+      .selectExpr("doc_id", "cast(text as binary) as data", "'video/stub' as mime")
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { blob =>
+        val f = StubImageCodec.decode(blob)
+        val n = math.min(f.n_frames, maxFrames.toLong).toInt
+        (0 until n).map { idx =>
+          val frameHash = (StubImageCodec.h32(blob.data) * 31L + idx) % 1000000007L
+          FrameFeatures(blob.doc_id, idx.toLong, frameHash, frameHash % 256)
+        }
+      })
+    }.toDF()
+  }
+
+  /** Resize planning: fit the longest side to `target` px with integer
+    * math (deterministic across engines — no float scale factor). */
+  def resizePlan(spark: SparkSession, documents: DataFrame, target: Int = 224): DataFrame = {
+    import spark.implicits._
+    val blobs = documents
+      .selectExpr("doc_id", "cast(text as binary) as data", "'image/stub' as mime")
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { blob =>
+        val f = StubImageCodec.decode(blob)
+        val longest = math.max(f.width, f.height)
+        ResizePlan(blob.doc_id, f.width, f.height,
+          f.width * target / longest, f.height * target / longest)
+      })
+    }.toDF()
+  }
 }
+
+final case class FrameFeatures(doc_id: Long, frame_idx: Long,
+    frame_hash: Long, brightness: Long)
+
+final case class ResizePlan(doc_id: Long, width: Long, height: Long,
+    out_w: Long, out_h: Long)

@@ -37,5 +37,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(m41BinaryFeatures)
+  /** Frame sampling: one row per sampled frame (≤ 5) with per-frame stub
+    * features — the video-pipeline shape (blob in, N frame rows out,
+    * executor-side explode inside the batched decode). */
+  val m42FrameSample = Q(
+    "m42_frame_sample",
+    s"""WITH f AS (SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames,
+          ${H.d("text")} AS h FROM documents),
+        x AS (SELECT doc_id, n_frames, h, unnest(range(0,
+                CASE WHEN n_frames < 5 THEN n_frames ELSE 5 END)) AS frame_idx
+              FROM f)
+        SELECT doc_id, frame_idx,
+               (h * 31 + frame_idx) % 1000000007 AS frame_hash,
+               ((h * 31 + frame_idx) % 1000000007) % 256 AS brightness
+        FROM x ORDER BY doc_id, frame_idx""") { (spark, dir) =>
+    graft.multimodal.MediaPipeline
+      .sampleFrames(spark, T(spark, dir, "documents"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Resize planning: fit the longest side to 224 px, integer math only
+    * (deterministic across engines — no float scale factor). */
+  val m43ResizePlan = Q(
+    "m43_resize_plan",
+    s"""WITH f AS (SELECT doc_id,
+          (${H.d("text")} % 640) + 1 AS width,
+          (${H.d("reverse(text)")} % 480) + 1 AS height FROM documents)
+        SELECT doc_id, width, height,
+          width * 224 // (CASE WHEN width > height THEN width ELSE height END) AS out_w,
+          height * 224 // (CASE WHEN width > height THEN width ELSE height END) AS out_h
+        FROM f ORDER BY doc_id""") { (spark, dir) =>
+    graft.multimodal.MediaPipeline
+      .resizePlan(spark, T(spark, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan)
 }

@@ -1,0 +1,68 @@
+package graft.conv
+
+import org.apache.spark.sql.functions._
+import graft.proto._
+import graft.{Protarrow, SparkSpec}
+
+/** Sliced-view semantics: the reference dedicates offset machinery to
+  * decoding non-zero-offset array slices (arrow_to_proto.py:193-234;
+  * tests/test_conversion.py:634-707). Spark's row model has no buffer
+  * offsets — the equivalent contract is that decode/extract behave
+  * identically on limit/offset/filter subsets of a table. */
+class SliceSpec extends SparkSpec {
+
+  private val reg = Schemas.registry
+  private val md = Schemas.msg("ExampleMessage")
+
+  private def fixtureDf = {
+    val path = graft.operators.Fixtures.materialize("ExampleMessage")
+    Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), reg)
+  }
+
+  test("decode of limit/offset slices equals sliced decode of the whole") {
+    val df = fixtureDf.withColumn("_rid", monotonically_increasing_id()).cache()
+    val all = Protarrow.dataFrameToMessages(df.orderBy("_rid").drop("_rid"),
+      md, GraftConfig(), reg)
+    // head slice
+    val head5 = Protarrow.dataFrameToMessages(
+      df.orderBy("_rid").limit(5).drop("_rid"), md, GraftConfig(), reg)
+    assert(head5 === all.take(5))
+    // middle slice (offset 7, length 6)
+    val mid = Protarrow.dataFrameToMessages(
+      df.orderBy("_rid").filter(col("_rid") >= 7 && col("_rid") < 13).drop("_rid"),
+      md, GraftConfig(), reg)
+    assert(mid === all.slice(7, 13))
+  }
+
+  test("extractor on a sliced table returns the right rows") {
+    val df = fixtureDf
+    val ex = new Protarrow.MessageExtractor(df.schema, md, GraftConfig(), reg)
+    val all = Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg)
+    assert(ex.readTableRow(df, 3) === all(3))
+    assert(ex.readTableRow(df, 19) === all(19))
+  }
+
+  test("castRecordBatch and castStructColumn facade parity") {
+    val myProto = Schemas.msg("MyProto")
+    val msgs = Seq(
+      DynamicMessage(myProto, Map(1 -> "a", 2 -> 1, 3 -> Vector(1))),
+      DynamicMessage(myProto, Map(1 -> "b", 2 -> 2)))
+    val df = Protarrow.messagesToDataFrame(spark, msgs, myProto, GraftConfig(), reg)
+    val rows = df.collect().toSeq
+    val casted = Protarrow.castRecordBatch(spark, rows, df.schema, myProto,
+      GraftConfig(), reg)
+    assert(Protarrow.dataFrameToMessages(casted, myProto, GraftConfig(), reg) === msgs)
+
+    // struct-column cast: wrap rows in a struct, cast the struct column
+    val nested = Schemas.msg("NullableExample")
+    val nestedInner = Schemas.msg("NullableExample.NestedNullableExample")
+    val src = df.select(when(col("id") === 1,
+      struct(col("id").as("nested_int"))).as("s"))
+    val out = src.select(Protarrow.castStructColumn(col("s"),
+      src.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      nestedInner, GraftConfig(), reg).as("s"))
+    val got = out.collect()
+    assert(got(0).getStruct(0).getInt(0) === 1)
+    assert(got(1).isNullAt(0)) // null mask preserved
+  }
+}
