@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as first-class, testable helpers (100 TB posture):
+  * skew-salted joins and bucketed co-located joins. Each has a
+  * correctness gate (the salted join is oracle-checked against the plain
+  * join SQL) and a plan gate (specs assert the bucketed join has no
+  * shuffle).
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the build side is exploded
+    * `saltFactor`× (one copy per salt value), the probe side gets a random
+    * — here deterministic hash-based — salt, so one hot key spreads over
+    * `saltFactor` reducers instead of one. Results are identical to a
+    * plain inner join.
+    *
+    * At 100 TB: use when one side has heavy hitters AQE's skew-join split
+    * can't fix (e.g. a single key holding >1 partition of rows). The salt
+    * must be deterministic here so the DuckDB oracle can mirror the
+    * result; in production a `rand()`-based salt is fine because salting
+    * never changes results, only placement. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
+      buildKey: Column, saltFactor: Int): DataFrame = {
+    val salted = build
+      .withColumn("__salt", explode(lit((0 until saltFactor).toArray)))
+    val probeSalted = probe
+      .withColumn("__salt", (abs(hash(probeKey)) % saltFactor).cast("int"))
+    probeSalted.join(salted,
+      probeKey === buildKey && probeSalted("__salt") === salted("__salt"))
+      .drop("__salt")
+  }
+
+  /** q26: the salted join produces exactly the plain-join aggregate —
+    * correctness proof for the technique (the oracle runs the unsalted
+    * SQL). */
+  val q26SaltedJoin = Q(
+    "q26_salted_join",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (spark, dir) =>
+    import Num._
+    val li = T(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = T(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    saltedJoin(li, o, col("l_orderkey"), col("o_orderkey"), saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(q26SaltedJoin)
+}
