@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** JSON scalar functions + percentiles (SURVEY.md §2 Part B scalar-fn
+  * row): semi-structured extraction over `events.props` and exact
+  * interpolated percentiles. */
+object Json {
+
+  /** JSON extraction from the events.props payload column, aggregated per
+    * event type. */
+  val q53JsonExtract = Q(
+    "q53_json_extract",
+    """SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
+       FROM events GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    T(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"), countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+  }
+
+  /** Exact interpolated percentiles (both engines: pos = (n-1)·q, linear
+    * interpolation over sorted values — identical double arithmetic on the
+    * small-integer quantity domain). */
+  val q27Percentiles = Q(
+    "q27_percentiles",
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
+    T(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q53JsonExtract, q27Percentiles)
+}

@@ -32,13 +32,30 @@ class RoundTripSpec extends SparkSpec {
     GraftConfig(),
     GraftConfig(enumType = EnumRepr.StringRepr),
     GraftConfig(enumType = EnumRepr.Binary),
+    GraftConfig(enumType = EnumRepr.DictString),
+    GraftConfig(enumType = EnumRepr.DictBinary),
+    // large widths: storage-level no-ops in Spark, but the knobs must be
+    // accepted, validated, and round-trip identically
+    GraftConfig(stringType = GraftConfig.Width.Large,
+      enumType = EnumRepr.LargeString),
+    GraftConfig(binaryType = GraftConfig.Width.Large,
+      enumType = EnumRepr.LargeBinary),
+    GraftConfig(listArrayType = GraftConfig.Width.Large),
     GraftConfig(timestampUnit = TimeUnit.Seconds),
     GraftConfig(timestampUnit = TimeUnit.Millis),
     GraftConfig(timestampUnit = TimeUnit.Micros),
+    GraftConfig(timestampTz = "America/New_York"), // tz is arrow metadata; instants unchanged
+    GraftConfig(timeOfDayUnit = TimeUnit.Seconds),
     GraftConfig(timeOfDayUnit = TimeUnit.Millis),
+    GraftConfig(timeOfDayUnit = TimeUnit.Micros),
     GraftConfig(durationUnit = TimeUnit.Seconds),
-    GraftConfig(listNullable = true, mapNullable = true),
+    GraftConfig(durationUnit = TimeUnit.Millis),
+    GraftConfig(durationUnit = TimeUnit.Micros),
+    GraftConfig(listNullable = true),
+    GraftConfig(mapNullable = true),
     GraftConfig(listValueNullable = true, mapValueNullable = true),
+    GraftConfig(listValueName = "elem", mapValueName = "val"), // names: metadata-only
+    GraftConfig(listValueName = "elem", mapValueName = "val", mapAsList = true),
     GraftConfig(mapAsList = true),
     GraftConfig(fieldNumberKey = Some("PARQUET:field_id")))
 
