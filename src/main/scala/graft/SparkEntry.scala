@@ -15,7 +15,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ Relational2.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Events.all ++ ProtoOps.all ++
-      Scale.all ++ Json.all
+      Scale.all ++ Json.all ++ AsOf.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

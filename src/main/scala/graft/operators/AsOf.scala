@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (temporal) joins — an operator Spark lacks natively (SURVEY.md
+  * custom-operator guidance: compose existing ops when semantics allow).
+  *
+  * Both operators use the union+window formulation: tag both sides, sort
+  * within the key partition by (time, tag), and carry the last-seen left
+  * value forward with `last(..., ignoreNulls)`. That is the scalable
+  * as-of: ONE shuffle on the key, no range-condition join explosion, and
+  * it degrades gracefully under skew (per-key window state is a single
+  * value). DuckDB checks q56 with its native ASOF LEFT JOIN — two
+  * different algorithms, same answer.
+  */
+object AsOf {
+
+  /** Attribution inside one stream: for each purchase, the user's most
+    * recent strictly-preceding view event. */
+  val q55AsofAttribution = Q(
+    "q55_asof_attribution",
+    """WITH w AS (SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attributed_view
+       FROM events)
+       SELECT user_id, event_id, attributed_view
+       FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""") { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(spark, dir, "events")
+      .withColumn("attributed_view",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "attributed_view")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Two-table as-of join: each order matched to the customer's latest
+    * event at-or-before the order date. Events are pre-aggregated to one
+    * per (user, second) so the match is deterministic; the oracle uses
+    * DuckDB's native ASOF LEFT JOIN while Spark runs the union+window
+    * algorithm — independent implementations, identical results. */
+  val q56AsofJoin = Q(
+    "q56_asof_join",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec,
+                        MAX(event_id) AS event_id
+                 FROM events GROUP BY 1, 2),
+        o AS (SELECT o_orderkey, o_custkey,
+                     epoch_ns(o_orderdate) // 1000000000 AS osec
+              FROM orders)
+        SELECT o.o_orderkey, o.o_custkey, e.event_id AS asof_event
+        FROM o ASOF LEFT JOIN e
+          ON o.o_custkey = e.user_id AND o.osec >= e.tsec
+        ORDER BY o_orderkey""") { (spark, dir) =>
+    val e = T(spark, dir, "events")
+      .selectExpr("user_id as k", "ts div 1000000000 as t", "event_id")
+      .groupBy("k", "t").agg(max(col("event_id")).as("event_id"))
+      .select(col("k"), col("t"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"))
+    val o = T(spark, dir, "orders")
+      .selectExpr("o_custkey as k", "unix_timestamp(o_orderdate) as t",
+        "o_orderkey")
+      .select(col("k"), col("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"))
+    // events sort before orders at the same second (tag 0 < 1), so
+    // "at-or-before" includes same-second events
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("asof_event", last(col("event_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("o_orderkey"), col("k").as("o_custkey"), col("asof_event"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q55AsofAttribution, q56AsofJoin)
+}
