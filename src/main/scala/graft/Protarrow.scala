@@ -105,6 +105,25 @@ object Protarrow {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** SURVEY §7.4 risk 4: Spark cannot write empty-struct columns
+    * (google.protobuf.Empty, recursion-pruned fields) to parquet. This
+    * drops them for storage; presence is recoverable on read because the
+    * decoder tolerates missing columns (an absent Empty field decodes as
+    * unset — the only information lost is present-but-empty, the same
+    * trade-off the reference documents for its arrow workaround,
+    * tests/test_pyarrow.py:83-91). */
+  def parquetSafe(df: DataFrame): DataFrame = {
+    def hasEmptyStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: StructType => s.fields.isEmpty || s.fields.exists(f => hasEmptyStruct(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasEmptyStruct(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasEmptyStruct(m.keyType) || hasEmptyStruct(m.valueType)
+      case _ => false
+    }
+    val keep = df.schema.fields.filterNot(f => hasEmptyStruct(f.dataType)).map(_.name)
+    df.select(keep.map(df(_)): _*)
+  }
+
   /** Proto-JSONL sink: distributed write of proto-JSON lines (the inverse
     * of [[readProtoJsonl]]). */
   def writeProtoJsonl(df: DataFrame, md: PMessageDesc, path: String,

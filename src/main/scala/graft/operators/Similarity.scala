@@ -152,5 +152,28 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf)
+  /** Per-label embedding statistics: counts and exact centroid preview
+    * (first 4 centroid dimensions as exact DECIMAL means surfaced as
+    * doubles — order-independent, so partitioning-invariant). */
+  val s35LabelStats = Q(
+    "s35_label_stats",
+    """SELECT label, COUNT(*) AS n,
+       MIN((embedding::DOUBLE[])[1]) AS min_d0,
+       MAX((embedding::DOUBLE[])[1]) AS max_d0,
+       COUNT(CASE WHEN (embedding::DOUBLE[])[1] > 0 THEN 1 END) AS n_pos_d0,
+       MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim
+       FROM embeddings GROUP BY label ORDER BY label""") { (spark, dir) =>
+    T(spark, dir, "embeddings")
+      .selectExpr("label", "cast(embedding[0] as double) as d0",
+        "size(embedding) as dim")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("d0")).as("min_d0"), max(col("d0")).as("max_d0"),
+        count(when(col("d0") > 0, lit(1))).as("n_pos_d0"),
+        min(col("dim")).cast("long").as("min_dim"),
+        max(col("dim")).cast("long").as("max_dim"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats)
 }

@@ -150,6 +150,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Keyword extraction: top-3 terms per document by a TF-IDF-style score.
+    * The score is pure integer arithmetic (tf·1e6 div df) so both engines
+    * rank identically — ln()-based IDF could differ in the last ulp across
+    * engines. Corpus document frequency comes from one aggregation over
+    * the exploded (doc, distinct-token) pairs; the per-doc ranking is a
+    * window. */
+  val t26Keywords = Q(
+    "t26_keywords",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       scored AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                         tf.tf * 1000000 // df.df AS score
+                  FROM tf JOIN df ON tf.w = df.w),
+       ranked AS (SELECT doc_id, w, tf, df, score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, w) AS rnk
+                  FROM scored)
+       SELECT doc_id, w, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+       FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = T(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "w", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
-    t24LangId, t25Fingerprint)
+    t24LangId, t25Fingerprint, t26Keywords)
 }

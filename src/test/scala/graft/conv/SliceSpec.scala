@@ -66,3 +66,34 @@ class SliceSpec extends SparkSpec {
     assert(got(1).isNullAt(0)) // null mask preserved
   }
 }
+
+/** SURVEY §7.4 risk 4: empty-struct columns (google.protobuf.Empty,
+  * recursion-pruned fields) cannot be written to parquet; parquetSafe
+  * drops them and decode still works (missing-column tolerance). */
+class ParquetSafeSpec extends SparkSpec {
+  private val reg = Schemas.registry
+
+  test("parquetSafe drops empty-struct columns; round trip through parquet") {
+    val md = Schemas.msg("ExampleMessage")
+    val path = graft.operators.Fixtures.materialize("ExampleMessage")
+    val df = Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), reg)
+    val safe = Protarrow.parquetSafe(df)
+    assert(!safe.columns.contains("empty_value"))
+    assert(!safe.columns.contains("empty_values"))
+    val out = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/t"
+    safe.write.parquet(out) // would throw with the empty structs present
+    val back = spark.read.parquet(out)
+    val msgs = Protarrow.dataFrameToMessages(back, md, GraftConfig(), reg)
+    val orig = Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg)
+    // equal up to the dropped Empty-typed fields
+    val emptyFieldNums = md.fields.filter { f =>
+      f.typ == graft.proto.PType.PMessage(WellKnown.EmptyName)
+    }.map(_.number).toSet
+    assert(msgs.size === orig.size)
+    // parquet read order is not the write order: compare as multisets of
+    // Empty-stripped messages
+    def strip(m: graft.proto.DynamicMessage) = graft.proto.DynamicMessage(md,
+      m.values.filter { case (num, _) => !emptyFieldNums.contains(num) })
+    assert(msgs.map(strip).toSet === orig.map(strip).toSet)
+  }
+}
