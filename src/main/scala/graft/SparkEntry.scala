@@ -15,11 +15,14 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ Relational2.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Events.all ++ ProtoOps.all ++
-      Scale.all ++ Json.all ++ AsOf.all
+      Scale.all ++ Json.all ++ AsOf.all ++ Pipeline.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The corpus-curation pipeline composes quality filtering, exact dedup,
+    * and MinHash-LSH near-dup removal — the engine's training-data story
+    * end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q02RevenueByNation.fn(spark, "/root/testdata/sf0.001")
+    Pipeline.x90CorpusPipeline.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

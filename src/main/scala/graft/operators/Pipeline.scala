@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline compositions: deterministic splits and the
+  * flagship corpus-curation pipeline (quality filter → exact dedup →
+  * near-dup removal → corpus stats) — the end-to-end shape a 100 TB
+  * pretraining-data job runs, composed entirely from the engine's
+  * oracle-checked operators. */
+object Pipeline {
+
+  /** Deterministic hash-based train/val/test split (80/10/10): the split
+    * must be a pure function of the stable id — never `rand()` — so it is
+    * reproducible across engines, runs, and re-partitioning. */
+  val t27TrainSplit = Q(
+    "t27_train_split",
+    s"""WITH d AS (SELECT doc_id, lang, ${H.d("CAST(doc_id AS VARCHAR)")} % 10 AS b FROM documents)
+        SELECT lang,
+               CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n
+        FROM d GROUP BY 1, 2 ORDER BY lang, split""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  /** The flagship composition: quality-filter → exact-dedup keep-list →
+    * MinHash-LSH near-dup removal (drop the higher doc_id of every
+    * verified pair) → per-language corpus stats. Every stage reuses an
+    * oracle-checked operator's exact formula, and the composed result is
+    * itself oracle-checked. */
+  val x90CorpusPipeline = Q(
+    "x90_corpus_pipeline",
+    s"""WITH tok AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t, text
+                    FROM documents),
+        -- quality gate (t23 criteria)
+        q AS (SELECT doc_id, lang, n_chars, t, text FROM tok
+              WHERE len(t) BETWEEN 20 AND 120
+                AND CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                    / len(t) <= 0.25),
+        -- exact dedup (d26): keep the smallest doc_id per content hash
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        qd AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.doc_id),
+        -- near-dup removal (d28 minhash-LSH verified pairs at >= 0.5):
+        sh AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                      range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE []::VARCHAR[] END AS s FROM qd),
+        hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+        sig AS (SELECT doc_id, list_transform(range(0, 12), k -> list_min(list_transform(th,
+                  h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647))) AS m FROM hs),
+        band AS (SELECT doc_id, b,
+                 m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
+                 FROM sig, range(0, 4) r(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+                 FROM band a JOIN band c ON a.b = c.b AND a.bkey = c.bkey
+                                        AND a.doc_id < c.doc_id),
+        dups AS (SELECT DISTINCT b_id FROM cand
+                 JOIN hs sa ON a_id = sa.doc_id JOIN hs sb ON b_id = sb.doc_id
+                 WHERE CAST(len(list_intersect(sa.th, sb.th)) AS DOUBLE)
+                       / (len(sa.th) + len(sb.th) - len(list_intersect(sa.th, sb.th))) >= 0.5),
+        corpus AS (SELECT qd.* FROM qd LEFT JOIN dups ON qd.doc_id = dups.b_id
+                   WHERE dups.b_id IS NULL)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+               SUM(CAST(len(t) AS BIGINT)) AS total_tokens
+        FROM corpus GROUP BY lang ORDER BY lang""") { (spark, dir) =>
+    // quality gate (t23 criteria)
+    val q = T(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        split(col("text"), " ").as("t"))
+      .filter(expr("size(t) between 20 and 120 and " +
+        "cast(size(filter(t, x -> x = 'the' OR x = 'a')) as double) / size(t) <= 0.25"))
+      .cache()
+    // exact dedup keep-list
+    val keep = q.groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val qd = q.join(keep, "doc_id").cache()
+    // near-dup pairs via the d28 minhash pipeline over the filtered corpus
+    val hs = qd.selectExpr("doc_id",
+      "case when size(t) >= 3 then array_distinct(transform(sequence(0, size(t) - 3), " +
+        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) else array() end as s")
+      .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
+      .cache()
+    val sig = hs.withColumn("m", expr(
+      "transform(sequence(0, 11), k -> array_min(transform(th, " +
+        "h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647)))")).cache()
+    val band = sig
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
+      .selectExpr("doc_id", "b",
+        "concat(cast(m[b*3] as string), ',', cast(m[b*3+1] as string), ',', cast(m[b*3+2] as string)) as bkey")
+    val cand = band.select(col("b"), col("bkey"), col("doc_id").as("a_id"))
+      .join(band.select(col("b").as("b2"), col("bkey").as("bkey2"), col("doc_id").as("b_id")),
+        col("b") === col("b2") && col("bkey") === col("bkey2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val dups = cand
+      .join(hs.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
+      .filter(expr("cast(size(array_intersect(th_a, th_b)) as double) / " +
+        "(size(th_a) + size(th_b) - size(array_intersect(th_a, th_b))) >= 0.5"))
+      .select("b_id").distinct()
+    // final corpus = quality-deduped minus near-dup higher ids
+    qd.join(dups, qd("doc_id") === dups("b_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(expr("cast(size(t) as bigint)")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline)
+}
