@@ -14,7 +14,9 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  for (q <- Relational.all) {
+  // every registered query (all modules) must run and return rows at the
+  // smallest SF — regressions surface without the oracle
+  for (q <- SparkEntry.allQueries) {
     test(s"${q.name} runs at sf0.001 and returns rows") {
       val df = q.fn(spark, sfDir)
       assert(df.count() > 0, s"${q.name} returned no rows")
