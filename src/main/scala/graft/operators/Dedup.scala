@@ -230,8 +230,12 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding-cosine near-dup (exact quadratic baseline; both engines run
-    * the identical left-to-right double fold, so cosines are bit-equal). */
+  /** Embedding-cosine near-dup (exact quadratic baseline). The Spark side
+    * runs a broadcast + JVM-loop mapPartitions (SURVEY §2 custom-operator
+    * tier (d): interpreted higher-order expressions cost ~10x a JVM loop
+    * on 2M×64 pair-dots). The fold order and formula are identical to the
+    * DuckDB SQL — dot left-to-right, norms precomputed per vector,
+    * `dot/(nrm_a*nrm_b)` — so the doubles still compare bit-equal. */
   val d31EmbeddingNeardup = Q(
     "d31_embedding_neardup",
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -240,16 +244,31 @@ object Dedup {
                      ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
               FROM e a, e b WHERE a.vec_id < b.vec_id)
         SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""") { (spark, dir) =>
-    // norms once per vector (not per pair): the pair loop is dot-only
-    val e = T(spark, dir, "embeddings")
+    import spark.implicits._
+    val vecs = T(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
-      .withColumn("nrm", expr(Cosine.sparkNorm("v")))
-    e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-      .crossJoin(e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", expr(Cosine.sparkDot("va", "vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= 0.45)
-      .select("a_id", "b_id", "cos")
+      .as[(Long, Array[Double])]
+    // norm once per vector (same formula as the oracle's duckNorm fold)
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val all = vecs.collect().sortBy(_._1).map { case (id, v) => (id, v, norm(v)) }
+    val bc = spark.sparkContext.broadcast(all)
+    val threshold = 0.45
+    vecs.mapPartitions { it =>
+      val right = bc.value
+      it.flatMap { case (aId, av) =>
+        val an = norm(av)
+        right.iterator.filter(_._1 > aId).flatMap { case (bId, bv, bn) =>
+          var dot = 0.0; var i = 0
+          while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+          val cos = dot / (an * bn)
+          if (cos >= threshold) Some((aId, bId, cos)) else None
+        }
+      }
+    }.toDF("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
   }
 
