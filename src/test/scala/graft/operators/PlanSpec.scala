@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FormattedMode
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-regression gates: the scale-critical plan properties claimed in
+  * README/PLANS.md are asserted, so a refactor that silently loses
+  * pushdown, pruning, or broadcast fails CI — not a code review. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+
+  test("q01: filter pushed into the parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q02: all four dimension joins broadcast") {
+    val p = plan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side) then final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("Partial"))
+  }
+
+  test("pa61 castToProto: pushes column pruning through the cast") {
+    val p = plan("pa61_cast_normalize")
+    // the source selects l_shipdate (an extra column the cast drops); the
+    // scan must not read it
+    assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string,l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"))
+  }
+
+  test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
+    val p = plan("q56_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a range join")
+    // pre-agg on (k,t), window on k, output sort — nothing else
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges")
+  }
+}
