@@ -7,13 +7,93 @@ import graft.conv.GraftConfig
 /** Per-round benchmark main (driver contract): times every registered
   * query at SPARK_GRAFT_SF_DIR plus the reference's encode/decode harness
   * shape — random ExampleMessage batches at 10/100/1k/10k rows
-  * (benchmarks/test_benchmark.py:8-21) — and prints ONE JSON line. */
+  * (benchmarks/test_benchmark.py:8-21) — and prints ONE JSON line.
+  *
+  * Failures are NOT swallowed: a query that throws is reported in the
+  * "errors" object (and its time is the time-to-failure), so a broken
+  * query can never masquerade as a ~0 s speedup.
+  */
 object Bench {
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime()
     f
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Random ExampleMessage generator with the reference harness's shape
+    * (tests/random_generator.py:58-128): every field of the ~190-field
+    * message considered, random presence for presence fields, repeated/map
+    * sizes 0..10, full numeric ranges (uint64 as 2^64 bit patterns) —
+    * so encode/decode numbers exercise every codec, not a 7-field subset.
+    * Deterministic via the seeded java.util.Random. */
+  private final class MsgGen(seed: Long) {
+    import PType._
+    private val rnd = new java.util.Random(seed)
+    private val reg = Schemas.registry
+    private val alphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_"
+    private def randString(): String = {
+      val n = rnd.nextInt(11)
+      val sb = new StringBuilder(n)
+      var i = 0
+      while (i < n) { sb.append(alphabet.charAt(rnd.nextInt(64))); i += 1 }
+      sb.toString
+    }
+    private def randBytes(): Bytes = {
+      val b = new Array[Byte](rnd.nextInt(11)); rnd.nextBytes(b); Bytes.owned(b)
+    }
+    private def randRange(lo: Long, hi: Long): Long =
+      Math.floorMod(rnd.nextLong(), hi - lo + 1) + lo
+
+    def scalar(t: PType): Any = t match {
+      case PDouble => rnd.nextDouble() * 2 - 1
+      case PFloat => rnd.nextFloat() * 2 - 1
+      case PInt32 | PSInt32 | PSFixed32 => rnd.nextInt()
+      case PInt64 | PSInt64 | PSFixed64 => rnd.nextLong()
+      case PUInt32 | PFixed32 => rnd.nextInt().toLong & 0xFFFFFFFFL
+      case PUInt64 | PFixed64 => rnd.nextLong() // full 2^64 bit patterns
+      case PBool => rnd.nextBoolean()
+      case PString => randString()
+      case PBytes => randBytes()
+      case PEnum(name) =>
+        val vs = reg.enum(name).values; vs(rnd.nextInt(vs.size))._2
+      case PMessage(WellKnown.TimestampName) =>
+        DynamicMessage(WellKnown.timestamp, Map(
+          1 -> randRange(-62135596800L, 253402300799L), // proto range 0001..9999
+          2 -> rnd.nextInt(1000000000)))
+      case PMessage(WellKnown.DurationName) =>
+        DynamicMessage(WellKnown.duration, Map(
+          1 -> randRange(-9223372036L, 9223372035L),
+          2 -> rnd.nextInt(1000000000)))
+      case PMessage(WellKnown.DateName) =>
+        DynamicMessage(WellKnown.date, Map(
+          1 -> (1 + rnd.nextInt(9999)), 2 -> (1 + rnd.nextInt(12)),
+          3 -> (1 + rnd.nextInt(28))))
+      case PMessage(WellKnown.TimeOfDayName) =>
+        DynamicMessage(WellKnown.timeOfDay, Map(
+          1 -> rnd.nextInt(24), 2 -> rnd.nextInt(60), 3 -> rnd.nextInt(60),
+          4 -> rnd.nextInt(1000000000)))
+      case PMessage(WellKnown.EmptyName) => DynamicMessage.empty(WellKnown.empty)
+      case PMessage(name) if WellKnown.isWrapper(name) =>
+        DynamicMessage(reg.message(name), Map(1 -> scalar(WellKnown.wrapperNames(name))))
+      case PMessage(name) => message(reg.message(name))
+    }
+
+    def message(md: PMessageDesc): DynamicMessage = {
+      val vals = md.fields.flatMap { f =>
+        if (f.isMap) {
+          val n = rnd.nextInt(11)
+          Some(f.number -> (0 until n).map(_ => scalar(f.mapKey) -> scalar(f.mapValue)).toMap)
+        } else if (f.repeated) {
+          Some(f.number -> Vector.fill(rnd.nextInt(11))(scalar(f.typ)))
+        } else if (f.hasPresence) {
+          // random presence (tests/random_generator.py:123-128)
+          if (rnd.nextBoolean()) Some(f.number -> scalar(f.typ)) else None
+        } else Some(f.number -> scalar(f.typ))
+      }.toMap
+      DynamicMessage(md, vals)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -28,26 +108,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count(); () }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+        }
       }
     }
 
-    // encode/decode throughput at the reference's batch sizes
+    // encode/decode throughput at the reference's batch sizes, with the
+    // reference's full ExampleMessage shape
     val md = Schemas.msg("ExampleMessage")
     val reg = Schemas.registry
-    val gen = new java.util.Random(42)
-    def randMsg(): DynamicMessage = {
-      // compact deterministic message: a few scalars + a repeated field
-      DynamicMessage(md, Map(
-        1 -> gen.nextDouble(), 3 -> gen.nextInt(), 4 -> gen.nextLong(),
-        13 -> gen.nextBoolean(), 14 -> gen.nextLong().toString,
-        33 -> Vector.fill(10)(gen.nextInt()),
-        123 -> Map(gen.nextInt().toString -> gen.nextInt())))
-    }
+    val gen = new MsgGen(42L)
     for (n <- Seq(10, 100, 1000, 10000)) {
-      val msgs = Vector.fill(n)(randMsg())
+      val msgs = Vector.fill(n)(gen.message(md))
       results(s"pa_encode_$n") = time {
         Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg).count(); ()
       }
@@ -60,10 +137,19 @@ object Bench {
       df.unpersist()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

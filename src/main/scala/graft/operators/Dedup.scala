@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB):
   *  - exact dedup is one hash-partitioned groupBy on a 128-bit content hash;
   *  - n-gram Jaccard joins on *shingle* (the inverted-index join) — never a
-  *    doc×doc cross join; at scale you additionally cap hot shingles
-  *    (document-frequency cut) before the self-join;
+  *    doc×doc cross join; hot shingles are capped by document frequency
+  *    ([[MaxShingleDf]]) before the self-join, so no single stop-shingle
+  *    bucket can go quadratic;
   *  - MinHash-LSH reduces the candidate space to band-bucket collisions
   *    (b=4 bands × r=3 rows here), then verifies exact Jaccard only on
   *    candidates — the classic sub-quadratic near-dup pipeline;
@@ -55,35 +56,53 @@ object Dedup {
                      range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                    ELSE []::VARCHAR[] END AS s FROM tok)"""
 
+  /** Document-frequency cap for the inverted-index self-joins: a shingle
+    * appearing in more than this many documents ("the cat sat"-style stop
+    * shingles) is dropped from the index before any self-join. Without it
+    * one hot shingle's bucket is quadratic in its document frequency — the
+    * last quadratic cliff in the dedup stack at 100 TB. The cap is applied
+    * identically in both dialects, so capped Jaccard stays oracle-exact;
+    * the hot set itself is tiny by construction (≤ |shingles| / cap) and is
+    * broadcast for the anti-join. */
+  private[operators] val MaxShingleDf = 64
+
   /** N-gram Jaccard near-dup: inverted-index self-join over *hashed*
-    * shingles (bigint join keys, not 30-char strings), exact Jaccard ≥ 0.5.
-    * Both engines hash with the same function, so the (collision-tolerant)
-    * counts are identical value-for-value. */
+    * shingles (bigint join keys, not 30-char strings) with the
+    * [[MaxShingleDf]] hot-shingle cap, exact Jaccard ≥ 0.5 over the capped
+    * sets. Both engines hash and cap with the same formula, so the counts
+    * are identical value-for-value. */
   val d27NgramJaccard = Q(
     "d27_ngram_jaccard",
     s"""WITH $duckShingles,
         hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
         ex AS (SELECT doc_id, unnest(th) AS h FROM hs),
+        dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+        ex2 AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                WHERE dfreq.df <= $MaxShingleDf),
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-                  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+                  FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-        sz AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_sh FROM hs)
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex2 GROUP BY doc_id)
         SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
                CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
         FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    // cache: hs fans out into both join sides and both size joins; without
-    // it projection-collapse re-inlines the md5 transform at every use
+    // cache: hs fans out into the df count and the index; ex2 into both
+    // join sides and both size aggregations (projection-collapse would
+    // otherwise re-inline the md5 transform at every use)
     val hs = shingles(spark, dir)
       .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
       .cache()
     val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
-    val a = ex.select(col("doc_id").as("a_id"), col("h"))
-    val b = ex.select(col("doc_id").as("b_id"), col("h").as("h_b"))
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+    val ex2 = ex.join(broadcast(hot), Seq("h"), "left_anti").cache()
+    val a = ex2.select(col("doc_id").as("a_id"), col("h"))
+    val b = ex2.select(col("doc_id").as("b_id"), col("h").as("h_b"))
     val pairs = a.join(b, col("h") === col("h_b") && col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    val sz = hs.select(col("doc_id"), size(col("th")).cast("long").as("n_sh"))
+    val sz = ex2.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     pairs
       .join(sz.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
@@ -99,20 +118,27 @@ object Dedup {
   private val P = "2147483647"
   // shingle hashes are computed ONCE per doc (sh2.th); the 12 permutations
   // are cheap integer maps over that array — not 12 recomputed md5 passes
-  private def sigSpark =
+  private[operators] def sigSpark =
     s"transform(sequence(0, 11), k -> array_min(transform(th, " +
       s"h -> ((2*k + 1) * h + (k*k + 1)) % $P)))"
-  private def sigDuck =
+  private[operators] def sigDuck =
     s"list_transform(range(0, 12), k -> list_min(list_transform(th, " +
       s"h -> ((2*k + 1) * h + (k*k + 1)) % $P)))"
 
-  /** MinHash-LSH near-dup: signatures → band buckets → candidate pairs →
-    * exact-Jaccard verification at ≥ 0.5. Only bucket-colliding pairs are
-    * verified — the candidate join is on (band, band_key). */
+  /** MinHash-LSH near-dup: hot-shingle cap ([[MaxShingleDf]]) → signatures
+    * → band buckets → candidate pairs → exact-Jaccard verification at
+    * ≥ 0.5. Only bucket-colliding pairs are verified — the candidate join
+    * is on (band, band_key) — and the capped shingle sets feed both the
+    * signatures and the verification, identically in both dialects. */
   val d28MinhashLsh = Q(
     "d28_minhash_lsh",
     s"""WITH $duckShingles,
-        sh2 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+        hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+        ex AS (SELECT doc_id, unnest(th) AS h FROM hs0),
+        dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+        ex2 AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                WHERE dfreq.df <= $MaxShingleDf),
+        sh2 AS (SELECT doc_id, list(h) AS th FROM ex2 GROUP BY doc_id),
         sig AS (SELECT doc_id, $sigDuck AS m FROM sh2),
         band AS (SELECT doc_id, b,
                  m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
@@ -128,8 +154,16 @@ object Dedup {
                CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    val sh = shingles(spark, dir)
+    val hs0 = shingles(spark, dir)
       .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
+      .cache()
+    val ex = hs0.select(col("doc_id"), explode(col("th")).as("h"))
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+    // capped per-doc sets: everything downstream (permuted mins, intersect
+    // sizes) is order-insensitive, so collect_list order doesn't matter
+    val sh = ex.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(collect_list(col("h")).as("th"))
       .cache()
     val sig = sh.withColumn("m", expr(sigSpark)).cache()
     val band = sig
@@ -230,12 +264,19 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding-cosine near-dup (exact quadratic baseline). The Spark side
-    * runs a broadcast + JVM-loop mapPartitions (SURVEY §2 custom-operator
-    * tier (d): interpreted higher-order expressions cost ~10x a JVM loop
-    * on 2M×64 pair-dots). The fold order and formula are identical to the
-    * DuckDB SQL — dot left-to-right, norms precomputed per vector,
-    * `dot/(nrm_a*nrm_b)` — so the doubles still compare bit-equal. */
+  /** Embedding-cosine near-dup (exact, block-partitioned). All-pairs is the
+    * operator's contract (the threshold sits inside the bulk of the cosine
+    * distribution on this corpus — max pair cos ≈ 0.51 — so no angular-LSH
+    * band scheme prunes it at useful recall; the *approximate* tiers are
+    * [[Similarity.s33AnnLsh]]/[[Similarity.s34AnnIvf]]). The pair space is
+    * distributed by block-partitioning BOTH sides: vectors hash into B
+    * blocks, the B·(B+1)/2 block pairs are enumerated as a (broadcast) tiny
+    * relation, and each task evaluates one block×block tile — no driver
+    * collect, no full-table broadcast, per-task memory = one tile. B scales
+    * with N to keep tiles bounded. Block assignment affects only execution,
+    * never the result, so the oracle stays the plain quadratic SQL. Dots run
+    * in a JVM loop with the identical left-to-right fold as the oracle's
+    * [[Cosine]] folds — doubles compare bit-equal. */
   val d31EmbeddingNeardup = Q(
     "d31_embedding_neardup",
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -245,10 +286,64 @@ object Dedup {
               FROM e a, e b WHERE a.vec_id < b.vec_id)
         SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""") { (spark, dir) =>
     import spark.implicits._
+    val numBlocks = 8
+    // one row per block: (blk, compact vector list). At scale B grows with N
+    // so a tile (two blocks) stays executor-resident; tiles are the unit of
+    // parallelism. Pair rows are never materialized through a join — each
+    // tile's cross product runs as a JVM loop.
+    val blocks = T(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .withColumn("nrm", expr(Cosine.sparkNorm("v")))
+      .groupBy(expr(s"pmod(hash(vec_id), $numBlocks)").as("blk"))
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("v").as("_2"),
+        col("nrm").as("_3"))).as("vs"))
+    val blockPairs = (for {
+      i <- 0 until numBlocks; j <- i until numBlocks
+    } yield (i, j)).toDF("bi", "bj")
+    val tiles = blockPairs
+      .join(blocks.select(col("blk").as("bi"), col("vs").as("vsa")), "bi")
+      .join(blocks.select(col("blk").as("bj"), col("vs").as("vsb")), "bj")
+      .repartition(numBlocks * (numBlocks + 1) / 2, col("bi"), col("bj"))
+      .select(col("bi"), col("bj"), col("vsa"), col("vsb"))
+      .as[(Int, Int, Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+    tiles.flatMap { case (bi, bj, vsa, vsb) =>
+      // diagonal tiles dedup by id; off-diagonal blocks are disjoint, so
+      // every unordered pair appears exactly once — ids normalized to
+      // (min, max), and the dot is elementwise-commutative, so the cosine
+      // is bit-identical under swap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var x = 0
+      while (x < vsa.length) {
+        val (aId, av, an) = vsa(x)
+        var y = 0
+        while (y < vsb.length) {
+          val (bId, bv, bn) = vsb(y)
+          if (bi != bj || aId < bId) {
+            var dot = 0.0; var i = 0
+            while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+            val cos = dot / (an * bn)
+            if (cos >= 0.45)
+              out += ((math.min(aId, bId), math.max(aId, bId), cos))
+          }
+          y += 1
+        }
+        x += 1
+      }
+      out
+    }.toDF("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact quadratic baseline for d31 (spec-only, NOT registered): JVM-loop
+    * mapPartitions against a broadcast of all vectors. Viable single-node /
+    * small-N only — the spec uses it to pin that every LSH-pruned pair is
+    * also an exact pair with the bit-identical cosine. Fold order matches
+    * [[Cosine]] exactly (dot left-to-right, norms precomputed). */
+  def d31ExactBaseline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val vecs = T(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
       .as[(Long, Array[Double])]
-    // norm once per vector (same formula as the oracle's duckNorm fold)
     def norm(v: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < v.length) { acc += v(i) * v(i); i += 1 }

@@ -46,8 +46,8 @@ object Events {
                          THEN 1 ELSE 0 END AS is_new
              FROM l),
        s AS (SELECT user_id, event_id, tsn,
-                    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
              FROM f)
        SELECT user_id, sess, COUNT(*) AS n_events,
               (MAX(tsn) - MIN(tsn)) // 1000000000 AS dur_s

@@ -12,7 +12,7 @@ object Json {
   val q53JsonExtract = Q(
     "q53_json_extract",
     """SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
        FROM events GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>

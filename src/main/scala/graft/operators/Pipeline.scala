@@ -64,8 +64,8 @@ object Pipeline {
                        / (len(sa.th) + len(sb.th) - len(list_intersect(sa.th, sb.th))) >= 0.5),
         corpus AS (SELECT qd.* FROM qd LEFT JOIN dups ON qd.doc_id = dups.b_id
                    WHERE dups.b_id IS NULL)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-               SUM(CAST(len(t) AS BIGINT)) AS total_tokens
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS total_tokens
         FROM corpus GROUP BY lang ORDER BY lang""") { (spark, dir) =>
     // quality gate (t23 criteria)
     val q = T(spark, dir, "documents")

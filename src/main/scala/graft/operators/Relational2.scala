@@ -44,13 +44,15 @@ object Relational2 {
   }
 
   /** Array functions over a deterministic collected list: sort_array +
-    * transform/filter/aggregate/slice on real grouped data. */
+    * transform/filter/aggregate/slice on real grouped data. Array-valued
+    * results are surfaced via [[Csv]] (driver hash-safety); the raw-array
+    * forms are spec-covered. */
   val q23ArrayFns = Q(
     "q23_array_fns",
-    """SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS lines,
+    s"""SELECT l_orderkey,
+       ${Csv.duck("list_sort(list(l_linenumber))")} AS lines,
        len(list_sort(list(l_linenumber))) AS n_lines,
-       list_transform(list_sort(list(l_linenumber)), x -> x * 10) AS lines_x10,
+       ${Csv.duck("list_transform(list_sort(list(l_linenumber)), x -> x * 10)")} AS lines_x10,
        len(list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0)) AS n_even,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
          list_transform(list_sort(list(l_linenumber)), x -> CAST(x AS BIGINT))),
@@ -62,9 +64,9 @@ object Relational2 {
       .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
       .selectExpr(
         "l_orderkey",
-        "lines",
+        s"${Csv.spark("lines")} as lines",
         "cast(size(lines) as bigint) as n_lines",
-        "transform(lines, x -> x * 10) as lines_x10",
+        s"${Csv.spark("transform(lines, x -> x * 10)")} as lines_x10",
         "cast(size(filter(lines, x -> x % 2 = 0)) as bigint) as n_even",
         "aggregate(transform(lines, x -> cast(x as bigint)), cast(0 as bigint), (a, x) -> a + x) as line_sum",
         "lines[0] as first_line")
@@ -104,12 +106,14 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
-  /** MinHash signatures via a typed Aggregator (SURVEY.md §7.3): the
-    * incremental/mergeable form of d28's expression pipeline — elementwise
-    * min is associative+commutative, so partial aggregation happens
-    * map-side and the same aggregator works in streaming. The oracle
-    * recomputes signatures with the list-expression formula: both paths
-    * must agree exactly. */
+  /** MinHash signatures as a per-document expression pipeline (the same
+    * array math as d28: hash each shingle once, take 12 permuted mins —
+    * no explode, no per-shingle-row aggregation state). The mergeable
+    * typed-Aggregator form ([[graft.functions.MinHashAgg]]) is kept for
+    * streaming/incremental use and its spec pins agreement with this
+    * formula; the registered query uses the expression path because the
+    * explode+UDAF shape pays per-shingle-row serialization of the
+    * Array[Long] buffer (~6x slower at sf0.1) for no benefit in batch. */
   val d32MinhashAgg = Q(
     "d32_minhash_agg",
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -118,20 +122,12 @@ object Relational2 {
                       range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE []::VARCHAR[] END AS s FROM tok),
         sh2 AS (SELECT doc_id, list_transform(s, x -> ${H.d("x")}) AS th FROM sh)
-        SELECT doc_id,
-               list_transform(range(0, 12), k -> list_min(list_transform(th,
-                 h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647))) AS sig
+        SELECT doc_id, ${Csv.duck(s"(${Dedup.sigDuck})")} AS sig
         FROM sh2 WHERE len(th) > 0 ORDER BY doc_id""") { (spark, dir) =>
-    // ScalaAggregator runs via ObjectHashAggregate, which falls back to
-    // sort-based aggregation after 128 distinct groups by default — far too
-    // low for per-document signatures
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-    val mh = graft.functions.MinHashAgg.udafOf(12)
     Dedup.shingles(spark, dir)
-      .select(col("doc_id"), explode(col("s")).as("sh"))
-      .withColumn("h", expr(H.s("sh")))
-      .groupBy("doc_id")
-      .agg(mh(col("h")).as("sig"))
+      .selectExpr("doc_id", s"transform(s, x -> ${H.s("x")}) as th")
+      .filter("size(th) > 0")
+      .selectExpr("doc_id", s"${Csv.spark(s"(${Dedup.sigSpark})")} as sig")
       .orderBy("doc_id")
   }
 

@@ -25,12 +25,12 @@ object Similarity {
 
   /** embeddings as (vec_id, v: array<double>, nrm) — the L2 norm is
     * computed once per vector so every pair evaluation is dot-only. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
       .withColumn("nrm", expr(Cosine.sparkNorm("v")))
 
-  private val duckVecs =
+  private[operators] val duckVecs =
     s"e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       s"e AS (SELECT vec_id, v, ${Cosine.duckNorm("v")} AS nrm FROM e0)"
 
@@ -62,23 +62,52 @@ object Similarity {
 
   // Random-hyperplane LSH: weight(b, d) = h32('hp<b>_<d>') % 2001 - 1000,
   // bucket = Σ_b [dot(v, w_b) > 0] << b  (6 hyperplanes → 64 buckets).
-  private def bucketSpark =
-    "aggregate(sequence(0, 5), cast(0 as bigint), (acc, b) -> acc + " +
+  //
+  // The weights depend only on (b, d), so they are computed ONCE on the
+  // driver with the same md5 formula and embedded as a literal 6×64 matrix
+  // in both dialects (Catalyst constant-folds the Spark literal). The
+  // previous form recomputed the md5 inside the doubly-nested lambda —
+  // ~384 interpreted md5 evaluations per vector per pass.
+  private val Dim = 64
+  private[operators] val hpWeights: IndexedSeq[IndexedSeq[Long]] =
+    (0 until 6).map { b =>
+      (0 until Dim).map { d =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp${b}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // h32 = first 8 hex chars of md5 as unsigned 32-bit (H.s / H.d)
+        val h32 = java.lang.Long.parseLong(md5.take(4).map(x => f"$x%02x").mkString, 16)
+        h32 % 2001 - 1000
+      }
+    }
+  private def wLitSpark =
+    hpWeights.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+  private def wLitDuck =
+    hpWeights.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  /** 1-row CTE carrying the literal weight matrix (cross-joined in). */
+  private[operators] def duckW = s"w AS (SELECT $wLitDuck AS wm)"
+
+  private[operators] def bucketSpark =
+    s"aggregate(sequence(0, 5), cast(0 as bigint), (acc, b) -> acc + " +
       "(case when aggregate(sequence(0, size(v) - 1), cast(0 as double), " +
-      s"(acc2, d) -> acc2 + v[d] * ((${H.s("concat('hp', cast(b as string), '_', cast(d as string))")}) % 2001 - 1000)) " +
+      s"(acc2, d) -> acc2 + v[d] * element_at(element_at($wLitSpark, b+1), d+1)) " +
       "> cast(0 as double) then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
-  private def bucketDuck =
+  private[operators] def bucketDuck =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), b -> " +
       "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, len(v)), " +
-      s"d -> v[d+1] * ((${H.d("'hp' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)")}) % 2001 - 1000))), (x, y) -> x + y) " +
+      "d -> v[d+1] * wm[b+1][d+1])), (x, y) -> x + y) " +
       "> CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
+
+  /** embeddings with their hyperplane-LSH bucket — the shared candidate-
+    * pruning projection for [[s33AnnLsh]] and [[Dedup.d31EmbeddingNeardup]]. */
+  private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).withColumn("bucket", expr(bucketSpark))
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket (the
     * scale path — equi-join on bucket, no cross join). */
   val s33AnnLsh = Q(
     "s33_ann_lsh",
-    s"""WITH $duckVecs,
-        bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e),
+    s"""WITH $duckVecs, $duckW,
+        bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
         p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.bucket AS bucket,
                      ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
               FROM bk q JOIN bk n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
@@ -88,7 +117,7 @@ object Similarity {
               FROM p)
         SELECT q_id, n_id, bucket, CAST(rnk AS BIGINT) AS rnk, cos
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
-    val bk = vecs(spark, dir).withColumn("bucket", expr(bucketSpark))
+    val bk = bucketedVecs(spark, dir)
     val q = bk.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"), col("bucket"))
     val n = bk.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"),

@@ -55,9 +55,9 @@ object TextOps {
   val t22LangProfile = Q(
     "t22_lang_profile",
     """SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
        FROM documents GROUP BY lang ORDER BY lang""") { (spark, dir) =>
     T(spark, dir, "documents")
       .groupBy(col("lang"))

@@ -42,6 +42,20 @@ object T {
     (org.apache.spark.sql.functions.col("ts") / 1000000000L).cast("long")
 }
 
+/** Driver-safe rendering of array columns. The driver's checker hashes
+  * cell values with pandas and cannot sort/hash array cells (it crashes on
+  * numpy.ndarray), so every driver-facing output surfaces arrays as a
+  * comma-joined string — the identical rendering on both engines. Raw-array
+  * variants stay available to the ScalaTest specs.
+  */
+object Csv {
+  /** Spark dialect: array column (any element type) → "a,b,c". */
+  def spark(c: String): String =
+    s"array_join(transform($c, x -> cast(x as string)), ',')"
+  /** DuckDB dialect of the same rendering. */
+  def duck(c: String): String = s"array_to_string($c, ',')"
+}
+
 /** Numeric conventions shared by every query and its oracle.
   *
   * Money columns in the testdata are doubles. Summing doubles is

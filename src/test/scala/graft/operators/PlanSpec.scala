@@ -38,6 +38,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"))
   }
 
+  test("d27: hot-shingle DF cap is planned (anti-join before the self-join)") {
+    val p = plan("d27_ngram_jaccard")
+    assert(p.contains("LeftAnti"), "the MaxShingleDf cap stage must exist in the plan")
+  }
+
+  test("d28: hot-shingle DF cap is planned before signature computation") {
+    val p = plan("d28_minhash_lsh")
+    assert(p.contains("LeftAnti"), "the MaxShingleDf cap stage must exist in the plan")
+  }
+
+  test("d31: block-partitioned — tile equi-joins only, no cartesian/nested-loop") {
+    val p = plan("d31_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "d31 must tile the pair space, not cross-join it")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "d31 must equi-join on block keys")
+  }
+
+  test("s33: hyperplane weights are a driver-side literal (no md5 per row)") {
+    assert(!plan("s33_ann_lsh").toLowerCase.contains("md5"))
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))
