@@ -104,12 +104,29 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // collect_list/typed-aggregator queries build high-cardinality groups
+      // (e.g. the 1M+ posting lists of d27/d28); the default 128-group
+      // fallback would force them all to sort-based aggregation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warm-up: JVM/codegen/parquet-reader initialization otherwise
+    // lands entirely on the alphabetically-first query (~4 s) and distorts
+    // its number; no query data is cached here
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    // optional args = query-name prefixes to run (iteration aid); no args
+    // runs everything including the encode/decode points
+    val only = args.toSet
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).foreach { case (name, fn) =>
       results(name) = time {
         try { fn(spark, sfDir).count(); () }
         catch { case e: Throwable =>
@@ -123,7 +140,7 @@ object Bench {
     val md = Schemas.msg("ExampleMessage")
     val reg = Schemas.registry
     val gen = new MsgGen(42L)
-    for (n <- Seq(10, 100, 1000, 10000)) {
+    for (n <- Seq(10, 100, 1000, 10000) if selected("pa_")) {
       val msgs = Vector.fill(n)(gen.message(md))
       results(s"pa_encode_$n") = time {
         Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg).count(); ()

@@ -49,6 +49,59 @@ object Dedup {
           "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) " +
           "else array() end as s")
 
+  /** JVM kernel computing each document's distinct word-3-gram shingle
+    * *hashes* directly (split → concat → md5 → first-8-hex as unsigned
+    * 32-bit, exactly [[H.s]]/[[H.d]] — the same derivation the DuckDB
+    * oracles apply). The expression form ([[shingles]] + a transform) is
+    * interpreted per element and costs ~4 s at sf0.1; this is the SURVEY §2
+    * custom-operator tier (d) numeric-kernel escape, ~5x faster, and every
+    * consumer (min per permutation, intersect sizes, counts) is
+    * order-insensitive so the set order is free.
+    *
+    * Defined as a stable function value so the MapPartitions plans built by
+    * different queries canonicalize equal and share one cached result. */
+  private val shingleHashKernel: Iterator[(Long, String)] => Iterator[(Long, Array[Long])] =
+    it => {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        val t = text.split(" ", -1) // matches Spark/DuckDB split semantics
+        if (t.length < 3) (id, Array.empty[Long])
+        else {
+          val seen = new java.util.LinkedHashSet[java.lang.Long]
+          var i = 0
+          while (i <= t.length - 3) {
+            val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
+            md5.reset()
+            val d = md5.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 8 hex chars = first 4 bytes, unsigned
+            val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+              ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+            seen.add(h)
+            i += 1
+          }
+          val out = new Array[Long](seen.size)
+          val itr = seen.iterator(); var j = 0
+          while (itr.hasNext) { out(j) = itr.next(); j += 1 }
+          (id, out)
+        }
+      }
+    }
+
+  /** (doc_id, th = distinct shingle hashes) of any (doc_id, text) frame via
+    * [[shingleHashKernel]]. */
+  private[operators] def shingleHashesFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(shingleHashKernel)
+      .toDF("doc_id", "th")
+  }
+
+  /** (doc_id, th = distinct shingle hashes) of the documents table. */
+  private[operators] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    shingleHashesFrom(T(spark, dir, "documents"))
+
   private val duckShingles =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id,
@@ -88,12 +141,12 @@ object Dedup {
         FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    // cache: hs fans out into the df count and the index; ex2 into both
-    // join sides and both size aggregations (projection-collapse would
-    // otherwise re-inline the md5 transform at every use)
-    val hs = shingles(spark, dir)
-      .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
-      .cache()
+    // cache: hs fans out into the df count and the index (plan-level
+    // fan-out would re-run the kernel per consumer). The cap itself is a
+    // broadcast anti-join against the (tiny by construction) hot set —
+    // cheaper than regrouping the index into posting lists, which pays a
+    // 1M+-group collect_list. The self-join stays a bigint sort-merge join.
+    val hs = shingleHashes(spark, dir).cache()
     val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
     val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("h")
@@ -154,14 +207,14 @@ object Dedup {
                CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    val hs0 = shingles(spark, dir)
-      .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
-      .cache()
+    // capped per-doc sets (hs0/hot cache-dedupe with d27's identical
+    // plans): everything downstream (permuted mins, intersect sizes) is
+    // order-insensitive, so collect_list order doesn't matter; the regroup
+    // is per-document (bounded group count), not per-shingle
+    val hs0 = shingleHashes(spark, dir).cache()
     val ex = hs0.select(col("doc_id"), explode(col("th")).as("h"))
     val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("h")
-    // capped per-doc sets: everything downstream (permuted mins, intersect
-    // sizes) is order-insensitive, so collect_list order doesn't matter
     val sh = ex.join(broadcast(hot), Seq("h"), "left_anti")
       .groupBy("doc_id").agg(collect_list(col("h")).as("th"))
       .cache()

@@ -78,12 +78,10 @@ object Pipeline {
     val keep = q.groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val qd = q.join(keep, "doc_id").cache()
-    // near-dup pairs via the d28 minhash pipeline over the filtered corpus
-    val hs = qd.selectExpr("doc_id",
-      "case when size(t) >= 3 then array_distinct(transform(sequence(0, size(t) - 3), " +
-        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) else array() end as s")
-      .selectExpr("doc_id", s"array_distinct(transform(s, x -> ${H.s("x")})) as th")
-      .cache()
+    // near-dup pairs via the d28 minhash pipeline over the filtered corpus;
+    // shingle hashes come from the shared JVM kernel (Dedup.shingleHashesFrom
+    // — same derivation as the oracle's list_distinct(list_transform(s, H)))
+    val hs = Dedup.shingleHashesFrom(qd).cache()
     val sig = hs.withColumn("m", expr(
       "transform(sequence(0, 11), k -> array_min(transform(th, " +
         "h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647)))")).cache()

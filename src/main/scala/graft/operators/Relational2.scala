@@ -124,8 +124,11 @@ object Relational2 {
         sh2 AS (SELECT doc_id, list_transform(s, x -> ${H.d("x")}) AS th FROM sh)
         SELECT doc_id, ${Csv.duck(s"(${Dedup.sigDuck})")} AS sig
         FROM sh2 WHERE len(th) > 0 ORDER BY doc_id""") { (spark, dir) =>
-    Dedup.shingles(spark, dir)
-      .selectExpr("doc_id", s"transform(s, x -> ${H.s("x")}) as th")
+    // th comes from the JVM shingle-hash kernel — a plan-level barrier, so
+    // the 12 permutations of sigSpark read the materialized array instead
+    // of re-inlining the md5 transform 12x (projection collapse did exactly
+    // that to the expression form: 27 s -> ~2 s at sf0.1)
+    Dedup.shingleHashes(spark, dir)
       .filter("size(th) > 0")
       .selectExpr("doc_id", s"${Csv.spark(s"(${Dedup.sigSpark})")} as sig")
       .orderBy("doc_id")

@@ -79,17 +79,19 @@ object Similarity {
         h32 % 2001 - 1000
       }
     }
-  private def wLitSpark =
-    hpWeights.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
   private def wLitDuck =
     hpWeights.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
   /** 1-row CTE carrying the literal weight matrix (cross-joined in). */
   private[operators] def duckW = s"w AS (SELECT $wLitDuck AS wm)"
 
+  // The Spark-side matrix is bound as a true Literal via typedlit — a
+  // parsed `array(array(...))` inside the lambda is a CreateArray tree that
+  // gets re-constructed per element evaluation (measured: as slow as the
+  // md5s it replaced); a Literal is a constant reference.
   private[operators] def bucketSpark =
     s"aggregate(sequence(0, 5), cast(0 as bigint), (acc, b) -> acc + " +
       "(case when aggregate(sequence(0, size(v) - 1), cast(0 as double), " +
-      s"(acc2, d) -> acc2 + v[d] * element_at(element_at($wLitSpark, b+1), d+1)) " +
+      s"(acc2, d) -> acc2 + v[d] * element_at(element_at(wm, b+1), d+1)) " +
       "> cast(0 as double) then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
   private[operators] def bucketDuck =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), b -> " +
@@ -97,10 +99,13 @@ object Similarity {
       "d -> v[d+1] * wm[b+1][d+1])), (x, y) -> x + y) " +
       "> CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
 
-  /** embeddings with their hyperplane-LSH bucket — the shared candidate-
-    * pruning projection for [[s33AnnLsh]] and [[Dedup.d31EmbeddingNeardup]]. */
+  /** embeddings with their hyperplane-LSH bucket — the candidate-pruning
+    * projection for [[s33AnnLsh]]. */
   private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir).withColumn("bucket", expr(bucketSpark))
+    vecs(spark, dir)
+      .withColumn("wm", typedlit(hpWeights.map(_.toSeq)))
+      .withColumn("bucket", expr(bucketSpark))
+      .drop("wm")
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket (the
     * scale path — equi-join on bucket, no cross join). */

@@ -12,6 +12,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match the Verify/Bench mains: posting-list aggregations build
+      // high-cardinality collect_list groups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
