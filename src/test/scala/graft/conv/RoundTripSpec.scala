@@ -21,43 +21,62 @@ class RoundTripSpec extends SparkSpec {
   def fixture(name: String): Seq[DynamicMessage] = {
     val md = Schemas.msg(name)
     val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
-    val lines = Source.fromInputStream(in, "UTF-8").getLines().toVector
-    lines.filter(_.nonEmpty).map(l => ProtoJson.parse(l, md, reg))
+    if (in == null)
+      // no jsonl fixture shipped — generated randomly, deterministic seed,
+      // like the reference's test_with_random (tests/test_conversion.py:128)
+      TestGen.sample(org.scalacheck.Gen.listOfN(6, TestGen.genMessage(md)), 7L)
+    else {
+      val lines = Source.fromInputStream(in, "UTF-8").getLines().toVector
+      lines.filter(_.nonEmpty).map(l => ProtoJson.parse(l, md, reg))
+    }
   }
 
-  /** The config matrix subset (35 configs in the reference,
-    * tests/test_conversion.py:60-96; Spark collapses the storage-only
-    * knobs, these are the semantically distinct ones). */
+  /** The full 35-config matrix, one entry per reference row IN ORDER
+    * (tests/test_conversion.py:60-96). Storage-level knobs (large_* widths,
+    * dictionary enums, Arrow tz/field-name metadata) are documented Spark
+    * collapses — the point of running them all is precisely to prove the
+    * no-ops are no-ops: every one must still round-trip bit-identically.
+    * Rows 8-11 (no-tz timestamps) collapse onto rows 12-15 (UTC) because
+    * Spark TimestampType is always an instant; they are still run. */
   val configs: Seq[GraftConfig] = Seq(
-    GraftConfig(),
-    GraftConfig(enumType = EnumRepr.StringRepr),
-    GraftConfig(enumType = EnumRepr.Binary),
-    GraftConfig(enumType = EnumRepr.DictString),
-    GraftConfig(enumType = EnumRepr.DictBinary),
-    // large widths: storage-level no-ops in Spark, but the knobs must be
-    // accepted, validated, and round-trip identically
-    GraftConfig(stringType = GraftConfig.Width.Large,
-      enumType = EnumRepr.LargeString),
-    GraftConfig(binaryType = GraftConfig.Width.Large,
-      enumType = EnumRepr.LargeBinary),
-    GraftConfig(listArrayType = GraftConfig.Width.Large),
-    GraftConfig(timestampUnit = TimeUnit.Seconds),
-    GraftConfig(timestampUnit = TimeUnit.Millis),
-    GraftConfig(timestampUnit = TimeUnit.Micros),
-    GraftConfig(timestampTz = "America/New_York"), // tz is arrow metadata; instants unchanged
-    GraftConfig(timeOfDayUnit = TimeUnit.Seconds),
-    GraftConfig(timeOfDayUnit = TimeUnit.Millis),
-    GraftConfig(timeOfDayUnit = TimeUnit.Micros),
-    GraftConfig(durationUnit = TimeUnit.Seconds),
-    GraftConfig(durationUnit = TimeUnit.Millis),
-    GraftConfig(durationUnit = TimeUnit.Micros),
-    GraftConfig(listNullable = true),
-    GraftConfig(mapNullable = true),
-    GraftConfig(listValueNullable = true, mapValueNullable = true),
-    GraftConfig(listValueName = "elem", mapValueName = "val"), // names: metadata-only
-    GraftConfig(listValueName = "elem", mapValueName = "val", mapAsList = true),
-    GraftConfig(mapAsList = true),
-    GraftConfig(fieldNumberKey = Some("PARQUET:field_id")))
+    /* 1 */ GraftConfig(),
+    /* 2 */ GraftConfig(enumType = EnumRepr.Binary),
+    /* 3 */ GraftConfig(enumType = EnumRepr.StringRepr),
+    /* 4 */ GraftConfig(enumType = EnumRepr.DictBinary),
+    /* 5 */ GraftConfig(enumType = EnumRepr.DictString),
+    /* 6 */ GraftConfig(enumType = EnumRepr.LargeBinary,
+      binaryType = GraftConfig.Width.Large),
+    /* 7 */ GraftConfig(enumType = EnumRepr.LargeString,
+      stringType = GraftConfig.Width.Large),
+    /* 8 */ GraftConfig(timestampUnit = TimeUnit.Seconds),
+    /* 9 */ GraftConfig(timestampUnit = TimeUnit.Millis),
+    /* 10 */ GraftConfig(timestampUnit = TimeUnit.Micros),
+    /* 11 */ GraftConfig(timestampUnit = TimeUnit.Nanos),
+    /* 12 */ GraftConfig(timestampUnit = TimeUnit.Seconds, timestampTz = "UTC"),
+    /* 13 */ GraftConfig(timestampUnit = TimeUnit.Millis, timestampTz = "UTC"),
+    /* 14 */ GraftConfig(timestampUnit = TimeUnit.Micros, timestampTz = "UTC"),
+    /* 15 */ GraftConfig(timestampUnit = TimeUnit.Nanos, timestampTz = "UTC"),
+    /* 16 */ GraftConfig(timestampUnit = TimeUnit.Nanos,
+      timestampTz = "America/New_York"), // tz is arrow metadata; instants unchanged
+    /* 17 */ GraftConfig(timeOfDayUnit = TimeUnit.Nanos),
+    /* 18 */ GraftConfig(timeOfDayUnit = TimeUnit.Micros),
+    /* 19 */ GraftConfig(timeOfDayUnit = TimeUnit.Millis),
+    /* 20 */ GraftConfig(timeOfDayUnit = TimeUnit.Seconds),
+    /* 21 */ GraftConfig(durationUnit = TimeUnit.Seconds),
+    /* 22 */ GraftConfig(durationUnit = TimeUnit.Millis),
+    /* 23 */ GraftConfig(durationUnit = TimeUnit.Micros),
+    /* 24 */ GraftConfig(durationUnit = TimeUnit.Nanos),
+    /* 25 */ GraftConfig(listNullable = true),
+    /* 26 */ GraftConfig(mapNullable = true),
+    /* 27 */ GraftConfig(mapValueNullable = true),
+    /* 28 */ GraftConfig(listValueNullable = true),
+    /* 29 */ GraftConfig(listValueName = "list_value"), // names: metadata-only
+    /* 30 */ GraftConfig(mapValueName = "map_value"),
+    /* 31 */ GraftConfig(fieldNumberKey = Some("PARQUET:field_id")),
+    /* 32 */ GraftConfig(stringType = GraftConfig.Width.Large),
+    /* 33 */ GraftConfig(binaryType = GraftConfig.Width.Large),
+    /* 34 */ GraftConfig(mapAsList = true),
+    /* 35 */ GraftConfig(listArrayType = GraftConfig.Width.Large))
 
   /** Truncate temporal fields to what the config (and µs timestamps) can
     * hold, mirroring tests/random_generator.py:158-227. */
@@ -76,17 +95,18 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
-  for (cfg <- configs) {
-    test(s"ExampleMessage round trip [$cfg]") { roundTrip("ExampleMessage", cfg) }
-  }
-
-  test("NestedExampleMessage round trip (default config)") {
-    roundTrip("NestedExampleMessage", GraftConfig())
-  }
-
-  test("NestedExampleMessage round trip (string enums + mapAsList)") {
-    roundTrip("NestedExampleMessage",
-      GraftConfig(enumType = EnumRepr.StringRepr, mapAsList = true))
+  // the reference's MESSAGES × CONFIGS cross product
+  // (tests/test_conversion.py:54-58 × 60-96): 3 messages × 35 configs
+  for ((cfg, i) <- configs.zipWithIndex) {
+    test(s"ExampleMessage round trip [#${i + 1} $cfg]") {
+      roundTrip("ExampleMessage", cfg)
+    }
+    test(s"NestedExampleMessage round trip [#${i + 1} $cfg]") {
+      roundTrip("NestedExampleMessage", cfg)
+    }
+    test(s"SuperNestedExampleMessage round trip [#${i + 1} $cfg]") {
+      roundTrip("SuperNestedExampleMessage", cfg)
+    }
   }
 
   test("recursive fixtures round trip under skipRecursiveMessages") {
