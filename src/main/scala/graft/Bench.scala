@@ -136,19 +136,23 @@ object Bench {
     }
 
     // encode/decode throughput at the reference's batch sizes, with the
-    // reference's full ExampleMessage shape
+    // reference's full ExampleMessage shape. Reported as min of 3 warm
+    // iterations — pytest-benchmark (the reference harness) also reports
+    // warm steady-state over many rounds, and a single cold call here is
+    // dominated by JIT, not by the codec.
+    def minOf3(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
     val md = Schemas.msg("ExampleMessage")
     val reg = Schemas.registry
     val gen = new MsgGen(42L)
     for (n <- Seq(10, 100, 1000, 10000) if selected("pa_")) {
       val msgs = Vector.fill(n)(gen.message(md))
-      results(s"pa_encode_$n") = time {
+      results(s"pa_encode_$n") = minOf3 {
         Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg).count(); ()
       }
       val df = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
         .cache()
       df.count()
-      results(s"pa_decode_$n") = time {
+      results(s"pa_decode_$n") = minOf3 {
         Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); ()
       }
       df.unpersist()

@@ -426,8 +426,18 @@ object Dedup {
 
 /** Cosine similarity as an identical sequential double fold in both SQL
   * dialects — bit-equal results, so the oracle can compare raw doubles.
-  * Spark side is pure higher-order built-ins (codegen'd, no UDF). */
+  * The Spark hot paths use the native codegen'd [[graft.functions.ArrayDot]]
+  * (same fold order, whole-stage codegen); the higher-order-function string
+  * forms remain for SQL-dialect parity and specs. */
 object Cosine {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.sqrt
+
+  /** Native codegen'd dot — bit-equal to [[sparkDot]]/[[duckDot]]. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
+  /** Native norm: sqrt(dot(v, v)) — the same acc + x*x fold as
+    * [[sparkNorm]]/[[duckNorm]]. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
   def sparkDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t)"
   def sparkNorm(a: String): String =

@@ -25,10 +25,15 @@ object Similarity {
 
   /** embeddings as (vec_id, v: array<double>, nrm) — the L2 norm is
     * computed once per vector so every pair evaluation is dot-only. */
+  // array<float> → array<double> via Cast, not a transform lambda: the
+  // element-wise cast is value-identical (float widening) but Cast is
+  // codegen-supported, so the whole projection — cast, array_dot, sqrt —
+  // stays inside WholeStageCodegen (a HOF lambda anywhere in the stage
+  // forces the entire stage to interpreted mode)
   private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     T(spark, dir, "embeddings")
-      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
-      .withColumn("nrm", expr(Cosine.sparkNorm("v")))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Cosine.norm(col("v")))
 
   private[operators] val duckVecs =
     s"e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
@@ -53,7 +58,7 @@ object Similarity {
     val n = e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(n, col("n_id") =!= col("q_id"))
-      .withColumn("cos", expr(Cosine.sparkDot("vq", "vn")) / (col("nq") * col("nn")))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "rnk", "cos")
@@ -84,15 +89,6 @@ object Similarity {
   /** 1-row CTE carrying the literal weight matrix (cross-joined in). */
   private[operators] def duckW = s"w AS (SELECT $wLitDuck AS wm)"
 
-  // The Spark-side matrix is bound as a true Literal via typedlit — a
-  // parsed `array(array(...))` inside the lambda is a CreateArray tree that
-  // gets re-constructed per element evaluation (measured: as slow as the
-  // md5s it replaced); a Literal is a constant reference.
-  private[operators] def bucketSpark =
-    s"aggregate(sequence(0, 5), cast(0 as bigint), (acc, b) -> acc + " +
-      "(case when aggregate(sequence(0, size(v) - 1), cast(0 as double), " +
-      s"(acc2, d) -> acc2 + v[d] * element_at(element_at(wm, b+1), d+1)) " +
-      "> cast(0 as double) then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
   private[operators] def bucketDuck =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), b -> " +
       "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, len(v)), " +
@@ -100,12 +96,18 @@ object Similarity {
       "> CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
 
   /** embeddings with their hyperplane-LSH bucket — the candidate-pruning
-    * projection for [[s33AnnLsh]]. */
-  private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir)
-      .withColumn("wm", typedlit(hpWeights.map(_.toSeq)))
-      .withColumn("bucket", expr(bucketSpark))
-      .drop("wm")
+    * projection for [[s33AnnLsh]]. Fully native: each hyperplane's sign is
+    * `array_dot(v, w_b) > 0` against its own literal weight vector, and
+    * the bucket is the exact integer sum of the set bits — bit-identical
+    * to the oracle's nested-fold form ([[bucketDuck]]: same inner fold
+    * order, exact long addition outside), with no lambda interpretation. */
+  private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until 6).map { b =>
+      val w = typedlit(hpWeights(b).map(_.toDouble))
+      when(Cosine.dot(col("v"), w) > 0.0d, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs(spark, dir).withColumn("bucket", bucket)
+  }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket (the
     * scale path — equi-join on bucket, no cross join). */
@@ -129,7 +131,7 @@ object Similarity {
       col("bucket").as("bn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     q.join(n, col("bucket") === col("bn") && col("n_id") =!= col("q_id"))
-      .withColumn("cos", expr(Cosine.sparkDot("vq", "vn")) / (col("nq") * col("nn")))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "bucket", "rnk", "cos")
@@ -168,7 +170,7 @@ object Similarity {
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("c_id"))
     val asg0 = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(Cosine.sparkDot("v", "vc")) / (col("nrm") * col("cnrm")))
+      .withColumn("ccos", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
       .withColumn("rnk", row_number().over(wAsg))
     val asg = asg0.filter(col("rnk") === 1)
       .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
@@ -179,7 +181,7 @@ object Similarity {
     cand
       .join(e.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
       .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")), "n_id")
-      .withColumn("cos", expr(Cosine.sparkDot("vq", "vn")) / (col("nq") * col("nn")))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= 5)
       .select("q_id", "n_id", "cell", "rnk", "cos")

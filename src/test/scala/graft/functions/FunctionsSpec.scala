@@ -26,6 +26,31 @@ class FunctionsSpec extends SparkSpec {
     aggSig.foreach { case (id, sig) => assert(sig === exprSig(id), s"doc $id") }
   }
 
+  test("array_dot: bit-equal to the interpreted HOF fold, both eval paths") {
+    val e = graft.operators.T(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+    val hof = e.selectExpr("vec_id",
+      graft.operators.Cosine.sparkDot("v", "v") + " as d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // codegen path (whole-stage)
+    val native = e.select(col("vec_id"),
+      graft.operators.Cosine.dot(col("v"), col("v")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ===
+        java.lang.Double.doubleToLongBits(hof(id)), s"vec $id") // bit-equal
+    }
+    // interpreted path (eval over literals) must agree with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val interp = e.limit(5).collect().map { r =>
+      val lit = Literal.create(r.getSeq[Double](1), ArrayType(DoubleType))
+      r.getLong(0) -> ArrayDot(lit, lit).eval(null).asInstanceOf[Double]
+    }.toMap
+    interp.foreach { case (id, d) => assert(d === native(id), s"vec $id interp") }
+  }
+
   test("writeProtoJsonl ↔ readProtoJsonl round trip") {
     val reg = Schemas.registry
     val md = Schemas.msg("ExampleMessage")

@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan("s33_ann_lsh").toLowerCase.contains("md5"))
   }
 
+  test("s32: cosine runs as the native array_dot inside whole-stage codegen") {
+    // AQE's pre-execution formatted plan omits codegen markers (they are
+    // attached per query stage at runtime) — disable it for this gate.
+    // Formatted mode tags codegen'd operators with "[codegen id : N]".
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("s32_knn_bruteforce")
+      assert(p.contains("array_dot"), "the native expression must be in the plan")
+      assert(p.contains("[codegen id :"), "the projection must stay codegen'd")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))
