@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Dev aid: dump physical plans for the PLANS.md evidence file.
+  * `runMain graft.PlanDump [query names...]` — defaults to the
+  * representative set. */
+object PlanDump {
+  private val defaults = Seq(
+    "q01_pricing_summary", "q02_revenue_by_nation", "pa61_cast_normalize",
+    "q56_asof_join", "d27_ngram_jaccard", "d31_embedding_neardup",
+    "s32_knn_bruteforce", "s33_ann_lsh", "x90_corpus_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    for (n <- names) {
+      println(s"===== $n")
+      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode))
+    }
+    spark.stop()
+  }
+}

@@ -48,6 +48,42 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact dedup (ingestion-time): emits only the FIRST
+    * occurrence of each key (e.g. a content hash) across the whole stream —
+    * the `flatMapGroupsWithState` custom-state tier (SURVEY §2 Part B
+    * streaming row): per-key state is one boolean, partitioned by key
+    * across executors, and evicted by the event-time timeout once the
+    * watermark passes it, so state stays bounded. This is the dedup a
+    * training-data pipeline runs in front of the corpus store (batch twin:
+    * [[graft.operators.Dedup.d26ExactDedup]]).
+    *
+    * Rows must carry (key: String, ts: Timestamp, payload: String); the
+    * watermark must already be set by the caller via `withWatermark`. */
+  def dedupFirstSeen(events: Dataset[(String, java.sql.Timestamp, String)])
+      : Dataset[(String, java.sql.Timestamp, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val enc = Encoders.tuple(Encoders.STRING,
+      Encoders.TIMESTAMP, Encoders.STRING)
+    implicit val boolEnc = Encoders.scalaBoolean
+    events
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (_: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+         state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // key already emitted
+          else {
+            val first = rows.min(Ordering.by((r: (String, java.sql.Timestamp, String)) => r._2.getTime))
+            state.update(true)
+            // keep the key's tombstone until the watermark passes its event
+            // time by the gap below; afterwards a re-occurrence counts as new
+            state.setTimeoutTimestamp(first._2.getTime, "2 hours")
+            Iterator.single(first)
+          }
+        })
+  }
+
   /** Micro-batch conversion sink: each batch re-encoded to proto wire
     * bytes — the foreachBatch shape the reference's Kafka pipelines use. */
   def protoSink(stream: DataFrame, md: PMessageDesc, cfg: GraftConfig,

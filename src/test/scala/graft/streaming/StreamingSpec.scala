@@ -78,6 +78,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState streaming dedup: first occurrence only, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, String)]
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(h: String, m: Long, p: String) = (h, new Timestamp(base + m * 60000L), p)
+
+    val events = stream.toDS().withWatermark("_2", "1 hour")
+      .as[(String, Timestamp, String)]
+    val q = StreamOps.dedupFirstSeen(events)
+      .toDF("h", "ts", "payload")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: h1 twice (in-batch dup), h2 once
+      stream.addData(Seq(ev("h1", 0, "a"), ev("h1", 1, "a-dup"), ev("h2", 2, "b")))
+      q.processAllAvailable()
+      // batch 2: h1 again (cross-batch dup — state must remember), h3 new
+      stream.addData(Seq(ev("h1", 3, "a-dup2"), ev("h3", 4, "c")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(out === Map("h1" -> "a", "h2" -> "b", "h3" -> "c"))
+    } finally q.stop()
+  }
+
+  test("MinHashAgg merges correctly across micro-batches (streaming aggregation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same (doc, shingle-hash) rows split across two micro-batches must
+    // aggregate to the signature of the union — elementwise min is the
+    // mergeable form d32's batch expression pipeline computes in one pass
+    val stream = MemoryStream[(Long, Long)]
+    val batch1 = Seq((1L, 100L), (1L, 907L), (2L, 44L))
+    val batch2 = Seq((1L, 3L), (2L, 501L), (2L, 9L))
+    val mh = graft.functions.MinHashAgg.udafOf(12)
+    val q = stream.toDS().toDF("doc_id", "h")
+      .groupBy("doc_id").agg(mh(col("h")).as("sig"))
+      .writeStream.format("memory").queryName("mh_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("mh_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val batch = (batch1 ++ batch2).toDF("doc_id", "h")
+        .groupBy("doc_id").agg(mh(col("h")).as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch proto sink re-encodes each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
