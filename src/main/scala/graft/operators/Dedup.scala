@@ -146,14 +146,48 @@ object Dedup {
     // broadcast anti-join against the (tiny by construction) hot set —
     // cheaper than regrouping the index into posting lists, which pays a
     // 1M+-group collect_list. The self-join stays a bigint sort-merge join.
+    import spark.implicits._
     val hs = shingleHashes(spark, dir).cache()
     val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
     val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("h")
     val ex2 = ex.join(broadcast(hot), Seq("h"), "left_anti").cache()
-    val a = ex2.select(col("doc_id").as("a_id"), col("h"))
-    val b = ex2.select(col("doc_id").as("b_id"), col("h").as("h_b"))
-    val pairs = a.join(b, col("h") === col("h_b") && col("a_id") < col("b_id"))
+    // pair generation: ONE shuffle on h + a sorted-run JVM pass, instead of
+    // a sort-merge self-join (which sorts the 1.5M-row index twice). Every
+    // run is ≤ MaxShingleDf docs by the cap, so per-run pair emission is
+    // bounded (≤ K²/2) — the property that makes this linear-ish at 100 TB.
+    val pairs = ex2.repartition(col("h")).sortWithinPartitions("h")
+      .select(col("h"), col("doc_id")).as[(Long, Long)]
+      .mapPartitions { it =>
+        // single pass over runs of equal h; per-run emission is ≤ K²/2 by
+        // the cap, and the buffered pairs are exactly the rows the old
+        // self-join shuffled — per-partition memory is the same order as
+        // the shuffle write buffer it replaces
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val run = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var curH = 0L
+        var first = true
+        def flush(): Unit = {
+          var i = 0
+          while (i < run.length) {
+            var j = i + 1
+            while (j < run.length) {
+              val a = run(i); val b = run(j)
+              pairs += (if (a < b) (a, b) else (b, a))
+              j += 1
+            }
+            i += 1
+          }
+          run.clear()
+        }
+        it.foreach { case (h, d) =>
+          if (first || h != curH) { flush(); curH = h; first = false }
+          run += d
+        }
+        flush()
+        pairs.iterator
+      }
+      .toDF("a_id", "b_id")
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
     val sz = ex2.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     pairs
