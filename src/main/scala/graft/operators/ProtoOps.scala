@@ -45,16 +45,34 @@ object ProtoOps {
   }
 
   /** Proto-JSONL scan (schema-directed distributed parse, the reference's
-    * fixture-loader shape). No SQL oracle — DuckDB has no proto-JSON
-    * reader; the driver records rows>0 and the ScalaTest round-trip suite
-    * pins values. */
-  val pa62ProtoJsonlScan = Q.noOracle("pa62_proto_jsonl_scan") { (spark, _) =>
+    * fixture-loader shape). Oracle-checked: DuckDB reads the SAME
+    * materialized jsonl with read_json and applies proto3 defaults for
+    * absent fields (COALESCE) — int64 arrives as a JSON string (proto3
+    * JSON), maps as JSON objects whose sorted keys both engines render as
+    * the same CSV. Verify materializes the fixture before the driver runs
+    * the oracle, and [[Fixtures.materialize]] pins the /tmp path the SQL
+    * names. */
+  val pa62ProtoJsonlScan = Q(
+    "pa62_proto_jsonl_scan",
+    """WITH src AS (
+         SELECT * FROM read_json('/tmp/graft_fixture_ExampleMessage.jsonl',
+           format='newline_delimited',
+           columns={'int32_value': 'INTEGER', 'int64_value': 'BIGINT',
+                    'string_value': 'VARCHAR', 'double_values': 'DOUBLE[]',
+                    'int32_string_map': 'JSON'}))
+       SELECT COALESCE(int32_value, 0) AS int32_value,
+              COALESCE(int64_value, 0) AS int64_value,
+              COALESCE(string_value, '') AS string_value,
+              CAST(COALESCE(len(double_values), 0) AS INTEGER) AS n_doubles,
+              COALESCE(array_to_string(list_sort(json_keys(int32_string_map)), ','), '') AS map_keys
+       FROM src ORDER BY int32_value, int64_value""") { (spark, _) =>
     val path = Fixtures.materialize("ExampleMessage")
     val md = Schemas.msg("ExampleMessage")
     Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), Schemas.registry)
       .select(col("int32_value"), col("int64_value"), col("string_value"),
         size(col("double_values")).as("n_doubles"),
         expr(Csv.spark("array_sort(map_keys(int32_string_map))")).as("map_keys"))
+      .orderBy("int32_value", "int64_value")
   }
 
   /** Distributed wire-format round trip: DataFrame → proto bytes
@@ -85,11 +103,11 @@ object ProtoOps {
   val all: Seq[Q] = Seq(pa61CastNormalize, pa62ProtoJsonlScan, pa63WireRoundtrip)
 }
 
-/** Classpath fixtures → temp files (spark.read needs paths). */
+/** Classpath fixtures → temp files (spark.read needs paths). The path is
+  * pinned to /tmp (not java.io.tmpdir) because pa62's oracle SQL names it. */
 object Fixtures {
   def materialize(name: String): String = {
-    val target = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_fixture_$name.jsonl")
+    val target = java.nio.file.Paths.get("/tmp", s"graft_fixture_$name.jsonl")
     if (!java.nio.file.Files.exists(target)) {
       val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
       java.nio.file.Files.copy(in, target)
