@@ -92,17 +92,25 @@ object Relational2 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Approximate distinct (HLL++). The sketch is engine-specific, so the
-    * driver records rows-only; the spec pins the ±5% rel-error contract
-    * against exact counts. */
-  val q25ApproxDistinct = Q.noOracle("q25_approx_distinct") { (spark, dir) =>
+  /** Approximate distinct (HLL++). The sketch estimate itself is
+    * engine-specific (not comparable value-for-value across engines), so
+    * the driver-facing output carries the exact counts plus the
+    * deterministic `within_5pct` verdict of the estimate — the oracle
+    * asserts the accuracy contract holds; the raw estimate and rel-error
+    * stay spec-pinned (RelationalSpec). */
+  val q25ApproxDistinct = Q(
+    "q25_approx_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
     T(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
-      .withColumn("rel_err",
-        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
   }
 

@@ -32,6 +32,20 @@ class RelationalSpec extends SparkSpec {
     assert(total == li.count())
   }
 
+  test("q25: HLL++ estimate within 5% of exact (raw sketch values)") {
+    import org.apache.spark.sql.functions._
+    val raw = T(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"${r.getString(0)}: $a vs $e")
+    }
+  }
+
   test("q19 bands partition all orders exactly once") {
     import org.apache.spark.sql.functions._
     val df = Relational.q19PriceBands.fn(spark, sfDir)
