@@ -47,6 +47,33 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("date-partitioned layout partition-prunes: only matching days are scanned") {
+    // the 100 TB posture README claims: with a partitioned layout, the same
+    // declarative filters become PartitionFilters and unread partitions are
+    // never touched. Proven here on a day-partitioned write of events.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    T(spark, sfDir, "events")
+      .withColumn("day", expr("cast(ts div 86400000000000 as bigint)"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val days = spark.read.parquet(dir).select("day").distinct().count()
+    assert(days > 1, "need multiple day partitions for the pruning to mean anything")
+
+    // a literal partition filter (resolved driver-side) so the plan
+    // assertion below is deterministic
+    // partition-directory values are re-inferred (int here), so stay untyped
+    val minDay = spark.read.parquet(dir).agg(min(col("day"))).head.get(0)
+    val pruned = spark.read.parquet(dir).filter(col("day") === minDay)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.partitionFilters.nonEmpty, "day filter must be a partition filter")
+    val allDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("day="))
+    assert(scan.head.selectedPartitions.partitionCount === 1,
+      s"must scan exactly 1 of $allDirs day partitions")
+    assert(pruned.count() > 0)
+  }
+
   test("broadcast dimension join plans no shuffle for the fact side") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_suppkey")
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
