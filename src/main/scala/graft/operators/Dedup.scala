@@ -119,6 +119,38 @@ object Dedup {
     * broadcast for the anti-join. */
   private[operators] val MaxShingleDf = 64
 
+  /** Capped shingle index of a (doc_id, th) frame: explode, then drop every
+    * shingle whose document frequency exceeds [[MaxShingleDf]] via a
+    * broadcast anti-join against the (tiny by construction) hot set.
+    * Returns the exploded (doc_id, h) inverted index. */
+  private[operators] def cappedShingleIndex(hs: DataFrame): DataFrame = {
+    val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+    ex.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
+  /** Capped per-doc shingle sets (doc_id, th): [[cappedShingleIndex]]
+    * regrouped per document (bounded group count — one group per doc, not
+    * per shingle). Docs whose shingles are empty or all hot drop out, same
+    * as the oracle dialect (unnest drops empties, GROUP BY re-forms the
+    * rest); downstream consumers (permuted mins, intersect sizes) are
+    * order-insensitive, so collect_list order is free. */
+  private[operators] def cappedShingleSets(hs: DataFrame): DataFrame =
+    cappedShingleIndex(hs).groupBy("doc_id").agg(collect_list(col("h")).as("th"))
+
+  /** DuckDB dialect of [[cappedShingleSets]]: CTEs from a word-shingle CTE
+    * named `sh` (doc_id, s) to capped sets `sh2` (doc_id, th), with the
+    * exploded capped index available as `ex2`. Shared verbatim by the d27 /
+    * d28 / x90 oracles so all three cap identically. */
+  private[operators] val duckCappedSets =
+    s"""hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+        ex AS (SELECT doc_id, unnest(th) AS h FROM hs0),
+        dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+        ex2 AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                WHERE dfreq.df <= $MaxShingleDf),
+        sh2 AS (SELECT doc_id, list(h) AS th FROM ex2 GROUP BY doc_id)"""
+
   /** N-gram Jaccard near-dup: inverted-index self-join over *hashed*
     * shingles (bigint join keys, not 30-char strings) with the
     * [[MaxShingleDf]] hot-shingle cap, exact Jaccard ≥ 0.5 over the capped
@@ -127,11 +159,7 @@ object Dedup {
   val d27NgramJaccard = Q(
     "d27_ngram_jaccard",
     s"""WITH $duckShingles,
-        hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
-        ex AS (SELECT doc_id, unnest(th) AS h FROM hs),
-        dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
-        ex2 AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
-                WHERE dfreq.df <= $MaxShingleDf),
+        $duckCappedSets,
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
                   FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
@@ -148,10 +176,7 @@ object Dedup {
     // 1M+-group collect_list. The self-join stays a bigint sort-merge join.
     import spark.implicits._
     val hs = shingleHashes(spark, dir).cache()
-    val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
-    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("h")
-    val ex2 = ex.join(broadcast(hot), Seq("h"), "left_anti").cache()
+    val ex2 = cappedShingleIndex(hs).cache()
     // pair generation: ONE shuffle on h + a sorted-run JVM pass, instead of
     // a sort-merge self-join (which sorts the 1.5M-row index twice). Every
     // run is ≤ MaxShingleDf docs by the cap, so per-run pair emission is
@@ -220,12 +245,7 @@ object Dedup {
   val d28MinhashLsh = Q(
     "d28_minhash_lsh",
     s"""WITH $duckShingles,
-        hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
-        ex AS (SELECT doc_id, unnest(th) AS h FROM hs0),
-        dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
-        ex2 AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
-                WHERE dfreq.df <= $MaxShingleDf),
-        sh2 AS (SELECT doc_id, list(h) AS th FROM ex2 GROUP BY doc_id),
+        $duckCappedSets,
         sig AS (SELECT doc_id, $sigDuck AS m FROM sh2),
         band AS (SELECT doc_id, b,
                  m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
@@ -241,17 +261,10 @@ object Dedup {
                CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
-    // capped per-doc sets (hs0/hot cache-dedupe with d27's identical
-    // plans): everything downstream (permuted mins, intersect sizes) is
-    // order-insensitive, so collect_list order doesn't matter; the regroup
-    // is per-document (bounded group count), not per-shingle
+    // capped per-doc sets (hs0 and the cap plans cache-dedupe with d27's
+    // identical plans)
     val hs0 = shingleHashes(spark, dir).cache()
-    val ex = hs0.select(col("doc_id"), explode(col("th")).as("h"))
-    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("h")
-    val sh = ex.join(broadcast(hot), Seq("h"), "left_anti")
-      .groupBy("doc_id").agg(collect_list(col("h")).as("th"))
-      .cache()
+    val sh = cappedShingleSets(hs0).cache()
     val sig = sh.withColumn("m", expr(sigSpark)).cache()
     val band = sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
@@ -364,6 +377,19 @@ object Dedup {
     * never the result, so the oracle stays the plain quadratic SQL. Dots run
     * in a JVM loop with the identical left-to-right fold as the oracle's
     * [[Cosine]] folds — doubles compare bit-equal. */
+  /** Rows per block the tile scheme targets: one tile holds two blocks, so
+    * per-task memory is ~2 × TargetBlockRows × dim × 8 B (≈ 64 MB at 64
+    * dims) regardless of N. B therefore grows LINEARLY with N — tile count
+    * B·(B+1)/2 grows with N², which is inherent to the exact all-pairs
+    * contract (the output itself is O(N²) work); the approximate tiers
+    * ([[Similarity.s33AnnLsh]]/[[Similarity.s34AnnIvf]]) are the escape. */
+  private[operators] val TargetBlockRows = 65536L
+
+  /** Block count for N vectors: keeps every block ≤ [[TargetBlockRows]],
+    * floor 8 so small inputs still parallelize across tasks. */
+  private[operators] def blocksFor(n: Long): Int =
+    math.max(8L, (n + TargetBlockRows - 1) / TargetBlockRows).toInt
+
   val d31EmbeddingNeardup = Q(
     "d31_embedding_neardup",
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -372,12 +398,21 @@ object Dedup {
                      ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
               FROM e a, e b WHERE a.vec_id < b.vec_id)
         SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45 ORDER BY a_id, b_id""") { (spark, dir) =>
+    // B derived from a cheap count (metadata-only on parquet) so one tile
+    // always fits an executor; block assignment affects execution only,
+    // never the result (DedupSpec pins B-invariance bit-exactly)
+    d31Blocked(spark, dir, blocksFor(T(spark, dir, "embeddings").count()))
+  }
+
+  /** d31's engine with an explicit block count (the query derives B via
+    * [[blocksFor]]; the B-invariance spec sweeps it). */
+  private[operators] def d31Blocked(spark: SparkSession, dir: String,
+      numBlocks: Int): DataFrame = {
     import spark.implicits._
-    val numBlocks = 8
-    // one row per block: (blk, compact vector list). At scale B grows with N
-    // so a tile (two blocks) stays executor-resident; tiles are the unit of
-    // parallelism. Pair rows are never materialized through a join — each
-    // tile's cross product runs as a JVM loop.
+    // one row per block: (blk, compact vector list). B grows with N
+    // ([[blocksFor]]) so a tile (two blocks) stays executor-resident; tiles
+    // are the unit of parallelism. Pair rows are never materialized through
+    // a join — each tile's cross product runs as a JVM loop.
     val blocks = T(spark, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
       .withColumn("nrm", expr(Cosine.sparkNorm("v")))

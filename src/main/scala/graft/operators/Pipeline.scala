@@ -42,16 +42,19 @@ object Pipeline {
                 AND CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
                     / len(t) <= 0.25),
         -- exact dedup (d26): keep the smallest doc_id per content hash
-        ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-        qd AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.doc_id),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        qd AS (SELECT q.* FROM q JOIN keep ON q.doc_id = keep.doc_id),
         -- near-dup removal (d28 minhash-LSH verified pairs at >= 0.5):
         sh AS (SELECT doc_id,
                CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
                       range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE []::VARCHAR[] END AS s FROM qd),
-        hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
-        sig AS (SELECT doc_id, list_transform(range(0, 12), k -> list_min(list_transform(th,
-                  h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647))) AS m FROM hs),
+        -- hot-shingle DF cap (MaxShingleDf), identical to d27/d28: without it
+        -- one stop shingle shared by half the corpus drags every minhash
+        -- minimum, unrelated docs collide in band buckets, and the candidate
+        -- join goes quadratic in the bucket
+        ${Dedup.duckCappedSets},
+        sig AS (SELECT doc_id, ${Dedup.sigDuck} AS m FROM sh2),
         band AS (SELECT doc_id, b,
                  m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
                  FROM sig, range(0, 4) r(b)),
@@ -59,7 +62,7 @@ object Pipeline {
                  FROM band a JOIN band c ON a.b = c.b AND a.bkey = c.bkey
                                         AND a.doc_id < c.doc_id),
         dups AS (SELECT DISTINCT b_id FROM cand
-                 JOIN hs sa ON a_id = sa.doc_id JOIN hs sb ON b_id = sb.doc_id
+                 JOIN sh2 sa ON a_id = sa.doc_id JOIN sh2 sb ON b_id = sb.doc_id
                  WHERE CAST(len(list_intersect(sa.th, sb.th)) AS DOUBLE)
                        / (len(sa.th) + len(sb.th) - len(list_intersect(sa.th, sb.th))) >= 0.5),
         corpus AS (SELECT qd.* FROM qd LEFT JOIN dups ON qd.doc_id = dups.b_id
@@ -81,10 +84,12 @@ object Pipeline {
     // near-dup pairs via the d28 minhash pipeline over the filtered corpus;
     // shingle hashes come from the shared JVM kernel (Dedup.shingleHashesFrom
     // — same derivation as the oracle's list_distinct(list_transform(s, H)))
+    // and pass through the SAME hot-shingle DF cap as d27/d28 before the
+    // signatures AND the verification sets — the cap is what keeps the band
+    // buckets (and so the candidate join) sub-quadratic at 100 TB
     val hs = Dedup.shingleHashesFrom(qd).cache()
-    val sig = hs.withColumn("m", expr(
-      "transform(sequence(0, 11), k -> array_min(transform(th, " +
-        "h -> ((2*k + 1) * h + (k*k + 1)) % 2147483647)))")).cache()
+    val sh = Dedup.cappedShingleSets(hs).cache()
+    val sig = sh.withColumn("m", expr(Dedup.sigSpark)).cache()
     val band = sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
       .selectExpr("doc_id", "b",
@@ -94,8 +99,8 @@ object Pipeline {
         col("b") === col("b2") && col("bkey") === col("bkey2") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val dups = cand
-      .join(hs.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
-      .join(hs.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
+      .join(sh.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
       .filter(expr("cast(size(array_intersect(th_a, th_b)) as double) / " +
         "(size(th_a) + size(th_b) - size(array_intersect(th_a, th_b))) >= 0.5"))
       .select("b_id").distinct()

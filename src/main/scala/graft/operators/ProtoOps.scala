@@ -104,15 +104,17 @@ object ProtoOps {
 }
 
 /** Classpath fixtures → temp files (spark.read needs paths). The path is
-  * pinned to /tmp (not java.io.tmpdir) because pa62's oracle SQL names it. */
+  * pinned to /tmp (not java.io.tmpdir) because pa62's oracle SQL names it.
+  * The copy always overwrites: a stale file from an older run (or another
+  * checkout on a shared machine) must never feed the oracle different data
+  * than the resource the Spark side was built against. */
 object Fixtures {
   def materialize(name: String): String = {
     val target = java.nio.file.Paths.get("/tmp", s"graft_fixture_$name.jsonl")
-    if (!java.nio.file.Files.exists(target)) {
-      val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
-      java.nio.file.Files.copy(in, target)
-      in.close()
-    }
+    val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
+    java.nio.file.Files.copy(in, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    in.close()
     target.toString
   }
 }

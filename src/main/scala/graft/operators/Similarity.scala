@@ -106,7 +106,13 @@ object Similarity {
       val w = typedlit(hpWeights(b).map(_.toDouble))
       when(Cosine.dot(col("v"), w) > 0.0d, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    vecs(spark, dir).withColumn("bucket", bucket)
+    // the literal weight matrix is Dim-wide: on a different dimensionality
+    // ArrayDot would silently truncate (min-length loop) while the oracle
+    // indexes wm[d+1] out of range — fail loudly instead of diverging
+    val guarded = when(size(col("v")) === Dim, bucket).otherwise(raise_error(
+      concat(lit(s"hyperplane-LSH expects $Dim-dim embeddings, got "),
+        size(col("v")).cast("string"))))
+    vecs(spark, dir).withColumn("bucket", guarded)
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket (the

@@ -48,13 +48,18 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
-  /** Streaming exact dedup (ingestion-time): emits only the FIRST
-    * occurrence of each key (e.g. a content hash) across the whole stream —
-    * the `flatMapGroupsWithState` custom-state tier (SURVEY §2 Part B
-    * streaming row): per-key state is one boolean, partitioned by key
-    * across executors, and evicted by the event-time timeout once the
-    * watermark passes it, so state stays bounded. This is the dedup a
-    * training-data pipeline runs in front of the corpus store (batch twin:
+  /** Streaming exact dedup (ingestion-time): emits the first *emitted*
+    * occurrence of each key (e.g. a content hash) within the
+    * watermark+timeout horizon — the `flatMapGroupsWithState` custom-state
+    * tier (SURVEY §2 Part B streaming row): per-key state is one boolean,
+    * partitioned by key across executors, and evicted by the event-time
+    * timeout once the watermark passes it, so state stays bounded. Bounded
+    * state necessarily weakens the guarantee vs global first-by-event-time:
+    * within one micro-batch the smallest event time wins, but a
+    * smaller-event-time row arriving in a LATER batch is dropped (the key
+    * already emitted), and once the 2-hour timeout evicts a key's tombstone
+    * a re-occurrence counts as new. This is the dedup a training-data
+    * pipeline runs in front of the corpus store (batch twin — exact, global:
     * [[graft.operators.Dedup.d26ExactDedup]]).
     *
     * Rows must carry (key: String, ts: Timestamp, payload: String); the

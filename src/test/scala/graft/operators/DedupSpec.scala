@@ -20,12 +20,46 @@ class DedupSpec extends SparkSpec {
   test("d27/d28: the hot-shingle cap changes nothing when no shingle is hot") {
     // at sf0.001 every shingle's document frequency is far below the cap, so
     // the capped pipeline must reproduce the uncapped pair set — the cap is
-    // a pure scale guard, not a semantics change on healthy data
+    // a pure scale guard, not a semantics change on healthy data. The
+    // uncapped baseline is computed independently here: per-doc shingle-hash
+    // sets, all-pairs exact Jaccard (viable at this SF only).
+    val hs = Dedup.shingleHashes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val uncapped = (for {
+      (a, sa) <- hs; (b, sb) <- hs if a < b
+      inter = (sa & sb).size
+      // 0/0 = NaN fails the >= , matching the index pipeline where docs
+      // with no shingles never enter a pair
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    } yield (a, b)).toSet
     val d27 = Dedup.d27NgramJaccard.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty, "sf0.001 must produce at least one near-dup pair")
+    assert(d27 === uncapped, "capped pipeline must equal the uncapped pair set")
     val d28 = Dedup.d28MinhashLsh.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // d28 candidates are a subset of d27's verified pairs by construction
     assert(d28.subsetOf(d27))
+  }
+
+  test("d31: results are bit-invariant across block counts B ∈ {2, 8, 16}") {
+    // block assignment is an execution detail: every unordered pair is
+    // evaluated exactly once with the same fold, whatever B — so changing B
+    // (as blocksFor does when N grows) can never change the answer
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ref = toMap(Dedup.d31Blocked(spark, sfDir, 8).collect())
+    assert(ref.nonEmpty)
+    for (b <- Seq(2, 16)) {
+      val got = toMap(Dedup.d31Blocked(spark, sfDir, b).collect())
+      assert(got === ref, s"B=$b must be bit-identical to B=8")
+    }
+  }
+
+  test("d31: blocksFor keeps blocks bounded and scales linearly with N") {
+    assert(Dedup.blocksFor(0) === 8)
+    assert(Dedup.blocksFor(500) === 8)
+    assert(Dedup.blocksFor(Dedup.TargetBlockRows * 100) === 100)
+    assert(Dedup.blocksFor(Dedup.TargetBlockRows * 100 + 1) === 101)
   }
 }

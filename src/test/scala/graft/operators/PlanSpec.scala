@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
       "the MaxShingleDf cap stage must exist in the plan")
   }
 
+  test("x90: near-dup signature stage is capped (anti-join against the hot set)") {
+    val p = analyzed("x90_corpus_pipeline")
+    assert(p.contains("LeftAnti") && p.contains("cast(64 as bigint)"),
+      "the MaxShingleDf cap stage must exist inside x90's minhash stage")
+  }
+
   test("d31: block-partitioned — tile equi-joins only, no cartesian/nested-loop") {
     val p = plan("d31_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "d31 must tile the pair space, not cross-join it")
