@@ -70,12 +70,16 @@ object Pipeline {
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS total_tokens
         FROM corpus GROUP BY lang ORDER BY lang""") { (spark, dir) =>
-    // quality gate (t23 criteria)
+    // quality gate (t23 criteria) via the native single-pass token_quality
+    // predicate: written over the projected `t`, projection collapse would
+    // substitute split(text) into the pushed filter three times — the whole
+    // corpus tokenized 3x inside the scan. token_quality makes one byte
+    // pass per document (no arrays), stays codegen'd, and survivors are
+    // tokenized once in the post-filter projection.
     val q = T(spark, dir, "documents")
+      .filter(graft.functions.TokenQuality(col("text"), 20, 120, 0.25))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         split(col("text"), " ").as("t"))
-      .filter(expr("size(t) between 20 and 120 and " +
-        "cast(size(filter(t, x -> x = 'the' OR x = 'a')) as double) / size(t) <= 0.25"))
       .cache()
     // exact dedup keep-list
     val keep = q.groupBy(md5(col("text").cast("binary")))

@@ -51,6 +51,32 @@ class FunctionsSpec extends SparkSpec {
     interp.foreach { case (id, d) => assert(d === native(id), s"vec $id interp") }
   }
 
+  test("token_quality: row-identical to the three-way split predicate, both eval paths") {
+    val docs = graft.operators.T(spark, sfDir, "documents")
+    val sqlPred = docs.filter(expr(
+      "size(split(text, ' ')) between 20 and 120 and " +
+        "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as double)" +
+        " / size(split(text, ' ')) <= 0.25"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val native = docs.filter(TokenQuality(col("text"), 20, 120, 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sqlPred.nonEmpty && native.size < docs.count(),
+      "the gate must both keep and drop rows at this SF")
+    assert(native === sqlPred)
+    // interpreted (eval) path on edge cases: empty string = one empty token,
+    // trailing-space empties kept, multibyte text, all-stopword doc
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def chk(s: String, min: Int = 1, max: Int = 1000, r: Double = 0.25) =
+      TokenQuality(Literal(s), min, max, r).eval(null).asInstanceOf[Boolean]
+    assert(chk("") === true)             // [""]: 1 token, 0 stop
+    assert(chk("", 2, 5) === false)
+    assert(chk("a b ") === false)        // ["a","b",""]: 3 tokens, 1 stop, 1/3 > 0.25
+    assert(chk("a b ", 1, 10, 0.34) === true)
+    assert(chk("the the the b") === false) // 4 tokens, 3 stop: ratio 0.75
+    assert(chk("héllo wörld ñ a", 1, 10, 0.25) === true) // 4 tokens, 1 stop = 0.25
+    assert(chk("athe a the", 1, 10, 0.5) === false) // 3 tokens, 2 stop ≈ 0.67
+  }
+
   test("writeProtoJsonl ↔ readProtoJsonl round trip") {
     val reg = Schemas.registry
     val md = Schemas.msg("ExampleMessage")

@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
       "the MaxShingleDf cap stage must exist inside x90's minhash stage")
   }
 
+  test("x90: quality gate is the single-pass token_quality, not 3 substituted splits") {
+    val p = analyzed("x90_corpus_pipeline")
+    assert(p.contains("token_quality"),
+      "the scan filter must use the native one-pass predicate")
+    assert(!p.contains("filter(split("),
+      "the stop-ratio filter must not re-tokenize inside the pushed predicate")
+  }
+
   test("d31: block-partitioned — tile equi-joins only, no cartesian/nested-loop") {
     val p = plan("d31_embedding_neardup")
     assert(!p.contains("CartesianProduct"), "d31 must tile the pair space, not cross-join it")
