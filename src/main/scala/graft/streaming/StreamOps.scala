@@ -25,9 +25,16 @@ object StreamOps {
       reg: ProtoRegistry = WellKnown.registry): DataFrame = {
     val schema = SchemaConversion.messageTypeToSchema(md, cfg, reg)
     val writer = Codecs.rowWriter(md, cfg, reg)
+    // lenient row encoder: the writer emits java.time values (Instant /
+    // LocalDate — proleptic, exact for ancient instants); the strict
+    // encoder would reject them for java.sql ones unless the session flips
+    // datetime.java8API. Lenient accepts both — same tolerance the batch
+    // paths get from createDataFrame's converters.
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema, lenient = true)
     payloads.mapPartitions { it =>
       it.map(b => writer(ProtoWire.decode(b, md, reg)))
-    }(Encoders.row(schema)).toDF()
+    }(enc).toDF()
   }
 
   /** Tumbling-window counts with a watermark: event-time aggregation whose

@@ -132,6 +132,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end proto Kafka shape: wire bytes → decode → watermark window → proto sink") {
+    // the reference's production pipeline (docs/faq.md:20-25): micro-batch
+    // wire-format ExampleMessage payloads in, windowed aggregates re-encoded
+    // as wire-format protos out — bytes-in == bytes-out modulo windowing
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val exMd = Schemas.msg("ExampleMessage")
+    def fno(n: String) = exMd.fields.find(_.name == n).get.number
+    val (fTs, fKey, fVal) = (fno("timestamp_value"), fno("string_value"), fno("int64_value"))
+    val base = java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond
+
+    // events across hours 10 and 11 for keys u0/u1 (int64 payload so the
+    // windowed sum is exact under any aggregation order)
+    val events = (0 until 12).map { i =>
+      (base + i * 600L, s"u${i % 2}", (i + 1).toLong)
+    }
+    def wireOf(sec: Long, key: String, v: Long): Array[Byte] =
+      ProtoWire.encode(DynamicMessage(exMd, Map(
+        fTs -> DynamicMessage(WellKnown.timestamp, Map(1 -> sec, 2 -> 0)),
+        fKey -> key, fVal -> v)), Schemas.registry)
+
+    val aggMd = PMessageDesc("graft.WindowCount", Seq(
+      PField("ws", 1, PType.PMessage(WellKnown.TimestampName)),
+      PField("key", 2, PType.PString),
+      PField("n", 3, PType.PInt64),
+      PField("sum_value", 4, PType.PInt64)))
+    val collected = scala.collection.mutable.Buffer[(Long, String, Long, Long)]()
+
+    val stream = MemoryStream[Array[Byte]]
+    val decoded = StreamOps.decodeProtoStream(stream.toDS(), exMd, GraftConfig(), reg)
+      .select(col("timestamp_value").as("ts"), col("string_value").as("key"),
+        col("int64_value").as("value"))
+    val windowed = StreamOps.windowedCounts(decoded, "ts", "key")
+      .select(col("window.start").as("ws"), col("key"), col("n"),
+        col("sum_value").cast("long").as("sum_value"))
+    val q = StreamOps.protoSink(windowed, aggMd, GraftConfig(), reg) { ds =>
+      collected ++= ds.collect().map { b =>
+        val m = ProtoWire.decode(b, aggMd, reg)
+        val ws = m.get(1).get.asInstanceOf[DynamicMessage]
+        (ws.get(1).map(_.asInstanceOf[Long]).getOrElse(0L),
+          m.get(2).map(_.asInstanceOf[String]).getOrElse(""),
+          m.get(3).map(_.asInstanceOf[Long]).getOrElse(0L),
+          m.get(4).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+    }.outputMode("append").start()
+    try {
+      stream.addData(events.map { case (s, k, v) => wireOf(s, k, v) })
+      q.processAllAvailable()
+      // two flush cycles push the watermark a day past hours 10-11 so their
+      // windows finalize and emit (append mode emits only closed windows)
+      stream.addData(Seq(wireOf(base + 86400L, "flush", 0L)))
+      q.processAllAvailable()
+      stream.addData(Seq(wireOf(base + 90000L, "flush", 0L)))
+      q.processAllAvailable()
+
+      val expected = events
+        .groupBy { case (s, k, _) => (s / 3600 * 3600, k) }
+        .map { case ((ws, k), es) =>
+          (ws, k, es.size.toLong, es.map(_._3).sum) }.toSet
+      assert(collected.toSet === expected,
+        "windowed aggregates decoded from the sink's wire bytes must equal " +
+          "the plain-Scala aggregation of the input messages")
+    } finally q.stop()
+  }
+
   test("foreachBatch proto sink re-encodes each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
