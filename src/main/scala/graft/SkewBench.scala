@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew stress bench: the cap/salt/band designs all CLAIM
+  * skew-safety; this main measures it. It builds a deliberately hostile
+  * variant of the SF tables and times the dedup/ANN/join stack on it with
+  * a wall bound per query:
+  *
+  *  - `documents`: one document duplicated 10,000× (new doc_ids) AND a
+  *    stop-shingle ("the cat sat ") prefixed to half the corpus. The dup
+  *    cluster makes every one of its shingles hot (df ≥ 10k ≫ MaxShingleDf)
+  *    — the cap must remove them all, so d27/d28 emit ZERO pairs for the
+  *    cluster instead of 10k²/2 ≈ 50M; exact dedup (d26) is the operator
+  *    that owns mass duplicates, and x90 proves the composition (d26
+  *    keep-list collapses the cluster BEFORE the minhash stage).
+  *  - `embeddings`: one vector duplicated 10,000× — the hottest possible
+  *    LSH bucket / IVF cell; s33/s34 stay bounded because the query side
+  *    is small (candidates ≤ |Q| × bucket), never bucket × bucket.
+  *  - `lineitem`: ~20 % of rows remapped to ONE order key; q26's salted
+  *    join must spread that key over saltFactor reducers.
+  *
+  * d30/d31 are excluded by contract, not leniency: their OUTPUT is
+  * quadratic in duplicate multiplicity (every dup pair is a result row —
+  * 10k dups = 50M correct answer rows), so "skew-safe" is not a property
+  * they can have on a mass-duplicated input; the pipeline answer is d26
+  * first (which x90 demonstrates under this very workload).
+  *
+  * Prints one JSON line; exits 1 if any query exceeds the wall bound.
+  */
+object SkewBench {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  val DupFactor = 10000
+  val BoundSec = 120.0
+  val Queries = Seq("d26_exact_dedup", "d27_ngram_jaccard", "d28_minhash_lsh",
+    "d29_simhash", "d32_minhash_agg", "s33_ann_lsh", "s34_ann_ivf",
+    "q26_salted_join", "x90_corpus_pipeline")
+
+  /** Writes the hostile tables into `outDir` (only the tables the skew
+    * queries read). Deterministic — no rand(). */
+  def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    def t(n: String): DataFrame = spark.read.parquet(s"$sfDir/$n.parquet")
+
+    // documents: stop-shingle on even ids + one doc duplicated DupFactor×
+    val docs = t("documents")
+    val hot = docs.orderBy("doc_id").limit(1).head()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val prefixed = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("the cat sat "), col("text"))).otherwise(col("text")))
+    val dups = spark.range(1, DupFactor + 1L)
+      .select((col("id") + maxId).as("doc_id"),
+        lit(hot.getAs[String]("text")).as("text"),
+        lit(hot.getAs[String]("lang")).as("lang"),
+        lit(hot.getAs[String]("source")).as("source"),
+        lit(hot.getAs[Long]("n_chars")).as("n_chars"))
+    prefixed.unionByName(dups)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings: one vector duplicated DupFactor× → one hot bucket/cell
+    val emb = t("embeddings")
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0)
+    val hotVec = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding"), col("label"))
+    val vdups = spark.range(1, DupFactor + 1L)
+      .select((col("id") + maxVid).as("vec_id"))
+      .crossJoin(hotVec)
+    emb.unionByName(vdups)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // lineitem: every 5th row's key remapped to one hot order key
+    val li = t("lineitem")
+    val hotKey = li.agg(min("l_orderkey")).head().getLong(0)
+    li.withColumn("l_orderkey",
+      when(pmod(col("l_linenumber") + col("l_partkey"), lit(5)) === 0,
+        lit(hotKey)).otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // orders unchanged (q26's build side)
+    t("orders").write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, sfDir, outDir)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    Queries.foreach { name =>
+      spark.sharedState.cacheManager.clearCache()
+      results(name) = time {
+        try { SparkEntry.queries(name)(spark, outDir).count(); () }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+        }
+      }
+    }
+    val violations = results.filter(_._2 > BoundSec).keys.toSeq ++ errors.keys
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val vs = violations.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"skew_total","value":${results.values.sum},"unit":"sec","bound_sec":$BoundSec,"dup_factor":$DupFactor,"queries":$qs,"errors":$es,"violations":$vs,"sf":"$sfDir"}""")
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

@@ -12,22 +12,29 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Salted equi-join for skewed keys: the build side is exploded
-    * `saltFactor`× (one copy per salt value), the probe side gets a random
-    * — here deterministic hash-based — salt, so one hot key spreads over
-    * `saltFactor` reducers instead of one. Results are identical to a
-    * plain inner join.
+    * `saltFactor`× (one copy per salt value), the probe side gets a
+    * per-ROW salt, so one hot key's rows spread over `saltFactor`
+    * reducers instead of one. Results are identical to a plain inner
+    * join.
+    *
+    * The salt MUST vary within a key: a salt derived from the join key
+    * alone sends every row of the hot key to the same reducer and defeats
+    * the whole technique (SkewBench measures exactly this). A full-row
+    * hash is used here — deterministic (so runs are reproducible and the
+    * DuckDB oracle can mirror the result) yet spread across salts for the
+    * hot key's many distinct rows; in production a `rand()` salt is
+    * equally correct because salting never changes results, only
+    * placement.
     *
     * At 100 TB: use when one side has heavy hitters AQE's skew-join split
-    * can't fix (e.g. a single key holding >1 partition of rows). The salt
-    * must be deterministic here so the DuckDB oracle can mirror the
-    * result; in production a `rand()`-based salt is fine because salting
-    * never changes results, only placement. */
+    * can't fix (e.g. a single key holding >1 partition of rows). */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
       buildKey: Column, saltFactor: Int): DataFrame = {
     val salted = build
       .withColumn("__salt", explode(lit((0 until saltFactor).toArray)))
     val probeSalted = probe
-      .withColumn("__salt", (abs(hash(probeKey)) % saltFactor).cast("int"))
+      .withColumn("__salt",
+        pmod(hash(probe.columns.map(col): _*), lit(saltFactor)).cast("int"))
     probeSalted.join(salted,
       probeKey === buildKey && probeSalted("__salt") === salted("__salt"))
       .drop("__salt")
