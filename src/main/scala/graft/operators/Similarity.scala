@@ -144,6 +144,48 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Multi-probe hyperplane-LSH ANN: each query probes its own bucket PLUS
+    * the 6 Hamming-1 neighbor buckets (one hyperplane bit flipped). A
+    * single hyperplane slicing through a tight cluster is the dominant
+    * recall failure of single-probe LSH ([[s33AnnLsh]]; RecallSpec measures
+    * its 0.60 envelope at 5× noise) — probing the adjacent half-spaces
+    * recovers exactly those neighbors. Cost model at 100 TB: candidates ≤
+    * |Q| × 7 × bucket size — still a bucket equi-join (probe side exploded
+    * 7×, data side untouched), never bucket × bucket; each data vector
+    * lives in exactly one bucket, so no candidate dedup is needed. */
+  val s36AnnMultiprobe = Q(
+    "s36_ann_multiprobe",
+    s"""WITH $duckVecs, $duckW,
+        bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
+        probes AS (SELECT vec_id AS q_id, v, nrm,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                  xor(bucket, 4), xor(bucket, 8),
+                                  xor(bucket, 16), xor(bucket, 32)]) AS pb
+                   FROM bk WHERE vec_id < 10),
+        p AS (SELECT q.q_id, n.vec_id AS n_id,
+                     ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+              FROM probes q JOIN bk n ON q.pb = n.bucket AND n.vec_id <> q.q_id),
+        r AS (SELECT q_id, n_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+              FROM p)
+        SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val bk = bucketedVecs(spark, dir)
+    val masks = 0L +: (0 until 6).map(b => 1L << b)
+    val q = bk.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+    val n = bk.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
+      col("bucket").as("bn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(n, col("pb") === col("bn") && col("n_id") =!= col("q_id"))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** IVF ANN: centroids = vec_id < 8; every vector assigned to its nearest
     * centroid (broadcast join); queries probe their 2 nearest cells and rank
     * candidates within them. */
@@ -217,5 +259,6 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats)
+  val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
+    s36AnnMultiprobe)
 }
