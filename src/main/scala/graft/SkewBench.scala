@@ -39,7 +39,7 @@ object SkewBench {
   val BoundSec = 120.0
   val Queries = Seq("d26_exact_dedup", "d27_ngram_jaccard", "d28_minhash_lsh",
     "d29_simhash", "d32_minhash_agg", "s33_ann_lsh", "s34_ann_ivf",
-    "q26_salted_join", "x90_corpus_pipeline")
+    "s36_ann_multiprobe", "q26_salted_join", "x90_corpus_pipeline")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan("s33_ann_lsh").toLowerCase.contains("md5"))
   }
 
+  test("s36: multi-probe stays a bucket equi-join (no cartesian, no per-row md5)") {
+    val p = plan("s36_ann_multiprobe")
+    assert(!p.toLowerCase.contains("md5"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the 7-bucket probe must explode the query side, never cross-join the data")
+  }
+
   test("s32: cosine runs as the native array_dot inside whole-stage codegen") {
     // AQE's pre-execution formatted plan omits codegen markers (they are
     // attached per query stage at runtime) — disable it for this gate.
