@@ -184,6 +184,37 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  // BPE-ish pre-tokenizer (GPT-2 shape, lookahead-free so Java regex and
+  // RE2 agree): contraction suffixes, space-prefixed letter runs, digit
+  // runs, punctuation runs. Alternation order is load-bearing and
+  // identical in both dialects (both engines are leftmost-first). The
+  // apostrophe means the pattern must NOT pass through a SQL string
+  // literal on the Spark side (Column API below); the oracle doubles it.
+  private val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+  private val BpeSql = BpePattern.replace("'", "''")
+
+  /** BPE-ish token counting — the cost estimator a training-data pipeline
+    * runs per document (chars/token ratio is the standard data-quality and
+    * budget signal). Pure per-row regex counting: map-only, codegen'd,
+    * embarrassingly parallel at any scale. */
+  val t28TokenBpe = Q(
+    "t28_token_bpe",
+    s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$BpeSql')) AS BIGINT) AS n_bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) AS DOUBLE)
+          / len(regexp_extract_all(text, '$BpeSql')) AS chars_per_token
+        FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    val nTok = regexp_count(col("text"), lit(BpePattern))
+    T(spark, dir, "documents").select(
+      col("doc_id"),
+      nTok.cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text")).cast("double") / nTok).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
-    t24LangId, t25Fingerprint, t26Keywords)
+    t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe)
 }
