@@ -197,6 +197,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus curation: token_quality gate + first-seen content dedup") {
+    // the ingestion-time front-end of x90: quality-filter documents as they
+    // arrive, then drop exact re-occurrences by content hash — what a
+    // training-data pipeline runs before the corpus store. Composition of
+    // the native token_quality predicate and dedupFirstSeen, cross-batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def doc(m: Long, text: String) = (new Timestamp(base + m * 60000L), text)
+    val good1 = Array.fill(30)("w").mkString(" ")   // 30 tokens, no stops
+    val good2 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val short = "too short"                          // fails min tokens
+    val stoppy = (Array.fill(10)("the") ++ Array.fill(20)("x")).mkString(" ") // ratio 1/3
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val curated = StreamOps.dedupFirstSeen(
+      stream.toDS().toDF("ts", "text")
+        .filter(graft.functions.TokenQuality(col("text"), 20, 120, 0.25))
+        .select(md5(col("text").cast("binary")).as("h"), col("ts"), col("text"))
+        .withWatermark("ts", "1 hour")
+        .as[(String, Timestamp, String)])
+    val q = curated.toDF("h", "ts", "text")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(doc(0, good1), doc(1, short), doc(2, good1), doc(3, good2)))
+      q.processAllAvailable()
+      // cross-batch: good1 again (dup), stoppy (quality-rejected), good2 dup
+      stream.addData(Seq(doc(4, good1), doc(5, stoppy), doc(6, good2)))
+      q.processAllAvailable()
+      val out = spark.table("curated").collect().map(_.getString(2)).toSeq
+      assert(out.sorted === Seq(good1, good2).sorted,
+        "exactly one copy of each quality doc must survive; " +
+          "short/stoppy rejected by the gate, re-occurrences by the dedup")
+    } finally q.stop()
+  }
+
   test("foreachBatch proto sink re-encodes each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
