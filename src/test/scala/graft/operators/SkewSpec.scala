@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Value-level skew gates at spec speed (sf0.001 + SkewBench's generator):
+  * the 120 s-bounded `graft.SkewBench` main measures wall time at sf0.1;
+  * this spec pins the *behavioral* contracts every CI run. */
+class SkewSpec extends SparkSpec {
+
+  test("mass-duplicated corpus: d26 counts the cluster, the cap silences it in d27/d28") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_spec").toString
+    graft.SkewBench.generate(spark, sfDir, dir)
+
+    // the duplicated cluster = the modal text (the 10k appended copies;
+    // the original row itself got the stop-shingle prefix, so it is a
+    // distinct text)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val hotText = docs.groupBy("text").count()
+      .orderBy(desc("count")).limit(1).head.getString(0)
+    val dupIds = docs.filter(col("text") === hotText)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupIds.size >= graft.SkewBench.DupFactor)
+
+    // exact dedup owns mass duplicates: one group carries the whole cluster
+    val d26 = Dedup.d26ExactDedup.fn(spark, dir)
+    assert(d26.agg(max("n_copies")).head.getLong(0) === dupIds.size.toLong)
+
+    // near-dup pipelines: every shingle of the cluster has df ≥ 10k ≫ cap,
+    // so the cluster contributes ZERO pairs (the uncapped answer would be
+    // ~50M pair rows — the quadratic cliff the cap exists to close)
+    for ((q, name) <- Seq(Dedup.d27NgramJaccard -> "d27", Dedup.d28MinhashLsh -> "d28")) {
+      val ids = q.fn(spark, dir).select("a_id", "b_id").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(ids.intersect(dupIds).isEmpty,
+        s"$name must not emit pairs for the capped dup cluster")
+    }
+
+    // the composed pipeline still answers: exact dedup collapses the
+    // cluster BEFORE the minhash stage, so x90 completes and counts each
+    // surviving text once
+    assert(Pipeline.x90CorpusPipeline.fn(spark, dir).count() > 0)
+    assert(n === docs.count()) // generator is deterministic/stable
+  }
+}
