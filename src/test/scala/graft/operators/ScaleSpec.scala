@@ -74,6 +74,30 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("runtime bloom-filter join pruning: selective dim filter reaches the fact scan") {
+    // 100 TB semi-join reduction: when a dimension carries a selective
+    // filter, Catalyst's InjectRuntimeFilter should guard the fact-side
+    // scan with a bloom filter built from the dim's join keys, so most
+    // fact rows die at the scan instead of travelling through the shuffle.
+    // Thresholds are sized for test data; at 100 TB the defaults (10 MB
+    // creation side) fire on exactly this query shape.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join, worth filtering
+    val li = s2.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = s2.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .filter(col("o_totalprice") > 100000) // selective dim predicate
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+      "a runtime bloom filter must guard the fact side:\n" + optimized.take(2000))
+    assert(joined.count() > 0)
+  }
+
   test("broadcast dimension join plans no shuffle for the fact side") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_suppkey")
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
