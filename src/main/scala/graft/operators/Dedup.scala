@@ -60,32 +60,60 @@ object Dedup {
     *
     * Defined as a stable function value so the MapPartitions plans built by
     * different queries canonicalize equal and share one cached result. */
+  /** Per-string form of the kernel (shared with the streaming near-dup
+    * tier): distinct word-3-gram shingle hashes of one text, insertion
+    * order. `md5` is caller-provided so partition-level loops reuse one
+    * instance. */
+  private[graft] def shingleHashesOf(text: String,
+      md5: java.security.MessageDigest): Array[Long] = {
+    val t = text.split(" ", -1) // matches Spark/DuckDB split semantics
+    if (t.length < 3) Array.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]
+      var i = 0
+      while (i <= t.length - 3) {
+        val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
+        md5.reset()
+        val d = md5.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 8 hex chars = first 4 bytes, unsigned
+        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val itr = seen.iterator(); var j = 0
+      while (itr.hasNext) { out(j) = itr.next(); j += 1 }
+      out
+    }
+  }
+
   private val shingleHashKernel: Iterator[(Long, String)] => Iterator[(Long, Array[Long])] =
     it => {
       val md5 = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, text) =>
-        val t = text.split(" ", -1) // matches Spark/DuckDB split semantics
-        if (t.length < 3) (id, Array.empty[Long])
-        else {
-          val seen = new java.util.LinkedHashSet[java.lang.Long]
-          var i = 0
-          while (i <= t.length - 3) {
-            val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
-            md5.reset()
-            val d = md5.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            // first 8 hex chars = first 4 bytes, unsigned
-            val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-              ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-            seen.add(h)
-            i += 1
-          }
-          val out = new Array[Long](seen.size)
-          val itr = seen.iterator(); var j = 0
-          while (itr.hasNext) { out(j) = itr.next(); j += 1 }
-          (id, out)
-        }
-      }
+      it.map { case (id, text) => (id, shingleHashesOf(text, md5)) }
     }
+
+  /** 12-permutation minhash signature of a shingle-hash set — the exact
+    * JVM twin of [[sigSpark]]/[[sigDuck]] (h_k(x) = ((2k+1)·x + k²+1) mod
+    * p, min over the set). Empty set → all-p sentinel signature (never
+    * collides with a real minimum, since h_k < p). */
+  private[graft] def minhashSig(th: Array[Long]): Array[Long] = {
+    val p = 2147483647L
+    val sig = Array.fill(12)(p)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var k = 0
+      while (k < 12) {
+        val v = ((2 * k + 1) * h + (k * k + 1)) % p
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
 
   /** (doc_id, th = distinct shingle hashes) of any (doc_id, text) frame via
     * [[shingleHashKernel]]. */

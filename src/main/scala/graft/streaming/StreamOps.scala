@@ -96,6 +96,86 @@ object StreamOps {
         })
   }
 
+  /** Streaming MinHash-LSH near-dup detection (ingestion-time): the
+    * near-dup twin of [[dedupFirstSeen]] and of the batch
+    * [[graft.operators.Dedup.d28MinhashLsh]]. Each document is shingled
+    * and minhash-signed statelessly (the same kernel/permutations as the
+    * batch tier, so the two tiers agree exactly), then exploded to its 4
+    * LSH band keys; state lives PER BAND BUCKET (partitioned by band key
+    * across executors, evicted by event-time timeout once the watermark
+    * passes a quiet bucket) and holds the bucket's recent (doc_id,
+    * shingle-set) entries. A new document is verified (exact Jaccard ≥
+    * `jaccardMin`) only against its own buckets — the same sub-quadratic
+    * candidate pruning as the batch plan, incrementally.
+    *
+    * Emission is at-least-once per SHARED band (a pair colliding in two
+    * bands emits twice, with the identical jaccard value) — deduplicate
+    * downstream (`.distinct()` per micro-batch or idempotent sink), the
+    * same contract as the batch candidate stage before its DISTINCT.
+    * Unlike the batch tier there is no corpus-wide hot-shingle DF cap
+    * (document frequency is unknowable mid-stream); pass a precomputed
+    * stop-shingle set from the batch profile via `hotShingles` to keep
+    * hot buckets bounded at scale.
+    *
+    * Rows carry (doc_id, ts, text). The watermark is (re)applied here,
+    * after the shingling map — event-time metadata does not survive an
+    * object-serializing mapPartitions, and the stateful operator requires
+    * it on its direct input. */
+  def nearDupPairs(docs: Dataset[(Long, java.sql.Timestamp, String)],
+      jaccardMin: Double = 0.5, stateTimeout: String = "2 hours",
+      hotShingles: Set[Long] = Set.empty, watermark: String = "1 hour")
+      : Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hot = hotShingles // stable local for closure capture
+    val banded = docs.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, ts, text) =>
+        val th0 = graft.operators.Dedup.shingleHashesOf(text, md5)
+        val th = if (hot.isEmpty) th0 else th0.filterNot(hot)
+        if (th.isEmpty) Iterator.empty // no shingles → cannot near-dup
+        else {
+          val sig = graft.operators.Dedup.minhashSig(th)
+          (0 until 4).iterator.map { b =>
+            (s"$b:${sig(3 * b)},${sig(3 * b + 1)},${sig(3 * b + 2)}", id, ts, th)
+          }
+        }
+      }
+    }
+    banded.withWatermark("_3", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp, Array[Long])],
+         state: GroupState[List[(Long, Array[Long])]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, id, ts, th) =>
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+              val set = th.toSet
+              seen.foreach { case (pid, pth) =>
+                if (pid != id) {
+                  var inter = 0
+                  var i = 0
+                  while (i < pth.length) { if (set(pth(i))) inter += 1; i += 1 }
+                  val j = inter.toDouble / (th.length + pth.length - inter)
+                  if (j >= jaccardMin)
+                    out += ((math.min(id, pid), math.max(id, pid), j))
+                }
+              }
+              seen = (id, th) :: seen
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(maxTs, stateTimeout)
+            out.iterator
+          }
+        })
+  }
+
   /** Micro-batch conversion sink: each batch re-encoded to proto wire
     * bytes — the foreachBatch shape the reference's Kafka pipelines use. */
   def protoSink(stream: DataFrame, md: PMessageDesc, cfg: GraftConfig,

@@ -197,6 +197,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH near-dup matches the batch d28 pair set cross-batch") {
+    // the same corpus fed as two micro-batches must yield exactly the
+    // batch tier's verified pairs (same kernel, same permutations, same
+    // bands, same Jaccard arithmetic — bit-equal doubles). At sf0.001 no
+    // shingle is hot (DedupSpec proves capped == uncapped), so the batch
+    // cap is a no-op and the two tiers are value-comparable.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.operators.T(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val pairs = StreamOps.nearDupPairs(stream.toDS())
+    val q = pairs.toDF("a_id", "b_id", "jaccard")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(half1.map { case (id, t) => (id, ts, t) })
+      q.processAllAvailable()
+      stream.addData(half2.map { case (id, t) => (id, ts, t) })
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Dedup.d28MinhashLsh.fn(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+      assert(batch.nonEmpty, "sf0.001 must contain near-dup pairs")
+      assert(streamed.keySet === batch.keySet,
+        "streaming pairs must equal the batch tier's verified pairs")
+      streamed.foreach { case (p, j) =>
+        assert(j == batch(p), s"$p jaccard must be bit-equal") // == not ≈
+      }
+    } finally q.stop()
+  }
+
   test("streaming corpus curation: token_quality gate + first-seen content dedup") {
     // the ingestion-time front-end of x90: quality-filter documents as they
     // arrive, then drop exact re-occurrences by content hash — what a
