@@ -167,6 +167,18 @@ object Dedup {
   private[operators] def cappedShingleSets(hs: DataFrame): DataFrame =
     cappedShingleIndex(hs).groupBy("doc_id").agg(collect_list(col("h")).as("th"))
 
+  /** The corpus's hot-shingle set (df > [[MaxShingleDf]]) as a driver-side
+    * set — tiny by construction (≤ |distinct shingles| / cap). This is the
+    * batch profile the STREAMING tier's `hotShingles` guard consumes
+    * ([[graft.streaming.StreamOps.nearDupPairs]]): document frequency is
+    * unknowable mid-stream, so the offline profile is the skew guard. */
+  private[graft] def hotShingleSet(hs: DataFrame): Set[Long] = {
+    val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
+    ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+      .collect().map(_.getLong(0)).toSet
+  }
+
   /** DuckDB dialect of [[cappedShingleSets]]: CTEs from a word-shingle CTE
     * named `sh` (doc_id, s) to capped sets `sh2` (doc_id, th), with the
     * exploded capped index available as `ex2`. Shared verbatim by the d27 /

@@ -43,4 +43,43 @@ class SkewSpec extends SparkSpec {
     assert(Pipeline.x90CorpusPipeline.fn(spark, dir).count() > 0)
     assert(n === docs.count()) // generator is deterministic/stable
   }
+
+  test("streaming near-dup guarded by the batch hot-shingle profile under mass duplication") {
+    // the streaming tier cannot compute corpus-wide document frequency, so
+    // its skew guard is the batch profile: the hot-shingle set computed
+    // offline feeds nearDupPairs(hotShingles = ...). Under the hostile
+    // corpus, every shingle of the 10k-dup cluster is hot — the guard
+    // must keep the cluster out of the band buckets entirely (the
+    // unguarded answer would be ~50M pair rows through one bucket).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_stream").toString
+    graft.SkewBench.generate(spark, sfDir, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hotText = docs.groupBy("text").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count")).limit(1).head.getString(0)
+    // batch profile: shingles with df > MaxShingleDf over the skewed corpus
+    val hot = Dedup.hotShingleSet(Dedup.shingleHashesFrom(docs))
+
+    val sample = docs.filter(col("text") === hotText).limit(20)
+      .unionByName(docs.filter(col("text") =!= hotText).limit(50))
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamOps
+      .nearDupPairs(stream.toDS(), hotShingles = hot)
+      .toDF("a_id", "b_id", "jaccard")
+      .writeStream.format("memory").queryName("neardup_skew")
+      .outputMode("append").start()
+    try {
+      stream.addData(sample.map { case (id, t) => (id, ts, t) })
+      q.processAllAvailable()
+      val dupSampleIds = sample.filter(_._2 == hotText).map(_._1).toSet
+      val pairIds = spark.table("neardup_skew").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(pairIds.intersect(dupSampleIds).isEmpty,
+        "the hot-shingle guard must keep the dup cluster out of the buckets")
+    } finally q.stop()
+  }
 }
