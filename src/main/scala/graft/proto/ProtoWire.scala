@@ -116,12 +116,22 @@ object ProtoWire {
 
   // ---------------------------------------------------------------- decode
 
+  /** Bounds-checked reader: every read is confined to [pos, end). Corrupt
+    * input (a truncated record off Kafka, a length prefix pointing past the
+    * payload) must raise a clear, catchable error — the previous unchecked
+    * reads silently zero-padded truncated bytes (Arrays.copyOfRange pads)
+    * and let a nested message with an oversized length prefix parse its
+    * PARENT's adjacent bytes as its own fields. */
   final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)
     def hasMore: Boolean = pos < end
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+        s"truncated message: need $n bytes at offset $pos, end $end")
     def varint(): Long = {
       var shift = 0; var result = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos); pos += 1
         result |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return result
@@ -130,6 +140,7 @@ object ProtoWire {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed32(): Int = {
+      need(4)
       val v = (buf(pos) & 0xFF) | ((buf(pos + 1) & 0xFF) << 8) |
         ((buf(pos + 2) & 0xFF) << 16) | ((buf(pos + 3) & 0xFF) << 24)
       pos += 4; v
@@ -138,19 +149,21 @@ object ProtoWire {
       (fixed32().toLong & 0xFFFFFFFFL) | (fixed32().toLong << 32)
     def bytes(): Array[Byte] = {
       val len = varint().toInt
+      need(len)
       val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len; b
     }
     def slice(): Reader = {
       val len = varint().toInt
+      need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
     }
     def skip(wt: Int): Unit = wt match {
       case Varint => varint(); ()
-      case Fixed64 => pos += 8
-      case Fixed32 => pos += 4
-      case Len => val len = varint().toInt; pos += len
+      case Fixed64 => need(8); pos += 8
+      case Fixed32 => need(4); pos += 4
+      case Len => val len = varint().toInt; need(len); pos += len
       case other => throw new IllegalArgumentException(s"bad wire type $other")
     }
   }

@@ -46,6 +46,39 @@ class WireSpec extends AnyFunSuite {
     assert(back === DynamicMessage(narrow, Map(2 -> 3)))
   }
 
+  test("malformed input raises a clear error, never a silent misparse") {
+    // a Kafka-shaped ingestion path sees corrupt records; they must fail
+    // loudly. Pre-fix behavior: truncated bytes fields were silently
+    // ZERO-PADDED (Arrays.copyOfRange pads past the end) and an oversized
+    // nested length prefix let the child parse the parent's bytes.
+    val myProto = Schemas.msg("MyProto")
+    val m = DynamicMessage(myProto, Map(1 -> "hello world", 2 -> 7, 3 -> Vector(1, 2)))
+    val bytes = ProtoWire.encode(m, reg)
+    // every strict prefix either decodes to a PREFIX of the fields (clean
+    // field boundary) or raises IllegalArgumentException — never fabricates
+    for (cut <- 1 until bytes.length) {
+      val truncated = java.util.Arrays.copyOfRange(bytes, 0, cut)
+      try {
+        val back = ProtoWire.decode(truncated, myProto, reg)
+        back.values.foreach { case (num, v) =>
+          assert(m.values(num) === v,
+            s"cut=$cut field $num: fabricated value $v")
+        }
+      } catch { case _: IllegalArgumentException => /* loud failure: fine */ }
+    }
+    // oversized nested length prefix: field 1 wire type Len, length 100,
+    // only 3 payload bytes present → must raise, not read beyond
+    val bad = Array[Byte](0x0A, 100, 'a', 'b', 'c')
+    intercept[IllegalArgumentException] {
+      ProtoWire.decode(bad, myProto, reg)
+    }
+    // negative length prefix (varint 2^64-1 → toInt -1) must raise too
+    val neg = Array[Byte](0x0A) ++ Array.fill(9)(0xFF.toByte) ++ Array[Byte](1)
+    intercept[IllegalArgumentException] {
+      ProtoWire.decode(neg, myProto, reg)
+    }
+  }
+
   test("json writer round trips") {
     val md = Schemas.msg("ExampleMessage")
     fixture("ExampleMessage").foreach { m =>
