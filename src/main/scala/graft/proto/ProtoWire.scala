@@ -168,7 +168,8 @@ object ProtoWire {
     }
   }
 
-  private def readScalar(r: Reader, t: PType, reg: ProtoRegistry): Any = t match {
+  private def readScalar(r: Reader, t: PType, reg: ProtoRegistry,
+      depth: Int): Any = t match {
     case PDouble => java.lang.Double.longBitsToDouble(r.fixed64())
     case PFloat => java.lang.Float.intBitsToFloat(r.fixed32())
     case PInt32 => r.varint().toInt
@@ -185,14 +186,21 @@ object ProtoWire {
     case PString => new String(r.bytes(), java.nio.charset.StandardCharsets.UTF_8)
     case PBytes => Bytes.owned(r.bytes())
     case PEnum(_) => r.varint().toInt
-    case PMessage(name) => decodeReader(r.slice(), reg.message(name), reg)
+    case PMessage(name) => decodeReader(r.slice(), reg.message(name), reg, depth + 1)
   }
+
+  /** Nesting cap on decode, matching protobuf-java's default: a crafted
+    * deeply-recursive payload must raise, not blow the executor's stack. */
+  val MaxDecodeDepth = 100
 
   def decode(bytes: Array[Byte], md: PMessageDesc,
       reg: ProtoRegistry = WellKnown.registry): DynamicMessage =
-    decodeReader(new Reader(bytes), md, reg)
+    decodeReader(new Reader(bytes), md, reg, 0)
 
-  private def decodeReader(r: Reader, md: PMessageDesc, reg: ProtoRegistry): DynamicMessage = {
+  private def decodeReader(r: Reader, md: PMessageDesc, reg: ProtoRegistry,
+      depth: Int): DynamicMessage = {
+    if (depth > MaxDecodeDepth) throw new IllegalArgumentException(
+      s"message nesting exceeds $MaxDecodeDepth levels")
     var values = Map.empty[Int, Any]
     while (r.hasMore) {
       val t = r.varint()
@@ -210,8 +218,8 @@ object ProtoWire {
           while (er.hasMore) {
             val et = er.varint()
             (et >>> 3).toInt match {
-              case 1 => k = readScalar(er, f.mapKey, reg)
-              case 2 => v = readScalar(er, f.mapValue, reg)
+              case 1 => k = readScalar(er, f.mapKey, reg, depth)
+              case 2 => v = readScalar(er, f.mapValue, reg, depth)
               case _ => er.skip((et & 7).toInt)
             }
           }
@@ -222,11 +230,11 @@ object ProtoWire {
           if (wt == Len && packable(f.typ)) {
             val pr = r.slice()
             var xs = prev
-            while (pr.hasMore) xs = xs :+ readScalar(pr, f.typ, reg)
+            while (pr.hasMore) xs = xs :+ readScalar(pr, f.typ, reg, depth)
             values += (num -> xs)
-          } else values += (num -> (prev :+ readScalar(r, f.typ, reg)))
+          } else values += (num -> (prev :+ readScalar(r, f.typ, reg, depth)))
         case Some(f) =>
-          values += (num -> readScalar(r, f.typ, reg))
+          values += (num -> readScalar(r, f.typ, reg, depth))
       }
     }
     DynamicMessage(md, values)

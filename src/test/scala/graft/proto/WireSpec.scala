@@ -79,6 +79,18 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("decode nesting is capped: crafted deep recursion raises, not StackOverflow") {
+    val md = Schemas.recursiveSelf
+    def deep(n: Int): DynamicMessage =
+      if (n == 0) DynamicMessage(md, Map(2 -> n))
+      else DynamicMessage(md, Map(1 -> deep(n - 1), 2 -> n))
+    val ok = deep(50)
+    assert(ProtoWire.decode(ProtoWire.encode(ok, reg), md, reg) === ok)
+    intercept[IllegalArgumentException] {
+      ProtoWire.decode(ProtoWire.encode(deep(150), reg), md, reg)
+    }
+  }
+
   test("json writer round trips") {
     val md = Schemas.msg("ExampleMessage")
     fixture("ExampleMessage").foreach { m =>
