@@ -147,15 +147,22 @@ object Dedup {
     * broadcast for the anti-join. */
   private[operators] val MaxShingleDf = 64
 
+  /** The hot-shingle frame (single `h` column, df > [[MaxShingleDf]]) of a
+    * (doc_id, th) frame — THE definition of "hot"; both the batch cap and
+    * the streaming guard derive from this one plan so they can never
+    * disagree. */
+  private def hotShingleFrame(hs: DataFrame): DataFrame =
+    hs.select(col("doc_id"), explode(col("th")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+
   /** Capped shingle index of a (doc_id, th) frame: explode, then drop every
     * shingle whose document frequency exceeds [[MaxShingleDf]] via a
     * broadcast anti-join against the (tiny by construction) hot set.
     * Returns the exploded (doc_id, h) inverted index. */
   private[operators] def cappedShingleIndex(hs: DataFrame): DataFrame = {
     val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
-    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("h")
-    ex.join(broadcast(hot), Seq("h"), "left_anti")
+    ex.join(broadcast(hotShingleFrame(hs)), Seq("h"), "left_anti")
   }
 
   /** Capped per-doc shingle sets (doc_id, th): [[cappedShingleIndex]]
@@ -172,12 +179,8 @@ object Dedup {
     * batch profile the STREAMING tier's `hotShingles` guard consumes
     * ([[graft.streaming.StreamOps.nearDupPairs]]): document frequency is
     * unknowable mid-stream, so the offline profile is the skew guard. */
-  private[graft] def hotShingleSet(hs: DataFrame): Set[Long] = {
-    val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
-    ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("h")
-      .collect().map(_.getLong(0)).toSet
-  }
+  private[graft] def hotShingleSet(hs: DataFrame): Set[Long] =
+    hotShingleFrame(hs).collect().map(_.getLong(0)).toSet
 
   /** DuckDB dialect of [[cappedShingleSets]]: CTEs from a word-shingle CTE
     * named `sh` (doc_id, s) to capped sets `sh2` (doc_id, th), with the

@@ -110,11 +110,18 @@ object ProtoOps {
   * than the resource the Spark side was built against. */
 object Fixtures {
   def materialize(name: String): String = {
-    val target = java.nio.file.Paths.get("/tmp", s"graft_fixture_$name.jsonl")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get("/tmp", s"graft_fixture_$name.jsonl")
+    // copy to a unique temp name, then ATOMIC move: a concurrent run
+    // reading the pinned path must see the old or the new content, never
+    // a deleted or half-written file (REPLACE_EXISTING alone deletes
+    // first, leaving a visible gap)
+    val tmp = Files.createTempFile(Paths.get("/tmp"), s"graft_fixture_$name", ".tmp")
     val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
-    java.nio.file.Files.copy(in, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
     in.close()
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
     target.toString
   }
 }

@@ -30,11 +30,20 @@ object Scale {
     * can't fix (e.g. a single key holding >1 partition of rows). */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
       buildKey: Column, saltFactor: Int): DataFrame = {
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
+    // hash() rejects MapType columns (and map equality is ill-defined
+    // anyway) — salt over the hashable columns only; any row-varying
+    // subset spreads a hot key, it need not be the full row
+    val hashable = probe.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    require(hashable.nonEmpty, "saltedJoin needs at least one non-map probe column")
     val salted = build
       .withColumn("__salt", explode(lit((0 until saltFactor).toArray)))
     val probeSalted = probe
       .withColumn("__salt",
-        pmod(hash(probe.columns.map(col): _*), lit(saltFactor)).cast("int"))
+        pmod(hash(hashable: _*), lit(saltFactor)).cast("int"))
     probeSalted.join(salted,
       probeKey === buildKey && probeSalted("__salt") === salted("__salt"))
       .drop("__salt")

@@ -204,14 +204,17 @@ object TextOps {
         CAST(len(regexp_extract_all(text, '$BpeSql')) AS BIGINT) AS n_bpe_tokens,
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(length(text) AS DOUBLE)
-          / len(regexp_extract_all(text, '$BpeSql')) AS chars_per_token
+          / NULLIF(len(regexp_extract_all(text, '$BpeSql')), 0) AS chars_per_token
         FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    // NULLIF in BOTH dialects: on a zero-token doc (empty/all-space text)
+    // Spark's non-ANSI x/0 yields NULL but DuckDB yields IEEE inf — the
+    // explicit NULL is the one value the engines agree on
     val nTok = regexp_count(col("text"), lit(BpePattern))
     T(spark, dir, "documents").select(
       col("doc_id"),
       nTok.cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars"),
-      (length(col("text")).cast("double") / nTok).as("chars_per_token"))
+      (length(col("text")).cast("double") / nullif(nTok, lit(0))).as("chars_per_token"))
       .orderBy("doc_id")
   }
 

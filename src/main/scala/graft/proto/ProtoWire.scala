@@ -125,9 +125,21 @@ object ProtoWire {
   final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)
     def hasMore: Boolean = pos < end
+    // n > end - pos, NOT pos + n > end: the latter wraps for n near
+    // Int.MaxValue and lets a corrupt length prefix fabricate an empty
+    // nested message before crashing with an unrelated exception
     private def need(n: Int): Unit =
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+      if (n < 0 || n > end - pos) throw new IllegalArgumentException(
         s"truncated message: need $n bytes at offset $pos, end $end")
+    // length prefixes are read as Long then range-checked BEFORE toInt:
+    // a corrupt 64-bit length like 2^32+5 would otherwise truncate to 5
+    // and silently misparse
+    private def lenPrefix(): Int = {
+      val len = varint()
+      if (len < 0 || len > Int.MaxValue) throw new IllegalArgumentException(
+        s"bad length prefix $len at offset $pos")
+      len.toInt
+    }
     def varint(): Long = {
       var shift = 0; var result = 0L
       while (shift < 64) {
@@ -148,13 +160,13 @@ object ProtoWire {
     def fixed64(): Long =
       (fixed32().toLong & 0xFFFFFFFFL) | (fixed32().toLong << 32)
     def bytes(): Array[Byte] = {
-      val len = varint().toInt
+      val len = lenPrefix()
       need(len)
       val b = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len; b
     }
     def slice(): Reader = {
-      val len = varint().toInt
+      val len = lenPrefix()
       need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
@@ -163,7 +175,7 @@ object ProtoWire {
       case Varint => varint(); ()
       case Fixed64 => need(8); pos += 8
       case Fixed32 => need(4); pos += 4
-      case Len => val len = varint().toInt; need(len); pos += len
+      case Len => val len = lenPrefix(); need(len); pos += len
       case other => throw new IllegalArgumentException(s"bad wire type $other")
     }
   }

@@ -102,9 +102,13 @@ object StreamOps {
     * and minhash-signed statelessly (the same kernel/permutations as the
     * batch tier, so the two tiers agree exactly), then exploded to its 4
     * LSH band keys; state lives PER BAND BUCKET (partitioned by band key
-    * across executors, evicted by event-time timeout once the watermark
-    * passes a quiet bucket) and holds the bucket's recent (doc_id,
-    * shingle-set) entries. A new document is verified (exact Jaccard ≥
+    * across executors) and holds the bucket's recent (doc_id, ts,
+    * shingle-set) entries. State is bounded by the WATERMARK HORIZON two
+    * ways: a quiet bucket is evicted whole by the event-time timeout, and
+    * inside an always-active bucket each entry is pruned individually once
+    * the watermark passes its event time (it could only pair with late
+    * data the watermark already discards). Redelivered doc_ids
+    * (at-least-once sources) are skipped, not duplicated. A new document is verified (exact Jaccard ≥
     * `jaccardMin`) only against its own buckets — the same sub-quadratic
     * candidate pruning as the batch plan, incrementally.
     *
@@ -148,17 +152,26 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(
         (_: String, rows: Iterator[(String, Long, java.sql.Timestamp, Array[Long])],
-         state: GroupState[List[(Long, Array[Long])]]) => {
+         state: GroupState[List[(Long, Long, Array[Long])]]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.getOrElse(Nil)
+            // per-entry age pruning: a bucket that stays active forever
+            // never hits the quiet-bucket timeout, so entries older than
+            // the watermark are dropped HERE (they could only pair with
+            // late data the watermark already discards). This is what
+            // keeps per-bucket state bounded by the watermark horizon,
+            // not merely by bucket quiescence.
+            val wm = state.getCurrentWatermarkMs()
+            var seen = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             var maxTs = Long.MinValue
             rows.foreach { case (_, id, ts, th) =>
               if (ts.getTime > maxTs) maxTs = ts.getTime
-              val set = th.toSet
-              seen.foreach { case (pid, pth) =>
-                if (pid != id) {
+              // at-least-once sources can redeliver a doc: skip entries
+              // already in this bucket instead of duplicating them
+              if (!seen.exists(_._1 == id)) {
+                val set = th.toSet
+                seen.foreach { case (pid, _, pth) =>
                   var inter = 0
                   var i = 0
                   while (i < pth.length) { if (set(pth(i))) inter += 1; i += 1 }
@@ -166,8 +179,8 @@ object StreamOps {
                   if (j >= jaccardMin)
                     out += ((math.min(id, pid), math.max(id, pid), j))
                 }
+                seen = (id, ts.getTime, th) :: seen
               }
-              seen = (id, th) :: seen
             }
             state.update(seen)
             state.setTimeoutTimestamp(maxTs, stateTimeout)

@@ -77,6 +77,20 @@ class WireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ProtoWire.decode(neg, myProto, reg)
     }
+    // length = Int.MaxValue: pos + n overflows int — the bounds check must
+    // not wrap (fabricated-empty-message-then-AIOOBE pre-fix)
+    val big = Array[Byte](0x0A, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x07)
+    intercept[IllegalArgumentException] {
+      ProtoWire.decode(big, myProto, reg)
+    }
+    // 64-bit length 2^32+5: toInt would truncate to 5 and silently parse
+    // 5 bytes as the field — must raise on the prefix itself
+    val wide = Array[Byte](0x0A, 0x85.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10, 'a', 'b', 'c', 'd', 'e')
+    intercept[IllegalArgumentException] {
+      ProtoWire.decode(wide, myProto, reg)
+    }
   }
 
   test("decode nesting is capped: crafted deep recursion raises, not StackOverflow") {
