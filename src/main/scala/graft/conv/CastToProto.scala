@@ -198,11 +198,17 @@ object CastToProto {
       case IntegerType | LongType | ShortType | ByteType => true
       case _ => false
     }
+    // null-preserving: the unknown-value fallbacks (firstName / 0) apply
+    // only to PRESENT values — a null cell must stay null here so presence
+    // fields keep their unset state (the non-presence default fill happens
+    // one layer up in castScalar, like the reference's fill_null)
     def asName(intCol: Column): Column =
-      coalesce(element_at(typedlit(ed.numberToName), intCol.cast(IntegerType)),
-        lit(ed.firstName))
+      when(intCol.isNull, lit(null).cast(StringType)).otherwise(
+        coalesce(element_at(typedlit(ed.numberToName), intCol.cast(IntegerType)),
+          lit(ed.firstName)))
     def asNumber(strCol: Column): Column =
-      coalesce(element_at(typedlit(ed.nameToNumber), strCol), lit(0))
+      when(strCol.isNull, lit(null).cast(IntegerType)).otherwise(
+        coalesce(element_at(typedlit(ed.nameToNumber), strCol), lit(0)))
     if (!cfg.enumType.nameBased) {
       if (srcIsInt) c.cast(IntegerType) else asNumber(c.cast(StringType))
     } else {

@@ -255,17 +255,26 @@ object Codecs {
         case MapType(_, vt, _) => vt
         case other => other
       }, cfg, reg)
+      // null map VALUE → entry with the proto default (mirrors the
+      // reference's _merge_assign_map: a None message value materializes
+      // the key with a default entry, arrow_to_proto.py:399-404); without
+      // this a null struct value NPE'd and a null bytes value crashed
+      val defaultV: Any = f.mapValue match {
+        case PMessage(name) => DynamicMessage.empty(reg.message(name))
+        case t => PType.defaultOf(t)
+      }
+      def vOrDefault(v: Any): Any = if (v == null) defaultV else vr(v)
       if (cfg.mapAsList) { row =>
         if (row.isNullAt(idx)) None
         else {
           val entries = row.getSeq[Row](idx)
-          val m = entries.map(e => kr(e.get(0)) -> vr(e.get(1))).toMap
+          val m = entries.map(e => kr(e.get(0)) -> vOrDefault(e.get(1))).toMap
           if (m.isEmpty) None else Some(f.number -> m)
         }
       } else { row =>
         if (row.isNullAt(idx)) None
         else {
-          val m = row.getMap[Any, Any](idx).map { case (k, v) => kr(k) -> vr(v) }.toMap
+          val m = row.getMap[Any, Any](idx).map { case (k, v) => kr(k) -> vOrDefault(v) }.toMap
           if (m.isEmpty) None else Some(f.number -> m)
         }
       }
@@ -278,7 +287,17 @@ object Codecs {
       row =>
         if (row.isNullAt(idx)) None
         else {
-          val xs = row.getSeq[Any](idx).flatMap(v => Option(v).map(vr)).toVector
+          // a null ELEMENT raises loudly: proto repeated fields cannot
+          // hold nulls, and silently dropping the element would shrink
+          // the list and break positional correlation (the reference
+          // errors on the same input — AppendAssigner converts the null
+          // scalar and protobuf rejects the None append)
+          val xs = row.getSeq[Any](idx).map { v =>
+            if (v == null) throw new IllegalArgumentException(
+              s"null element in repeated field ${f.name}: proto repeated " +
+                "fields cannot represent null")
+            vr(v)
+          }.toVector
           if (xs.isEmpty) None else Some(f.number -> xs)
         }
     } else {

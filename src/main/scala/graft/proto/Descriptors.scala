@@ -85,6 +85,9 @@ final case class PField(
 final case class PMessageDesc(fullName: String, fields: Seq[PField]) extends Serializable {
   @transient lazy val byName: Map[String, PField] = fields.map(f => f.name -> f).toMap
   @transient lazy val byNumber: Map[Int, PField] = fields.map(f => f.number -> f).toMap
+  /** Canonical (ascending field number) encode order — precomputed here
+    * because wire encode runs once per nested message per row. */
+  @transient lazy val fieldsByNumberAsc: Seq[PField] = fields.sortBy(_.number)
   def name: String = fullName.substring(fullName.lastIndexOf('.') + 1)
 }
 

@@ -84,7 +84,10 @@ object ProtoJson {
       if (n.isTextual) reg.enum(name).nameToNumber.getOrElse(n.asText(), 0)
       else n.asInt()
     case PType.PMessage(WellKnown.TimestampName) =>
-      val i = Instant.parse(n.asText())
+      // proto3 JSON accepts any RFC 3339 offset, not just 'Z'
+      // (json_format normalizes "+08:00" etc. to UTC); Instant.parse is
+      // ISO_INSTANT and would reject those
+      val i = java.time.OffsetDateTime.parse(n.asText()).toInstant
       DynamicMessage(WellKnown.timestamp, Map(1 -> i.getEpochSecond, 2 -> i.getNano))
     case PType.PMessage(WellKnown.DurationName) =>
       val s = n.asText().stripSuffix("s")

@@ -78,22 +78,19 @@ object ProtoWire {
 
   def encode(m: DynamicMessage, reg: ProtoRegistry = WellKnown.registry): Array[Byte] = {
     val w = new Writer()
-    // ascending field number: canonical, deterministic output
-    m.descriptor.fields.sortBy(_.number).foreach { f =>
+    // ascending field number: canonical, deterministic output (order is
+    // precomputed on the descriptor — encode runs per row per nested
+    // message on the toProtoBinary hot path)
+    m.descriptor.fieldsByNumberAsc.foreach { f =>
       m.get(f.number).foreach { v =>
         if (f.isMap) {
           v.asInstanceOf[Map[Any, Any]].foreach { case (k, mv) =>
+            // both entry fields are ALWAYS serialized, defaults included —
+            // protobuf-java/C++ map-entry serialization does the same, so
+            // byte-for-byte parity holds for maps like {0 -> 0}
             val entry = new Writer()
-            if (k != PType.defaultOf(f.mapKey)) {
-              entry.tag(1, wireType(f.mapKey)); writeScalar(entry, f.mapKey, k, reg)
-            }
-            val isDefault = f.mapValue match {
-              case PMessage(_) => false
-              case t => mv == PType.defaultOf(t)
-            }
-            if (!isDefault) {
-              entry.tag(2, wireType(f.mapValue)); writeScalar(entry, f.mapValue, mv, reg)
-            }
+            entry.tag(1, wireType(f.mapKey)); writeScalar(entry, f.mapKey, k, reg)
+            entry.tag(2, wireType(f.mapValue)); writeScalar(entry, f.mapValue, mv, reg)
             w.tag(f.number, Len); w.bytes(entry.out.toByteArray)
           }
         } else if (f.repeated) {
@@ -209,6 +206,41 @@ object ProtoWire {
       reg: ProtoRegistry = WellKnown.registry): DynamicMessage =
     decodeReader(new Reader(bytes), md, reg, 0)
 
+  /** proto merge semantics for repeated occurrences of a singular message
+    * field: scalars last-win, nested singular messages merge recursively,
+    * repeated/map fields concatenate (a conformant encoder may emit a
+    * message field twice — e.g. the standard concatenate-two-partials
+    * merge idiom — and the parse result must be their merge). */
+  private def mergeMessages(a: DynamicMessage, b: DynamicMessage): DynamicMessage = {
+    val md = a.descriptor
+    val merged = b.values.foldLeft(a.values) { case (acc, (num, bv)) =>
+      val nv = (md.byNumber.get(num), acc.get(num)) match {
+        case (Some(f), Some(av)) =>
+          if (f.isMap) av.asInstanceOf[Map[Any, Any]] ++ bv.asInstanceOf[Map[Any, Any]]
+          else if (f.repeated) av.asInstanceOf[Vector[Any]] ++ bv.asInstanceOf[Vector[Any]]
+          else f.typ match {
+            case PMessage(_) => mergeMessages(av.asInstanceOf[DynamicMessage],
+              bv.asInstanceOf[DynamicMessage])
+            case _ => bv
+          }
+        case _ => bv
+      }
+      acc.updated(num, nv)
+    }
+    DynamicMessage(md, merged)
+  }
+
+  /** Does the tag's wire type match what the descriptor declares? A
+    * mismatch (schema evolution, corrupt tag) means the payload is NOT the
+    * declared field — protobuf-java treats it as an unknown field and
+    * skips it rather than misparsing the bytes. Packed repeated scalars
+    * legitimately arrive as either Len (packed) or their scalar wire type
+    * (unpacked), so both are accepted. */
+  private def wireTypeMatches(f: PField, wt: Int): Boolean =
+    if (f.isMap) wt == Len
+    else if (f.repeated && packable(f.typ)) wt == Len || wt == wireType(f.typ)
+    else wt == wireType(f.typ)
+
   private def decodeReader(r: Reader, md: PMessageDesc, reg: ProtoRegistry,
       depth: Int): DynamicMessage = {
     if (depth > MaxDecodeDepth) throw new IllegalArgumentException(
@@ -220,6 +252,7 @@ object ProtoWire {
       val wt = (t & 7).toInt
       md.byNumber.get(num) match {
         case None => r.skip(wt) // unknown field
+        case Some(f) if !wireTypeMatches(f, wt) => r.skip(wt) // wrong wire type → unknown
         case Some(f) if f.isMap =>
           val er = r.slice()
           var k: Any = PType.defaultOf(f.mapKey)
@@ -246,7 +279,13 @@ object ProtoWire {
             values += (num -> xs)
           } else values += (num -> (prev :+ readScalar(r, f.typ, reg, depth)))
         case Some(f) =>
-          values += (num -> readScalar(r, f.typ, reg, depth))
+          val v = readScalar(r, f.typ, reg, depth)
+          val merged = (f.typ, values.get(num)) match {
+            case (PMessage(_), Some(prev: DynamicMessage)) =>
+              mergeMessages(prev, v.asInstanceOf[DynamicMessage])
+            case _ => v
+          }
+          values += (num -> merged)
       }
     }
     DynamicMessage(md, values)

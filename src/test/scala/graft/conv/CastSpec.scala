@@ -83,6 +83,28 @@ class CastSpec extends SparkSpec {
     assert(Protarrow.dataFrameToMessages(asInt, md, GraftConfig(), reg) === msgs)
   }
 
+  test("presence enum fields keep null through the cast (no fallback fabrication)") {
+    // the unknown-value fallbacks (firstName / 0) are for PRESENT values;
+    // a null cell of an optional enum field must stay unset in both
+    // repr directions, or a round trip fabricates presence
+    val enumTyp = Schemas.msg("WithEnum").fields.head.typ
+    val md = PMessageDesc("graft.test.OptEnum",
+      Seq(PField("e", 1, enumTyp, explicitOptional = true)))
+    val intSchema = StructType(Seq(StructField("e", IntegerType, nullable = true)))
+    val intDf = spark.createDataFrame(
+      java.util.List.of(Row(null), Row(Int.box(1))), intSchema)
+    val asStr = Protarrow.castToProto(intDf, md,
+      GraftConfig(enumType = EnumRepr.StringRepr), reg).collect()
+    assert(asStr(0).isNullAt(0), "null presence enum must stay null (int → name)")
+    assert(asStr(1).getString(0) === "TEST_ENUM_1")
+    val strSchema = StructType(Seq(StructField("e", StringType, nullable = true)))
+    val strDf = spark.createDataFrame(
+      java.util.List.of(Row(null), Row("TEST_ENUM_2")), strSchema)
+    val asInt = Protarrow.castToProto(strDf, md, GraftConfig(), reg).collect()
+    assert(asInt(0).isNullAt(0), "null presence enum must stay null (name → int)")
+    assert(asInt(1).getInt(0) === 2)
+  }
+
   test("numeric widening/narrowing casts") {
     import spark.implicits._
     val md = Schemas.msg("MyProto")

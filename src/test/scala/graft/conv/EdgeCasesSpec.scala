@@ -62,4 +62,48 @@ class EdgeCasesSpec extends SparkSpec {
     assert(back(0) === known)
     assert(back(1) === DynamicMessage.empty(md2)) // 99 → fallback name → 0
   }
+
+  test("null map VALUE decodes to an entry with the proto default, not a crash") {
+    // mirrors the reference's _merge_assign_map: a None value still
+    // materializes the key with a default entry (arrow_to_proto.py:399-404)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fInt = md.byName("int32_int32_map")
+    val nestedMd = Schemas.msg("NestedExampleMessage")
+    val fMsg = nestedMd.byName("example_message_int32_map")
+    val schema = StructType(Seq(
+      StructField(fInt.name, MapType(IntegerType, IntegerType,
+        valueContainsNull = true), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Map(1 -> null, 2 -> Int.box(7)))), schema)
+    val back = Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg)
+    assert(back.head.get(fInt.number) ===
+      Some(Map(1 -> 0, 2 -> 7)), "null int value → default 0 entry")
+    // message-valued map: null struct value → empty nested message entry
+    val msgSchema = StructType(Seq(
+      StructField(fMsg.name, MapType(IntegerType,
+        SchemaConversion.messageTypeToSchema(md, GraftConfig(), reg),
+        valueContainsNull = true), nullable = true)))
+    val df2 = spark.createDataFrame(
+      java.util.List.of(Row(Map(5 -> null))), msgSchema)
+    val back2 = Protarrow.dataFrameToMessages(df2, nestedMd, GraftConfig(), reg)
+    assert(back2.head.get(fMsg.number) ===
+      Some(Map(5 -> DynamicMessage.empty(md))),
+      "null message value → default (empty) entry, previously an NPE")
+  }
+
+  test("null ELEMENT in a repeated column raises loudly instead of shrinking the list") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = md.byName("int64_values")
+    val schema = StructType(Seq(
+      StructField(f.name, ArrayType(LongType, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq(1L, null, 3L))), schema)
+    // dataFrameToMessages extracts driver-side → the error surfaces directly
+    val e = intercept[IllegalArgumentException] {
+      Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg)
+    }
+    assert(e.getMessage.contains("null element"))
+  }
 }

@@ -93,6 +93,55 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated occurrences of a singular message field MERGE (concatenation idiom)") {
+    // concatenating two encoded partials is the standard proto merge
+    // idiom; the parse result must be their merge, not last-wins
+    val md = Schemas.recursiveSelf
+    val a = DynamicMessage(md, Map(1 -> DynamicMessage(md, Map(2 -> 5))))
+    val b = DynamicMessage(md,
+      Map(1 -> DynamicMessage(md, Map(1 -> DynamicMessage(md, Map(2 -> 1))))))
+    val merged = ProtoWire.decode(
+      ProtoWire.encode(a, reg) ++ ProtoWire.encode(b, reg), md, reg)
+    assert(merged === DynamicMessage(md, Map(1 -> DynamicMessage(md,
+      Map(2 -> 5, 1 -> DynamicMessage(md, Map(2 -> 1)))))),
+      "nested singular messages must merge field-wise across occurrences")
+  }
+
+  test("wire-type mismatch on a known field is skipped as unknown, not misparsed") {
+    // protobuf-java parity: old data encoded field 2 as a varint; the
+    // current descriptor says string. The payload is not the declared
+    // field — treat as unknown, don't read the varint as a length prefix.
+    val myProto = Schemas.msg("MyProto")
+    val bytes = ProtoWire.encode(
+      DynamicMessage(myProto, Map(1 -> "keep", 2 -> 300)), reg)
+    val evolved = PMessageDesc("evolved", Seq(
+      PField("name", 1, PType.PString),
+      PField("id", 2, PType.PString))) // was int32, now string
+    val back = ProtoWire.decode(bytes, evolved, reg)
+    assert(back === DynamicMessage(evolved, Map(1 -> "keep")),
+      "the mismatched field must be absent, the rest intact")
+  }
+
+  test("map entries serialize both fields, defaults included (protobuf-java parity)") {
+    val md = PMessageDesc("m", Seq(
+      PField("im", 1, PType.PInt32, mapKV = Some((PType.PInt32, PType.PInt32)))))
+    val bytes = ProtoWire.encode(DynamicMessage(md, Map(1 -> Map(0 -> 0))), reg)
+    // tag(1,Len)=0x0A, len=4, then tag(1,Varint)=0x08 key 0, tag(2,Varint)=0x10 value 0
+    assert(bytes.toSeq === Seq[Byte](0x0A, 4, 0x08, 0, 0x10, 0),
+      "default key and value must both be on the wire, like protobuf-java")
+    assert(ProtoWire.decode(bytes, md, reg) === DynamicMessage(md, Map(1 -> Map(0 -> 0))))
+  }
+
+  test("proto3 JSON timestamps accept RFC 3339 offsets, normalized to UTC") {
+    val md = Schemas.msg("ExampleMessage")
+    val f = md.byName("timestamp_value")
+    val withOffset = ProtoJson.parse(
+      s"""{"${f.name}": "2023-01-01T08:00:00+08:00"}""", md, reg)
+    val utc = ProtoJson.parse(
+      s"""{"${f.name}": "2023-01-01T00:00:00Z"}""", md, reg)
+    assert(withOffset === utc, "+08:00 form must normalize to the same instant")
+  }
+
   test("decode nesting is capped: crafted deep recursion raises, not StackOverflow") {
     val md = Schemas.recursiveSelf
     def deep(n: Int): DynamicMessage =
