@@ -19,7 +19,10 @@ import org.apache.spark.sql.expressions.Aggregator
 final class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   private val P = 2147483647L
 
-  def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+  // empty-input sentinel is P (every permuted hash is < P), matching
+  // Dedup.minhashSig's empty-set signature — the two "identical paths"
+  // must agree even on an unreduced buffer
+  def zero: Array[Long] = Array.fill(k)(P)
 
   def reduce(buf: Array[Long], h: Long): Array[Long] = {
     var i = 0

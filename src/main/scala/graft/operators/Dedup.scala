@@ -308,6 +308,17 @@ object Dedup {
     // identical plans)
     val hs0 = shingleHashes(spark, dir).cache()
     val sh = cappedShingleSets(hs0).cache()
+    lshVerifiedPairs(sh)
+      .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash-LSH verified near-dup pairs of capped per-doc sets `sh`
+    * (doc_id, th): signatures → 4 band buckets → candidate equi-join →
+    * exact-Jaccard verification at ≥ 0.5. The SINGLE implementation behind
+    * d28 and x90's near-dup stage, so band count, key format, and the
+    * verification arithmetic cannot drift apart. */
+  private[operators] def lshVerifiedPairs(sh: DataFrame): DataFrame = {
     val sig = sh.withColumn("m", expr(sigSpark)).cache()
     val band = sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
@@ -326,8 +337,6 @@ object Dedup {
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
-      .orderBy("a_id", "b_id")
   }
 
   // 32-bit SimHash: per bit, majority vote of token-hash bits (token
@@ -347,8 +356,11 @@ object Dedup {
                          ELSE CAST(0 AS BIGINT) END)),
                   (acc, x) -> acc + x) AS simhash FROM th)"""
 
-  /** Per-document 32-bit SimHash fingerprint + its 8 LSH chunks (4 bits
-    * each) — the value-level contract for [[d30SimhashPairs]]. */
+  /** Per-document 32-bit SimHash fingerprint + its 8 diagnostic chunks
+    * (4 bits each). NOTE: [[d30SimhashPairs]] does NOT consume these —
+    * its LSH join derives its own 4 chunks of 8 bits (the pigeonhole
+    * guarantee hamming ≤ 3 over 4 chunks holds for THAT chunking); the
+    * value-level contract shared with d30 is the `simhash` column only. */
   val d29Simhash = Q(
     "d29_simhash",
     s"""WITH $duckSimhash
@@ -452,6 +464,15 @@ object Dedup {
   private[operators] def d31Blocked(spark: SparkSession, dir: String,
       numBlocks: Int): DataFrame = {
     import spark.implicits._
+    // tiles are enumerated driver-side (B(B+1)/2 small tuples) and the
+    // count is Int arithmetic — sane only while the tile count is sane.
+    // B = 4096 ⇒ 8.4M tiles, already far past any reasonable job; the
+    // exact all-pairs CONTRACT itself (O(N²) dots ≈ 7e16 at the matching
+    // N) gives out long before this guard does. Past it, use the
+    // approximate tiers — that is their purpose.
+    require(numBlocks <= 4096,
+      s"d31 exact all-pairs with B=$numBlocks blocks (${numBlocks.toLong * (numBlocks + 1) / 2} tiles) " +
+        "is beyond the exact tier's feasible scale; use s33/s34/s36")
     // one row per block: (blk, compact vector list). B grows with N
     // ([[blocksFor]]) so a tile (two blocks) stays executor-resident; tiles
     // are the unit of parallelism. Pair rows are never materialized through

@@ -93,21 +93,7 @@ object Pipeline {
     // buckets (and so the candidate join) sub-quadratic at 100 TB
     val hs = Dedup.shingleHashesFrom(qd).cache()
     val sh = Dedup.cappedShingleSets(hs).cache()
-    val sig = sh.withColumn("m", expr(Dedup.sigSpark)).cache()
-    val band = sig
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
-      .selectExpr("doc_id", "b",
-        "concat(cast(m[b*3] as string), ',', cast(m[b*3+1] as string), ',', cast(m[b*3+2] as string)) as bkey")
-    val cand = band.select(col("b"), col("bkey"), col("doc_id").as("a_id"))
-      .join(band.select(col("b").as("b2"), col("bkey").as("bkey2"), col("doc_id").as("b_id")),
-        col("b") === col("b2") && col("bkey") === col("bkey2") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val dups = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
-      .filter(expr("cast(size(array_intersect(th_a, th_b)) as double) / " +
-        "(size(th_a) + size(th_b) - size(array_intersect(th_a, th_b))) >= 0.5"))
-      .select("b_id").distinct()
+    val dups = Dedup.lshVerifiedPairs(sh).select("b_id").distinct()
     // final corpus = quality-deduped minus near-dup higher ids
     qd.join(dups, qd("doc_id") === dups("b_id"), "left_anti")
       .groupBy("lang")

@@ -116,12 +116,17 @@ object Fixtures {
     // reading the pinned path must see the old or the new content, never
     // a deleted or half-written file (REPLACE_EXISTING alone deletes
     // first, leaving a visible gap)
-    val tmp = Files.createTempFile(Paths.get("/tmp"), s"graft_fixture_$name", ".tmp")
     val in = getClass.getResourceAsStream(s"/protarrow/$name.jsonl")
-    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-    in.close()
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    require(in != null, s"fixture resource /protarrow/$name.jsonl not on classpath")
+    val tmp = Files.createTempFile(Paths.get("/tmp"), s"graft_fixture_$name", ".tmp")
+    try {
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
     target.toString
   }
 }

@@ -37,9 +37,6 @@ object T {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` (epoch nanos, see above) as epoch seconds. */
-  def tsSeconds: org.apache.spark.sql.Column =
-    (org.apache.spark.sql.functions.col("ts") / 1000000000L).cast("long")
 }
 
 /** Driver-safe rendering of array columns. The driver's checker hashes

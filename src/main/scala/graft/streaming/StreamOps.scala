@@ -40,11 +40,12 @@ object StreamOps {
   /** Tumbling-window counts with a watermark: event-time aggregation whose
     * state is bounded by the watermark (late events beyond it are dropped). */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
   /** Session windows (gap-based), the streaming twin of
     * [[graft.operators.Events.q52Sessionization]]. */
@@ -103,12 +104,13 @@ object StreamOps {
     * batch tier, so the two tiers agree exactly), then exploded to its 4
     * LSH band keys; state lives PER BAND BUCKET (partitioned by band key
     * across executors) and holds the bucket's recent (doc_id, ts,
-    * shingle-set) entries. State is bounded by the WATERMARK HORIZON two
-    * ways: a quiet bucket is evicted whole by the event-time timeout, and
-    * inside an always-active bucket each entry is pruned individually once
-    * the watermark passes its event time (it could only pair with late
-    * data the watermark already discards). Redelivered doc_ids
-    * (at-least-once sources) are skipped, not duplicated. A new document is verified (exact Jaccard ≥
+    * shingle-set) entries. The DETECTION HORIZON is `stateTimeoutMs`:
+    * pairs are guaranteed for docs whose event times lie within it; state
+    * stays bounded because a quiet bucket is evicted whole by the
+    * event-time timeout and, inside an always-active bucket, each entry
+    * is pruned once the watermark passes its event time by the same
+    * window. Redelivered doc_ids (at-least-once sources) are skipped, not
+    * duplicated. A new document is verified (exact Jaccard ≥
     * `jaccardMin`) only against its own buckets — the same sub-quadratic
     * candidate pruning as the batch plan, incrementally.
     *
@@ -126,7 +128,7 @@ object StreamOps {
     * object-serializing mapPartitions, and the stateful operator requires
     * it on its direct input. */
   def nearDupPairs(docs: Dataset[(Long, java.sql.Timestamp, String)],
-      jaccardMin: Double = 0.5, stateTimeout: String = "2 hours",
+      jaccardMin: Double = 0.5, stateTimeoutMs: Long = 2 * 3600 * 1000L,
       hotShingles: Set[Long] = Set.empty, watermark: String = "1 hour")
       : Dataset[(Long, Long, Double)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -156,13 +158,17 @@ object StreamOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // per-entry age pruning: a bucket that stays active forever
-            // never hits the quiet-bucket timeout, so entries older than
-            // the watermark are dropped HERE (they could only pair with
-            // late data the watermark already discards). This is what
-            // keeps per-bucket state bounded by the watermark horizon,
-            // not merely by bucket quiescence.
+            // never hits the quiet-bucket timeout, so entries are dropped
+            // HERE once the watermark passes their event time by the
+            // stateTimeout window. Pruning at the RAW watermark would be
+            // wrong — a pruned entry can still pair with on-time future
+            // docs — so an entry lives the full detection horizon: pairs
+            // are guaranteed for docs whose event times lie within
+            // stateTimeoutMs of each other, the same horizon the
+            // quiet-bucket timeout implements.
             val wm = state.getCurrentWatermarkMs()
-            var seen = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
+            var seen = state.getOption.getOrElse(Nil)
+              .filter(_._2 + stateTimeoutMs >= wm)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             var maxTs = Long.MinValue
             rows.foreach { case (_, id, ts, th) =>
@@ -183,7 +189,7 @@ object StreamOps {
               }
             }
             state.update(seen)
-            state.setTimeoutTimestamp(maxTs, stateTimeout)
+            state.setTimeoutTimestamp(maxTs + stateTimeoutMs)
             out.iterator
           }
         })
