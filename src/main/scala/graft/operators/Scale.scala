@@ -37,7 +37,7 @@ object Scale {
     // subset spreads a hot key, it need not be the full row
     val hashable = probe.schema.fields
       .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(f => col(f.name))
+      .map(f => col(f.name)).toIndexedSeq
     require(hashable.nonEmpty, "saltedJoin needs at least one non-map probe column")
     val salted = build
       .withColumn("__salt", explode(lit((0 until saltFactor).toArray)))
