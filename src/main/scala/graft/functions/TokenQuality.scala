@@ -49,9 +49,10 @@ object TokenQuality {
     * (split-with-limit--1 semantics; 0x20 never occurs inside a multibyte
     * UTF-8 sequence, so byte- and char-level splits agree), stop tokens =
     * segments byte-equal to "the" or "a". No String or array allocation.
-    * Static so generated code calls it directly. */
-  def check(s: UTF8String, minTok: Int, maxTok: Int,
-      maxStopRatio: Double): Boolean = {
+    * Returns (n_tokens << 32) | n_stop packed in one long — the shared
+    * kernel behind [[TokenQuality]] and [[TokenStats]]. Static so
+    * generated code calls it directly. */
+  def packedCounts(s: UTF8String): Long = {
     val len = s.numBytes()
     var n = 1
     var stop = 0
@@ -68,6 +69,14 @@ object TokenQuality {
       }
       i += 1
     }
+    (n.toLong << 32) | stop.toLong
+  }
+
+  def check(s: UTF8String, minTok: Int, maxTok: Int,
+      maxStopRatio: Double): Boolean = {
+    val packed = packedCounts(s)
+    val n = (packed >>> 32).toInt
+    val stop = (packed & 0xFFFFFFFFL).toInt
     n >= minTok && n <= maxTok && stop.toDouble / n <= maxStopRatio
   }
 

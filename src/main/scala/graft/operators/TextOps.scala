@@ -85,16 +85,23 @@ object TextOps {
                       / len(string_split(text, ' ')) <= 0.25
              THEN 1 ELSE 0 END AS BIGINT) AS is_quality
        FROM documents ORDER BY doc_id""") { (spark, dir) =>
-    T(spark, dir, "documents").selectExpr(
-      "doc_id",
-      "cast(size(split(text, ' ')) as bigint) as n_tokens",
-      "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as double)" +
-        " / size(split(text, ' ')) as stop_ratio",
-      "cast(length(text) - size(split(text, ' ')) + 1 as double)" +
-        " / size(split(text, ' ')) as avg_word_len",
-      "cast(case when size(split(text, ' ')) between 20 and 120" +
-        " and cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as double)" +
-        " / size(split(text, ' ')) <= 0.25 then 1 else 0 end as bigint) as is_quality")
+    // ONE tokenization pass per row: the split/filter form re-evaluated
+    // the (interpreted) tokenization per derived column after projection
+    // collapse — ~6 passes per document. token_stats is aliased once and
+    // field-extracted; CollapseProject keeps a non-cheap multi-referenced
+    // alias in its own Project (SPARK-36718), so the kernel runs once.
+    // Ratios are the same int-derived double divisions as the oracle.
+    val n = col("ts.n_tokens")
+    val stop = col("ts.n_stop")
+    T(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        graft.functions.TokenStats(col("text")).as("ts"))
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        (stop.cast("double") / n).as("stop_ratio"),
+        ((col("len") - n + 1).cast("double") / n).as("avg_word_len"),
+        when(n.between(20, 120) && stop.cast("double") / n <= 0.25, 1L)
+          .otherwise(0L).as("is_quality"))
       .orderBy("doc_id")
   }
 

@@ -75,6 +75,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "d31 must equi-join on block keys")
   }
 
+  test("t23: token stats computed ONCE per row (collapse does not re-inline)") {
+    val p = SparkEntry.queries("t23_quality_score")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("token_stats".r.findAllIn(p).size === 1,
+      "the struct alias must survive CollapseProject as a single evaluation")
+    assert(!p.contains("split("), "no residual split-based tokenization")
+  }
+
   test("s33: hyperplane weights are a driver-side literal (no md5 per row)") {
     assert(!plan("s33_ann_lsh").toLowerCase.contains("md5"))
   }
