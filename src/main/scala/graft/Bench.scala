@@ -150,35 +150,48 @@ object Bench {
     // reference's full ExampleMessage shape. Reported as min of 3 warm
     // iterations — pytest-benchmark (the reference harness) also reports
     // warm steady-state over many rounds, and a single cold call here is
-    // dominated by JIT, not by the codec.
+    // dominated by JIT, not by the codec. Failures are captured into
+    // `errors` exactly like query failures — a codec regression must
+    // never abort main before the JSON line prints. Selection is
+    // per-point (same prefix semantics as the query loop), so
+    // `Bench pa_decode_10000` runs that point alone.
     def minOf3(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
+    def timed(key: String)(f: => Unit): Unit =
+      results(key) = minOf3 {
+        try f
+        catch { case e: Throwable =>
+          errors(key) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+        }
+      }
     val md = Schemas.msg("ExampleMessage")
     val reg = Schemas.registry
     val gen = new MsgGen(42L)
-    for (n <- Seq(10, 100, 1000, 10000) if selected("pa_")) {
+    for (n <- Seq(10, 100, 1000, 10000)) {
+      val (encKey, decKey) = (s"pa_encode_$n", s"pa_decode_$n")
+      // messages are generated for every n regardless of selection so the
+      // seeded RNG stream (and thus each point's data) is identical
+      // whatever subset runs
       val msgs = Vector.fill(n)(gen.message(md))
-      results(s"pa_encode_$n") = minOf3 {
+      if (selected(encKey)) timed(encKey) {
         Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg).count(); ()
       }
-      val df = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
-        .cache()
-      df.count()
-      results(s"pa_decode_$n") = minOf3 {
-        Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); ()
+      if (selected(decKey)) {
+        // materialized once outside the timer: the decode point measures
+        // dataFrameToMessages only, as in prior rounds
+        val df = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
+          .cache()
+        try {
+          df.count()
+          timed(decKey) { Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); () }
+        } catch { case e: Throwable =>
+          errors(decKey) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+        } finally { df.unpersist(); () }
       }
-      df.unpersist()
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + v }
       .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val es = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")

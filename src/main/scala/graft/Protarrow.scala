@@ -113,15 +113,45 @@ object Protarrow {
     * trade-off the reference documents for its arrow workaround,
     * tests/test_pyarrow.py:83-91). */
   def parquetSafe(df: DataFrame): DataFrame = {
-    def hasEmptyStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case s: StructType => s.fields.isEmpty || s.fields.exists(f => hasEmptyStruct(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasEmptyStruct(a.elementType)
-      case m: org.apache.spark.sql.types.MapType =>
-        hasEmptyStruct(m.keyType) || hasEmptyStruct(m.valueType)
-      case _ => false
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField}
+    import org.apache.spark.sql.functions.{lit, struct, transform, transform_values, when}
+    // The schema with empty-struct LEAVES removed (None = nothing
+    // writable remains at this position). Only the unwritable leaf is
+    // dropped — sibling fields keep their data; the old whole-column drop
+    // silently lost every sibling of a nested Empty field.
+    def prunedType(dt: DataType): Option[DataType] = dt match {
+      case s: StructType =>
+        val kept = s.fields.flatMap(f =>
+          prunedType(f.dataType).map(t => StructField(f.name, t, f.nullable)))
+        if (kept.isEmpty) None else Some(StructType(kept))
+      case a: ArrayType =>
+        prunedType(a.elementType).map(t => ArrayType(t, a.containsNull))
+      case m: MapType if prunedType(m.keyType).contains(m.keyType) =>
+        prunedType(m.valueType).map(t => MapType(m.keyType, t, m.valueContainsNull))
+      case _: MapType => None // struct-of-Empty map key: nothing to keep
+      case other => Some(other)
     }
-    val keep = df.schema.fields.filterNot(f => hasEmptyStruct(f.dataType)).map(_.name)
-    df.select(keep.map(df(_)): _*)
+    def prune(c: Column, dt: DataType): Option[Column] = dt match {
+      case s: StructType => prunedType(s).map { pt =>
+        val st = pt.asInstanceOf[StructType]
+        val children = st.fields.map(f =>
+          prune(c.getField(f.name), s(f.name).dataType).get.as(f.name))
+        // struct() of a null struct's fields would be a struct of nulls —
+        // preserve the null mask explicitly
+        when(c.isNull, lit(null).cast(pt)).otherwise(struct(children.toIndexedSeq: _*))
+      }
+      case a: ArrayType =>
+        prunedType(dt).map(_ => transform(c, x => prune(x, a.elementType).get))
+      case m: MapType =>
+        prunedType(dt).map(_ => transform_values(c, (_, v) => prune(v, m.valueType).get))
+      case _ => Some(c)
+    }
+    val kept = df.schema.fields.toIndexedSeq
+      .flatMap(f => prune(df(f.name), f.dataType).map(_.as(f.name)))
+    require(kept.nonEmpty,
+      "no parquet-writable columns remain after dropping empty-struct fields")
+    df.select(kept: _*)
   }
 
   /** Proto-JSONL sink: distributed write of proto-JSON lines (the inverse
@@ -163,8 +193,16 @@ object Protarrow {
       reg: ProtoRegistry = WellKnown.registry) extends Serializable {
     private val reader = Codecs.rowReader(md, schema, cfg, reg)
     def apply(row: Row): DynamicMessage = reader(row)
-    /** Extract row `i` of the DataFrame as one message. */
-    def readTableRow(df: DataFrame, i: Int): DynamicMessage =
-      reader(df.limit(i + 1).tail(1).head)
+    /** Extract row `i` of the DataFrame as one message. Out of range
+      * raises, like the reference's IndexError (message_extractor.py).
+      * "Row i" follows the DataFrame's current row order — deterministic
+      * for sorted or single-partition frames; impose an orderBy first if
+      * the frame's order is partition-dependent. */
+    def readTableRow(df: DataFrame, i: Int): DynamicMessage = {
+      val rows = df.limit(i + 1).collect()
+      if (rows.length <= i) throw new IndexOutOfBoundsException(
+        s"row $i of a ${rows.length}-row DataFrame")
+      reader(rows(i))
+    }
   }
 }

@@ -112,10 +112,9 @@ object SkewBench {
       }
     }
     val violations = results.filter(_._2 > BoundSec).keys.toSeq ++ errors.keys
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val vs = violations.map(jstr).mkString("[", ",", "]")
+    val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }.mkString("{", ",", "}")
+    val vs = violations.map(JsonOut.str).mkString("[", ",", "]")
     println(s"""{"metric":"skew_total","value":${results.values.sum},"unit":"sec","bound_sec":$BoundSec,"dup_factor":$DupFactor,"queries":$qs,"errors":$es,"violations":$vs,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)

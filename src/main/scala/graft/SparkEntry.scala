@@ -11,11 +11,17 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Every registered query module. */
-  def allQueries: Seq[Q] =
-    Relational.all ++ Relational2.all ++ TextOps.all ++ Dedup.all ++
+  /** Every registered query module. Name collisions fail fast — `toMap`
+    * in [[queries]] would otherwise silently drop the shadowed query from
+    * Bench/Verify/SkewBench and shrink the round's coverage. */
+  def allQueries: Seq[Q] = {
+    val qs = Relational.all ++ Relational2.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Events.all ++ ProtoOps.all ++
       Scale.all ++ Json.all ++ AsOf.all ++ Pipeline.all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The corpus-curation pipeline composes quality filtering, exact dedup,

@@ -96,4 +96,43 @@ class ParquetSafeSpec extends SparkSpec {
       m.values.filter { case (num, _) => !emptyFieldNums.contains(num) })
     assert(msgs.map(strip).toSet === orig.map(strip).toSet)
   }
+
+  test("parquetSafe keeps SIBLINGS of a nested empty-struct field") {
+    // a struct column holding {Empty e, string name} must lose only `e` —
+    // the old whole-column drop silently lost every sibling's data
+    import graft.proto._
+    import graft.proto.PType._
+    val sub = PMessageDesc("graft.test.SubWithEmpty", Seq(
+      PField("e", 1, PMessage(WellKnown.EmptyName)),
+      PField("name", 2, PString)))
+    val outer = PMessageDesc("graft.test.OuterWithEmpty", Seq(
+      PField("sub", 1, PMessage("graft.test.SubWithEmpty")),
+      PField("id", 2, PInt64)))
+    val reg2 = reg ++ new ProtoRegistry(
+      Map(sub.fullName -> sub, outer.fullName -> outer), Map.empty)
+    val msgs = Seq(
+      DynamicMessage(outer, Map(
+        1 -> DynamicMessage(sub, Map(1 -> DynamicMessage.empty(WellKnown.empty),
+          2 -> "keep-me")), 2 -> 7L)),
+      DynamicMessage(outer, Map(2 -> 8L))) // sub unset → null mask case
+    val df = Protarrow.messagesToDataFrame(spark, msgs, outer, GraftConfig(), reg2)
+    val safe = Protarrow.parquetSafe(df)
+    val out = java.nio.file.Files.createTempDirectory("graft_pq2").toString + "/t"
+    safe.write.parquet(out)
+    val back = Protarrow.dataFrameToMessages(
+      spark.read.parquet(out).orderBy("id"), outer, GraftConfig(), reg2)
+    assert(back(0).get(1) === Some(DynamicMessage(sub, Map(2 -> "keep-me"))),
+      "the sibling string must survive; only the Empty leaf is dropped")
+    assert(back(1).get(1) === None, "unset sub must stay unset (null mask)")
+    assert(back.map(_.get(2)) === Seq(Some(7L), Some(8L)))
+  }
+
+  test("readTableRow raises on out-of-range index (reference IndexError parity)") {
+    val md2 = Schemas.msg("MyProto")
+    val msgs = Seq(DynamicMessage(md2, Map(1 -> "x", 2 -> 1)))
+    val df = Protarrow.messagesToDataFrame(spark, msgs, md2, GraftConfig(), reg)
+    val ex = new Protarrow.MessageExtractor(df.schema, md2, GraftConfig(), reg)
+    assert(ex.readTableRow(df, 0) === msgs.head)
+    intercept[IndexOutOfBoundsException] { ex.readTableRow(df, 5) }
+  }
 }
