@@ -234,6 +234,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection horizon: pairs within stateTimeout, pruned beyond") {
+    // the pruning-horizon contract: an entry must survive watermark
+    // advances long enough to pair with on-time docs within stateTimeout
+    // of it (pruning at the raw watermark missed those), and must be gone
+    // once the watermark passes its event time by stateTimeout
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def at(m: Long) = new Timestamp(base + m * 60000L)
+    val docText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = ("w0" +: (2 to 30).map(i => s"w$i")).mkString(" ") // 1 word differs
+    def noise(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.nearDupPairs(stream.toDS())
+      .toDF("a_id", "b_id", "jaccard")
+      .writeStream.format("memory").queryName("neardup_horizon")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, at(0), docText)))            // A @ 10:00
+      q.processAllAvailable()
+      stream.addData(Seq((90L, at(90), noise("x"))))       // watermark → ~10:30
+      q.processAllAvailable()
+      stream.addData(Seq((2L, at(60), nearDup)))           // B @ 11:00, on time
+      q.processAllAvailable()
+      val afterB = spark.table("neardup_horizon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB === Set((1L, 2L)),
+        "A must survive a watermark advance within the horizon and pair with B")
+
+      stream.addData(Seq((91L, at(210), noise("y"))))      // watermark → ~12:30 > A+2h
+      q.processAllAvailable()
+      stream.addData(Seq((3L, at(240), docText)))          // C @ 14:00, exact dup of A
+      q.processAllAvailable()
+      val afterC = spark.table("neardup_horizon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!afterC.contains((1L, 3L)),
+        "A must be pruned once the watermark passes its event time by stateTimeout")
+    } finally q.stop()
+  }
+
   test("streaming corpus curation: token_quality gate + first-seen content dedup") {
     // the ingestion-time front-end of x90: quality-filter documents as they
     // arrive, then drop exact re-occurrences by content hash — what a
