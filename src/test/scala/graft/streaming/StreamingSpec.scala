@@ -266,11 +266,16 @@ class StreamingSpec extends SparkSpec {
 
       stream.addData(Seq((91L, at(210), noise("y"))))      // watermark → ~12:30 > A+2h
       q.processAllAvailable()
-      stream.addData(Seq((3L, at(240), docText)))          // C @ 14:00, exact dup of A
+      // C and D @ 14:00 are dups of A's text — D is the positive control
+      // proving the pairing path ran in the batch where A's absence is
+      // asserted (without it the negative assert could pass vacuously)
+      stream.addData(Seq((3L, at(240), docText), (4L, at(241), docText)))
       q.processAllAvailable()
       val afterC = spark.table("neardup_horizon").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(!afterC.contains((1L, 3L)),
+      assert(afterC.contains((3L, 4L)),
+        "the batch's own pairs must still emit (positive control)")
+      assert(!afterC.contains((1L, 3L)) && !afterC.contains((1L, 4L)),
         "A must be pruned once the watermark passes its event time by stateTimeout")
     } finally q.stop()
   }
