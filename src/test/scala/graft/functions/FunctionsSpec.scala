@@ -77,6 +77,41 @@ class FunctionsSpec extends SparkSpec {
     assert(chk("athe a the", 1, 10, 0.5) === false) // 3 tokens, 2 stop ≈ 0.67
   }
 
+  test("token kernel vs SQL split semantics on generated unicode strings") {
+    // the byte-level kernel's claim — tokens = 0x20 count + 1, stop
+    // segments byte-equal to 'the'/'a', multibyte-safe — fuzzed against
+    // the split-based SQL forms on adversarial strings: random unicode,
+    // runs of spaces, leading/trailing spaces, embedded stop words
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val pieces = Array("the", "a", "athe", "thea", "", "héllo", "wörld",
+      "日本語", "x", " ", "tab\there", "ünïcödé", "emoji😀")
+    val strs = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" " * (1 + rnd.nextInt(2))) + (if (rnd.nextBoolean()) " " else "")
+    }.distinct
+    val df = strs.toDF("text").cache()
+    val sqlSide = df.selectExpr("text",
+      "size(split(text, ' ')) as n",
+      "size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as s")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val native = df.select(col("text"), TokenStats(col("text")).as("ts"))
+      .select(col("text"), col("ts.n_tokens"), col("ts.n_stop"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(native.keySet === sqlSide.keySet)
+    native.foreach { case (t, counts) =>
+      assert(counts === sqlSide(t), s"kernel mismatch on ${t.take(40).mkString}")
+    }
+    // the boolean predicate agrees too, on thresholds that bite
+    val sqlPred = df.filter(expr(
+      "size(split(text, ' ')) between 2 and 8 and " +
+        "cast(size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) as double)" +
+        " / size(split(text, ' ')) <= 0.3")).collect().map(_.getString(0)).toSet
+    val nativePred = df.filter(TokenQuality(col("text"), 2, 8, 0.3))
+      .collect().map(_.getString(0)).toSet
+    assert(nativePred === sqlPred)
+  }
+
   test("writeProtoJsonl ↔ readProtoJsonl round trip") {
     val reg = Schemas.registry
     val md = Schemas.msg("ExampleMessage")
