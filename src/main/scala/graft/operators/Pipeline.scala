@@ -102,5 +102,37 @@ object Pipeline {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline)
+  /** Source-balanced dataset mixing: deterministically downsample every
+    * source to at most K documents, choosing by hash order — the
+    * "rebalance the web crawl against the curated sources" step of a
+    * pretraining data mix. Selection is a pure function of doc_id (never
+    * `rand()`), so the mix is reproducible across engines and runs.
+    *
+    * Scale shape: ROW_NUMBER partitioned by source with a `rnk <= K`
+    * filter triggers Spark's InferWindowGroupLimit — a partial
+    * WindowGroupLimit runs map-side BEFORE the shuffle, so each task
+    * forwards at most K rows per source and the exchange carries
+    * O(sources · K) rows, not the corpus. A hot source never floods one
+    * reducer. (Plan-gated in PlanSpec.) */
+  val x91SourceMix = Q(
+    "x91_source_mix",
+    s"""WITH r AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ${H.d("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+        FROM documents)
+        SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 15 ORDER BY source, rnk""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(expr(H.s("cast(doc_id as string)")), col("doc_id"))
+    T(spark, dir, "documents")
+      .withColumn("rnk", row_number().over(w))
+      // filter on the raw rank attribute (cast AFTER): a cast wrapped
+      // around the rank column would hide it from InferWindowGroupLimit
+      .filter(col("rnk") <= 15)
+      .select(col("source"), col("doc_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix)
 }

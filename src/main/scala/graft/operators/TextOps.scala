@@ -225,6 +225,99 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition stats (Rae et al. 2021 §A1.1): fraction of
+    * 2-grams occupied by the most frequent 2-gram and the duplicate-2-gram
+    * fraction — the standard "degenerate repetition" quality filters a
+    * pretraining pipeline runs per document.
+    *
+    * Shape: explode 2-grams → hash-partitioned (doc_id, gram) count →
+    * per-doc agg → join back to per-doc token counts. Both shuffles are
+    * keyed (no cross-doc joins, no driver state); the gram count per doc
+    * is bounded by document length, so partitions stay balanced at any
+    * corpus size. Docs with <2 tokens have no 2-grams: counts coalesce
+    * to 0, fractions stay NULL (identically in both dialects). */
+  val t29Repetition = Q(
+    "t29_repetition",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+             FROM tok),
+       c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+       p AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_grams,
+                    COUNT(*) AS n_distinct FROM c GROUP BY 1)
+       SELECT tok.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct_grams,
+              CAST(top_c AS DOUBLE) / n_grams AS top_gram_frac,
+              1 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_gram_frac
+       FROM tok LEFT JOIN p ON tok.doc_id = p.doc_id
+       ORDER BY tok.doc_id""") { (spark, dir) =>
+    val tok = T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // adjacent-pair 2-grams via zip_with over two slices; slice length 0
+    // (single-token doc) yields an empty array, so explode drops the doc
+    // and the left join below restores it with NULL stats. sequence() is
+    // NOT usable here: sequence(1, 0) counts DOWN ([1,0]) instead of
+    // returning empty.
+    val grams = tok.select(col("doc_id"), explode(expr(
+      "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+        " (a, b) -> concat(a, ' ', b))")).as("g"))
+    val per = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"),
+        sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+    // two column-pruned scans of (doc_id, text): cheaper at scale than
+    // caching the tokenized corpus just to avoid one re-read
+    tok.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct_grams"),
+        (col("top_c").cast("double") / col("n_grams")).as("top_gram_frac"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .as("dup_gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // PII patterns shared by both dialects: no lookarounds, no anchors, no
+  // shorthand classes — the subset where Java regex (Spark) and RE2
+  // (DuckDB) agree byte-for-byte. Built with the Column API on the Spark
+  // side (a SQL string literal would eat the backslash).
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** PII redaction: count and mask email/phone matches. The corpus
+    * carries no PII, so the query plants one synthetic email and phone
+    * per document (derived from doc_id — deterministic on both engines)
+    * and redacts them; the oracle checks counts and the full redacted
+    * text. Map-only, codegen'd regex — embarrassingly parallel; on real
+    * data the augmentation step disappears and redaction runs straight
+    * over the text column. */
+  val t31PiiRedact = Q(
+    "t31_pii_redact",
+    s"""WITH a AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-'
+               || CAST(1000 + doc_id % 9000 AS VARCHAR) AS aug
+        FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+                         '$PhoneRe', '<PHONE>', 'g') AS clean
+        FROM a ORDER BY doc_id""") { (spark, dir) =>
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or 555-"),
+      (lit(1000) + col("doc_id") % 9000).cast("string"))
+    T(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(aug, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(aug, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(aug, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")).as("clean"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
-    t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe)
+    t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
+    t31PiiRedact)
 }

@@ -106,6 +106,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("x91: map-side WindowGroupLimit caps rows before the shuffle") {
+    val p = plan("x91_source_mix")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= K must trigger InferWindowGroupLimit")
+    assert(p.contains("Partial"),
+      "the partial (pre-shuffle) group limit is the scale guarantee: " +
+        "each task forwards at most K rows per source")
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text"),
+      "text must be pruned from the scan")
+  }
+
+  test("t29: gram counting is partial+final agg, no cartesian") {
+    val p = plan("t29_repetition")
+    assert(p.contains("partial_max") || p.contains("Partial"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))

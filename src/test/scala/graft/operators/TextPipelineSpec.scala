@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Value-level properties for the round-3 pipeline additions (t29
+  * repetition stats, t31 PII redaction, x91 source mixing). The DuckDB
+  * oracle enforces full-output equality; these pin the semantic
+  * invariants a formula refactor could silently break on both engines
+  * at once. */
+class TextPipelineSpec extends SparkSpec {
+
+  test("t29: gram identities hold for every document") {
+    val rows = TextOps.t29Repetition.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nGrams, nDistinct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every sf document has >= 2 tokens, so the adjacent-pair identity
+      // n_grams = n_tokens - 1 must hold exactly
+      assert(nGrams == nTok - 1, s"doc ${r.getLong(0)}: $nGrams vs ${nTok - 1}")
+      assert(nDistinct >= 1 && nDistinct <= nGrams)
+      val top = r.getDouble(4)
+      val dup = r.getDouble(5)
+      assert(top > 0.0 && top <= 1.0)
+      assert(dup >= 0.0 && dup < 1.0)
+      // all-distinct grams <=> zero duplicate fraction
+      assert((nDistinct == nGrams) == (dup == 0.0))
+    }
+  }
+
+  test("t29: stats match a hand computation on one document") {
+    val doc = T(spark, sfDir, "documents").orderBy("doc_id").head
+    val toks = doc.getAs[String]("text").split(" ", -1)
+    val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val byCount = grams.groupBy(identity).map(_._2.size)
+    val r = TextOps.t29Repetition.fn(spark, sfDir)
+      .filter(col("doc_id") === doc.getAs[Long]("doc_id")).head
+    assert(r.getLong(1) == toks.length.toLong)
+    assert(r.getLong(2) == grams.size.toLong)
+    assert(r.getLong(3) == byCount.size.toLong)
+    assert(r.getDouble(4) == byCount.max.toDouble / grams.size)
+    assert(r.getDouble(5) == 1.0 - byCount.size.toDouble / grams.size)
+  }
+
+  test("t29: a single-token document yields an empty 2-gram array (slice, not sequence)") {
+    // sequence(1, 0) counts DOWN — the zip_with/slice form is what makes
+    // the degenerate doc safe; pin it so a refactor cannot swap it back
+    val g = spark.sql(
+      "SELECT zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1)," +
+        " (a, b) -> concat(a, ' ', b)) AS g FROM VALUES (array('x')) AS v(t)")
+      .head.getSeq[String](0)
+    assert(g.isEmpty)
+  }
+
+  test("t31: exactly one email and one phone planted and redacted per doc") {
+    val rows = TextOps.t31PiiRedact.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"doc ${r.getLong(0)}: n_emails")
+      assert(r.getLong(2) == 1L, s"doc ${r.getLong(0)}: n_phones")
+      val clean = r.getString(3)
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+      assert(!clean.contains("@example.com") && !clean.contains("555-1"),
+        "no un-redacted PII may survive")
+    }
+  }
+
+  test("x91: every source capped at exactly K docs, ranks contiguous") {
+    val df = Pipeline.x91SourceMix.fn(spark, sfDir)
+    val per = df.groupBy("source").agg(count(lit(1)).as("n"),
+      min("rnk").as("lo"), max("rnk").as("hi")).collect()
+    val nSources = T(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(per.length.toLong == nSources, "every source must survive the mix")
+    per.foreach { r =>
+      assert(r.getLong(1) == 15L && r.getLong(2) == 1L && r.getLong(3) == 15L,
+        s"${r.getString(0)}: cap/rank contract broken")
+    }
+  }
+
+  test("x91: selection is a pure function of doc_id (stable across partitioning)") {
+    def kept(parts: Int): Set[Long] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Pipeline.x91SourceMix.fn(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(kept(2) == kept(7), "the mix must not depend on physical partitioning")
+  }
+}
