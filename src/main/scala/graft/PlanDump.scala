@@ -10,7 +10,8 @@ object PlanDump {
   private val defaults = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "pa61_cast_normalize",
     "q56_asof_join", "d27_ngram_jaccard", "d31_embedding_neardup",
-    "s32_knn_bruteforce", "s33_ann_lsh", "x90_corpus_pipeline")
+    "s32_knn_bruteforce", "s33_ann_lsh", "x90_corpus_pipeline",
+    "x91_source_mix")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
