@@ -130,7 +130,7 @@ object Dedup {
   private[operators] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     shingleHashesFrom(T(spark, dir, "documents"))
 
-  private val duckShingles =
+  private[operators] val duckShingles =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id,
               CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(

@@ -134,5 +134,56 @@ object Pipeline {
       .orderBy("source", "rnk")
   }
 
-  val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix)
+  /** Benchmark decontamination: for every train-split document, the
+    * fraction of its distinct word-3-gram shingles that also occur in the
+    * held-out split (t27's hash split) — the "n-gram overlap with the
+    * test set" check every pretraining pipeline runs before training.
+    * Shingle derivation is the d27/d28 kernel ([[Dedup.shingleHashesFrom]])
+    * so all overlap operators agree on what a shingle is.
+    *
+    * Scale shape: the overlap is a LEFT SEMI join on the hashed shingle —
+    * semi-join output never exceeds its left input, so a hot shingle
+    * cannot explode the join (no DF cap needed, unlike the pair-joins in
+    * d27/d28). The eval side is distinct-projected first; in production
+    * the held-out set is benchmark-sized and AQE broadcasts it, while the
+    * 80/20 demo split here exercises the shuffle path. */
+  val x92Decontamination = Q(
+    "x92_decontamination",
+    s"""WITH ${Dedup.duckShingles},
+        hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th
+                FROM sh),
+        sp AS (SELECT doc_id, ${H.d("CAST(doc_id AS VARCHAR)")} % 10 AS b
+               FROM documents),
+        tr AS (SELECT hs0.doc_id, th FROM hs0 JOIN sp ON hs0.doc_id = sp.doc_id
+               WHERE sp.b < 8),
+        ev AS (SELECT DISTINCT unnest(th) AS h
+               FROM hs0 JOIN sp ON hs0.doc_id = sp.doc_id WHERE sp.b >= 8),
+        tri AS (SELECT doc_id, unnest(th) AS h FROM tr),
+        cont AS (SELECT tri.doc_id, COUNT(*) AS n_cont
+                 FROM tri JOIN ev ON tri.h = ev.h GROUP BY 1)
+        SELECT tr.doc_id, CAST(len(th) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(n_cont, 0) AS BIGINT) AS n_contaminated,
+               CAST(COALESCE(n_cont, 0) AS DOUBLE)
+                 / NULLIF(CAST(len(th) AS BIGINT), 0) AS contamination
+        FROM tr LEFT JOIN cont ON tr.doc_id = cont.doc_id
+        ORDER BY tr.doc_id""") { (spark, dir) =>
+    val hs = Dedup.shingleHashesFrom(T(spark, dir, "documents"))
+      .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+    val train = hs.filter(col("b") < 8)
+    val evalSh = hs.filter(col("b") >= 8)
+      .select(explode(col("th")).as("h")).distinct()
+    val cont = train.select(col("doc_id"), explode(col("th")).as("h"))
+      .join(evalSh, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cont"))
+    train.select(col("doc_id"), size(col("th")).cast("long").as("n_shingles"))
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_cont"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_cont"), lit(0L)).cast("double")
+          / nullif(col("n_shingles"), lit(0L))).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
+    x92Decontamination)
 }

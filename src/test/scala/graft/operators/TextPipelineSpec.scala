@@ -78,6 +78,37 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("x92: contamination matches a full JVM recomputation") {
+    // independent recomputation from raw text via the shared kernel +
+    // the H hash in plain Scala — catches a divergence between the two
+    // engine dialects AND the kernel at once
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hOf(s: String): Long = {
+      md5.reset()
+      val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val docs = T(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Dedup.shingleHashesOf(r.getString(1), md5).toSet))
+    val (train, eval) = docs.partition { case (id, _) => hOf(id.toString) % 10 < 8 }
+    val evalSet = eval.iterator.flatMap(_._2).toSet
+    val expected = train.map { case (id, sh) =>
+      id -> ((sh.size.toLong, sh.count(evalSet.contains).toLong))
+    }.toMap
+    val rows = Pipeline.x92Decontamination.fn(spark, sfDir).collect()
+    assert(rows.length == expected.size, "one row per train doc")
+    rows.foreach { r =>
+      val (nSh, nCont) = expected(r.getLong(0))
+      assert(r.getLong(1) == nSh && r.getLong(2) == nCont,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)}/${r.getLong(2)} vs $nSh/$nCont")
+      if (nSh > 0)
+        assert(r.getDouble(3) == nCont.toDouble / nSh)
+    }
+    // the check is only meaningful if some contamination exists at this SF
+    assert(rows.exists(_.getLong(2) > 0), "positive control: no overlap found")
+  }
+
   test("x91: selection is a pure function of doc_id (stable across partitioning)") {
     def kept(parts: Int): Set[Long] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
