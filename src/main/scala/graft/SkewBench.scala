@@ -39,7 +39,14 @@ object SkewBench {
   val BoundSec = 120.0
   val Queries = Seq("d26_exact_dedup", "d27_ngram_jaccard", "d28_minhash_lsh",
     "d29_simhash", "d32_minhash_agg", "s33_ann_lsh", "s34_ann_ivf",
-    "s36_ann_multiprobe", "q26_salted_join", "x90_corpus_pipeline")
+    "s36_ann_multiprobe", "q26_salted_join", "x90_corpus_pipeline",
+    // round-3 additions: t29's gram keys all include doc_id (the hot
+    // cross-doc gram never becomes a join/agg key alone); x91's 10k-doc
+    // hot SOURCE is the worst case for the per-source window — the
+    // Partial WindowGroupLimit must cap it map-side; x92's semi-join is
+    // output-bounded by its left input even when the dup cluster makes
+    // every one of its shingles hot
+    "t29_repetition", "x91_source_mix", "x92_decontamination")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
