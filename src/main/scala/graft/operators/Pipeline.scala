@@ -167,8 +167,11 @@ object Pipeline {
                  / NULLIF(CAST(len(th) AS BIGINT), 0) AS contamination
         FROM tr LEFT JOIN cont ON tr.doc_id = cont.doc_id
         ORDER BY tr.doc_id""") { (spark, dir) =>
+    // cached: the kernel frame feeds three subtrees (train index, train
+    // sizes, eval set) — uncached it would re-shingle the corpus 3×
     val hs = Dedup.shingleHashesFrom(T(spark, dir, "documents"))
       .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+      .cache()
     val train = hs.filter(col("b") < 8)
     val evalSh = hs.filter(col("b") >= 8)
       .select(explode(col("th")).as("h")).distinct()
