@@ -142,6 +142,55 @@ object Relational2 {
       .orderBy("doc_id")
   }
 
+  /** Pivot (long → wide): per-returnflag quantity split into one column
+    * per linestatus. Pivot values are EXPLICIT (`Seq("F","O")`) — the
+    * two-argument form runs a driver-side distinct scan to discover them,
+    * an extra pass over the fact table that a 100 TB job must not pay.
+    * Catalyst rewrites explicit-value pivot into a single partial+final
+    * aggregate of `sum(CASE WHEN ...)` — one shuffle, no joins; the
+    * oracle states that rewrite directly. Sums follow the Num decimal
+    * convention; an absent (flag, status) combination is NULL on both
+    * engines. */
+  val q28Pivot = Q(
+    "q28_pivot",
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE) AS qty_o
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
+    T(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Num.dsum(col("l_quantity")))
+      .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Unpivot/melt (wide → long): per-segment customer metrics melted into
+    * (segment, metric, value) rows via the native `Dataset.unpivot`
+    * operator (Expand under the hood — map-side row replication, no
+    * shuffle beyond the feeding aggregate). Metrics share one double
+    * type, as unpivot requires; the oracle is the portable UNION ALL
+    * statement of the same melt. */
+  val q29Unpivot = Q(
+    "q29_unpivot",
+    """WITH a AS (SELECT c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+                  FROM customer GROUP BY c_mktsegment)
+       SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM a
+       UNION ALL
+       SELECT c_mktsegment, 'total_acctbal' AS metric, total_acctbal AS value FROM a
+       ORDER BY c_mktsegment, metric""") { (spark, dir) =>
+    T(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        Num.dsum(col("c_acctbal")).as("total_acctbal"))
+      .unpivot(Array(col("c_mktsegment")),
+        Array(col("n_customers"), col("total_acctbal")), "metric", "value")
+      .orderBy("c_mktsegment", "metric")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
-    q24RangeFrame, q25ApproxDistinct, d32MinhashAgg)
+    q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot)
 }

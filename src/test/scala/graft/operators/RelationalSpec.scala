@@ -53,6 +53,37 @@ class RelationalSpec extends SparkSpec {
     assert(n == T(spark, sfDir, "orders").count())
   }
 
+  test("q28 pivot: wide columns re-sum to the per-flag totals") {
+    import org.apache.spark.sql.functions._
+    val wide = Relational2.q28Pivot.fn(spark, sfDir)
+      .select(col("l_returnflag"),
+        (coalesce(col("qty_f"), lit(0.0)) + coalesce(col("qty_o"), lit(0.0))).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val long = T(spark, sfDir, "lineitem").groupBy("l_returnflag")
+      .agg(Num.dsum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wide == long, "pivot must redistribute, never drop, quantity")
+  }
+
+  test("q29 unpivot: exactly one long row per (segment, metric)") {
+    val rows = Relational2.q29Unpivot.fn(spark, sfDir).collect()
+    val segs = T(spark, sfDir, "customer").select("c_mktsegment").distinct().count()
+    assert(rows.length.toLong == 2 * segs)
+    assert(rows.map(_.getString(1)).toSet == Set("n_customers", "total_acctbal"))
+  }
+
+  test("q28 pivot: single aggregate, no value-discovery pass, no join") {
+    val p = Relational2.q28Pivot.fn(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), "explicit pivot values must not plan a join")
+    // count detail headers ("(N) Scan parquet") — unambiguous one-per-node
+    // form in FormattedMode (tree lines carry varying codegen/branch
+    // prefixes)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      "explicit pivot values must not add a distinct-discovery scan")
+    assert(p.contains("partial_sum") || p.contains("Partial"))
+  }
+
   test("entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
