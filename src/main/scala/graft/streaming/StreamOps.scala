@@ -195,6 +195,40 @@ object StreamOps {
         })
   }
 
+  /** Streaming ingest decontamination: drop documents whose word-3-gram
+    * overlap with a precomputed held-out profile exceeds
+    * `maxContamination` — the ingestion-time twin of the batch
+    * [[graft.operators.Pipeline.x92Decontamination]], sharing its shingle
+    * kernel so the two tiers agree exactly on what "contaminated" means.
+    *
+    * Stateless (a pure mapPartitions filter), so it works identically on
+    * batch and streaming Datasets and needs no watermark. `evalShingles`
+    * is the held-out split's distinct shingle-hash set, computed offline
+    * (benchmark suites are MB-sized, so the set ships fine in the task
+    * closure — the same offline-profile pattern as [[nearDupPairs]]'s
+    * `hotShingles`). Documents too short to shingle are KEPT: with no
+    * shingles, overlap is undefined (batch x92 reports NULL), and a
+    * decontamination gate must not silently delete unmeasurable docs. */
+  def contaminationFilter(docs: Dataset[(Long, String)],
+      evalShingles: Set[Long], maxContamination: Double = 0.2)
+      : Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ev = evalShingles // stable local for closure capture
+    docs.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.filter { case (_, text) =>
+        val th = graft.operators.Dedup.shingleHashesOf(text, md5)
+        th.isEmpty || {
+          var cont = 0
+          var i = 0
+          while (i < th.length) { if (ev(th(i))) cont += 1; i += 1 }
+          cont.toDouble / th.length <= maxContamination
+        }
+      }
+    }
+  }
+
   /** Micro-batch conversion sink: each batch re-encoded to proto wire
     * bytes — the foreachBatch shape the reference's Kafka pipelines use. */
   def protoSink(stream: DataFrame, md: PMessageDesc, cfg: GraftConfig,

@@ -234,6 +234,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination filter agrees with batch x92 per document") {
+    // the stateless ingest gate must keep exactly the docs batch x92
+    // scores at or under the threshold (shared kernel → same shingles,
+    // same fractions); threshold is the observed median so both the kept
+    // and dropped sets are provably non-empty
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hOf(s: String): Long = {
+      md5.reset()
+      val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val docs = graft.operators.T(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evalSet = docs.filter { case (id, _) => hOf(id.toString) % 10 >= 8 }
+      .flatMap { case (_, t) => graft.operators.Dedup.shingleHashesOf(t, md5) }
+      .toSet
+    val train = docs.filter { case (id, _) => hOf(id.toString) % 10 < 8 }
+    val x92 = graft.operators.Pipeline.x92Decontamination.fn(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val scores = x92.values.flatten.toSeq.sorted
+    val thr = scores(scores.length / 2)
+    val expectedKept = train.map(_._1)
+      .filter(id => x92(id).forall(_ <= thr)).toSet
+
+    val stream = MemoryStream[(Long, String)]
+    val kept = StreamOps.contaminationFilter(stream.toDS(), evalSet, thr)
+    val q = kept.toDF("doc_id", "text")
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = train.splitAt(train.length / 2)
+      stream.addData(h1.toSeq)
+      q.processAllAvailable()
+      stream.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamed == expectedKept)
+      assert(streamed.nonEmpty && streamed.size < train.length,
+        "positive control: threshold must both keep and drop")
+    } finally q.stop()
+  }
+
   test("streaming near-dup detection horizon: pairs within stateTimeout, pruned beyond") {
     // the pruning-horizon contract: an entry must survive watermark
     // advances long enough to pair with on-time docs within stateTimeout
