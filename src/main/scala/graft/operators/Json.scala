@@ -43,5 +43,36 @@ object Json {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q53JsonExtract, q27Percentiles)
+  /** Sketch-based percentiles — the 100 TB path. Spark's
+    * `approx_percentile` (Greenwald-Khanna summaries) is MERGEABLE:
+    * map-side partial sketches combine associatively, so memory is
+    * bounded per task and no per-group sort/collect happens — unlike the
+    * exact `percentile`, which materializes each group. Accuracy 10000
+    * bounds rank error to n/10000; on the integer quantity domain that
+    * pins the sketch value within one quantity unit of the exact
+    * interpolated percentile. The oracle states the exact values and the
+    * accuracy contract (q25's pattern: the bound itself is the checked
+    * claim — a sketch regression flips the flag on both engines'
+    * comparison, not just in a spec). */
+  val q30ApproxPercentile = Q(
+    "q30_approx_percentile",
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS exact_p25,
+       quantile_cont(l_quantity, 0.75) AS exact_p75,
+       TRUE AS p25_within_1q, TRUE AS p75_within_1q
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
+    T(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.25, 10000)").as("a25"),
+        expr("approx_percentile(l_quantity, 0.75, 10000)").as("a75"),
+        expr("percentile(l_quantity, 0.25)").as("exact_p25"),
+        expr("percentile(l_quantity, 0.75)").as("exact_p75"))
+      .select(col("l_returnflag"), col("exact_p25"), col("exact_p75"),
+        (abs(col("a25") - col("exact_p25")) <= 1.0).as("p25_within_1q"),
+        (abs(col("a75") - col("exact_p75")) <= 1.0).as("p75_within_1q"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q53JsonExtract, q27Percentiles, q30ApproxPercentile)
 }
