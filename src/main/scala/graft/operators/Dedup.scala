@@ -73,12 +73,7 @@ object Dedup {
       var i = 0
       while (i <= t.length - 3) {
         val sh = t(i) + " " + t(i + 1) + " " + t(i + 2)
-        md5.reset()
-        val d = md5.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 8 hex chars = first 4 bytes, unsigned
-        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-        seen.add(h)
+        seen.add(H.jvm(sh, md5))
         i += 1
       }
       val out = new Array[Long](seen.size)
@@ -186,8 +181,16 @@ object Dedup {
     * named `sh` (doc_id, s) to capped sets `sh2` (doc_id, th), with the
     * exploded capped index available as `ex2`. Shared verbatim by the d27 /
     * d28 / x90 oracles so all three cap identically. */
+  /** DuckDB dialect of [[shingleHashesFrom]]'s output: hashed distinct
+    * shingle sets `hs0` (doc_id, th) from a word-shingle CTE named `sh`.
+    * THE single statement of the shingle→hash derivation in SQL — shared
+    * by [[duckCappedSets]] and the x92 oracle so the overlap operators
+    * cannot disagree on what a shingle is. */
+  private[operators] val duckHashedShingles =
+    s"""hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh)"""
+
   private[operators] val duckCappedSets =
-    s"""hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th FROM sh),
+    s"""$duckHashedShingles,
         ex AS (SELECT doc_id, unnest(th) AS h FROM hs0),
         dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
         ex2 AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h

@@ -150,8 +150,7 @@ object Pipeline {
   val x92Decontamination = Q(
     "x92_decontamination",
     s"""WITH ${Dedup.duckShingles},
-        hs0 AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${H.d("x")})) AS th
-                FROM sh),
+        ${Dedup.duckHashedShingles},
         sp AS (SELECT doc_id, ${H.d("CAST(doc_id AS VARCHAR)")} % 10 AS b
                FROM documents),
         tr AS (SELECT hs0.doc_id, th FROM hs0 JOIN sp ON hs0.doc_id = sp.doc_id

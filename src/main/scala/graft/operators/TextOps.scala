@@ -18,6 +18,17 @@ object H {
   /** DuckDB dialect of the same hash. */
   def d(x: String): String =
     s"CAST('0x' || substring(md5($x),1,8) AS BIGINT)"
+  /** JVM twin of the same hash (first 4 md5 bytes, unsigned) — the ONE
+    * place the bit assembly lives; the shingle kernel and the spec-side
+    * recomputations all call this, so the three dialects cannot drift
+    * apart one copy at a time. `md5` is caller-provided so tight loops
+    * reuse one instance. */
+  def jvm(x: String, md5: java.security.MessageDigest): Long = {
+    md5.reset()
+    val dg = md5.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+      ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)
+  }
 }
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2 Part B,

@@ -79,21 +79,12 @@ class TextPipelineSpec extends SparkSpec {
   }
 
   test("x92: contamination matches a full JVM recomputation") {
-    // independent recomputation from raw text via the shared kernel +
-    // the H hash in plain Scala — catches a divergence between the two
-    // engine dialects AND the kernel at once
+    // recomputation from raw text outside the Spark/DuckDB plans (the
+    // dialect agreement of H itself is pinned by the oracle hash compare)
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    def hOf(s: String): Long = {
-      md5.reset()
-      val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-    }
-    val docs = T(spark, sfDir, "documents").select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), Dedup.shingleHashesOf(r.getString(1), md5).toSet))
-    val (train, eval) = docs.partition { case (id, _) => hOf(id.toString) % 10 < 8 }
-    val evalSet = eval.iterator.flatMap(_._2).toSet
-    val expected = train.map { case (id, sh) =>
+    val (train, evalSet) = SplitFixture.trainAndEvalShingles(spark, sfDir)
+    val expected = train.map { case (id, text) =>
+      val sh = Dedup.shingleHashesOf(text, md5).toSet
       id -> ((sh.size.toLong, sh.count(evalSet.contains).toLong))
     }.toMap
     val rows = Pipeline.x92Decontamination.fn(spark, sfDir).collect()

@@ -241,20 +241,8 @@ class StreamingSpec extends SparkSpec {
     // and dropped sets are provably non-empty
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-    def hOf(s: String): Long = {
-      md5.reset()
-      val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-    }
-    val docs = graft.operators.T(spark, sfDir, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val evalSet = docs.filter { case (id, _) => hOf(id.toString) % 10 >= 8 }
-      .flatMap { case (_, t) => graft.operators.Dedup.shingleHashesOf(t, md5) }
-      .toSet
-    val train = docs.filter { case (id, _) => hOf(id.toString) % 10 < 8 }
+    val (train, evalSet) =
+      graft.operators.SplitFixture.trainAndEvalShingles(spark, sfDir)
     val x92 = graft.operators.Pipeline.x92Decontamination.fn(spark, sfDir)
       .collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
