@@ -195,6 +195,32 @@ object StreamOps {
         })
   }
 
+  /** Streaming per-source admission quota: the ingestion-time twin of
+    * [[graft.operators.Pipeline.x91SourceMix]]'s source balancing — admit
+    * at most `quota` documents per source, first-arrival order. State is
+    * ONE counter per source (bounded by source cardinality, never by
+    * stream length), so no watermark or timeout is needed. Batch x91
+    * selects by hash order (reproducible under any layout); a stream can
+    * only honor arrival order without buffering its whole horizon, so the
+    * two tiers share the cap contract, not the selection order. */
+  def sourceQuota(docs: Dataset[(String, Long, String)], quota: Int)
+      : Dataset[(String, Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[Long]) => {
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+          rows.foreach { r => if (n < quota) { out += r; n += 1 } }
+          state.update(n)
+          out.iterator
+        })
+  }
+
   /** Streaming ingest decontamination: drop documents whose word-3-gram
     * overlap with a precomputed held-out profile exceeds
     * `maxContamination` — the ingestion-time twin of the batch

@@ -234,6 +234,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-source quota admits min(arrived, quota) across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: srcA×4, srcB×1; batch 2: srcA×3, srcB×3 — with quota 5,
+    // srcA admits 4 then 1 more, srcB admits 1 then 3 (under quota)
+    val b1 = (1L to 4L).map(i => ("srcA", i, s"a$i")) :+ (("srcB", 100L, "b100"))
+    val b2 = (5L to 7L).map(i => ("srcA", i, s"a$i")) ++
+      (101L to 103L).map(i => ("srcB", i, s"b$i"))
+    val stream = MemoryStream[(String, Long, String)]
+    val q = StreamOps.sourceQuota(stream.toDS(), quota = 5)
+      .toDF("source", "doc_id", "text")
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      val after1 = spark.table("quota_stream").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      assert(after1 == Map("srcA" -> 4, "srcB" -> 1))
+      stream.addData(b2)
+      q.processAllAvailable()
+      val rows = spark.table("quota_stream").collect()
+      val after2 = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      assert(after2 == Map("srcA" -> 5, "srcB" -> 4),
+        "srcA capped at quota, srcB admits everything while under it")
+      // admissions are monotone: batch-1 admissions all survive
+      val admittedA = rows.filter(_.getString(0) == "srcA").map(_.getLong(1)).toSet
+      assert((1L to 4L).toSet.subsetOf(admittedA))
+    } finally q.stop()
+  }
+
   test("streaming contamination filter agrees with batch x92 per document") {
     // the stateless ingest gate must keep exactly the docs batch x92
     // scores at or under the threshold (shared kernel → same shingles,
