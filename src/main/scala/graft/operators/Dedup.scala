@@ -556,8 +556,61 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding near-dup, hyperplane-LSH-bucketed with Hamming-1
+    * multi-probe — the beyond-exact-tier scale path d31's own guard
+    * points to (`use s33/s34/s36`). Candidate pairs are vectors whose
+    * LSH buckets ([[Similarity.bucketedVecs]], 64 buckets) differ in at
+    * most one hyperplane bit (each vector probes its own + 6 neighbor
+    * buckets, s36's probe set); survivors are verified with the exact
+    * cosine at d31's 0.45 threshold. Every qualifying pair appears
+    * exactly once: for fixed buckets there is exactly one probe mask
+    * mapping one onto the other, and `a_id < b_id` kills the mirror.
+    *
+    * Recall is by construction of the probe set: at the near-DUPLICATE
+    * design point (cos ≥ 0.99, θ ≈ 2.6°, per-plane split chance θ/π ≈
+    * 0.8 %) P(Hamming ≤ 1) ≈ 0.999 — RecallSpec measures ≥ 0.95 on a
+    * generated clustered corpus. On far pairs (the 0.45 tail, θ ≈ 63°)
+    * the probe set intentionally prunes most candidates — that pruning
+    * IS the operator, the same candidates-then-verify contract as d28's
+    * bands, and the oracle states the identical formula (DedupSpec pins
+    * d33 ⊆ d31 with bit-equal cosines).
+    *
+    * At 100 TB: one equi-join on the bucket key (probe side exploded
+    * 7×, data side untouched) — no tiles, no driver-side block
+    * enumeration; AQE splits an oversized bucket like any skewed
+    * sort-merge key. Mass-duplicated vectors make the OUTPUT quadratic
+    * (every dup pair is a correct row) — same SkewBench exclusion
+    * contract as d30/d31; dedup exact-first. */
+  val d33EmbeddingNeardupLsh = Q(
+    "d33_embedding_neardup_lsh",
+    s"""WITH ${Similarity.duckVecs}, ${Similarity.duckW},
+        bk AS (SELECT vec_id, v, nrm, ${Similarity.bucketDuck} AS bucket FROM e, w),
+        pr AS (SELECT vec_id AS a_id, v, nrm,
+                      unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                              xor(bucket, 4), xor(bucket, 8),
+                              xor(bucket, 16), xor(bucket, 32)]) AS pb
+               FROM bk),
+        p AS (SELECT a.a_id, b.vec_id AS b_id,
+                     ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+              FROM pr a JOIN bk b ON a.pb = b.bucket AND a.a_id < b.vec_id)
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val bk = Similarity.bucketedVecs(spark, dir)
+    val masks = 0L +: (0 until 6).map(b => 1L << b)
+    val a = bk.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+    val b = bk.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    a.join(b, col("pb") === col("bb") && col("a_id") < col("b_id"))
+      .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
-    d29Simhash, d30SimhashPairs, d31EmbeddingNeardup)
+    d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

@@ -123,6 +123,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d33: probe join is a bucket equi-join (no cartesian, no per-row md5)") {
+    val p = plan("d33_embedding_neardup_lsh")
+    assert(!p.toLowerCase.contains("md5"),
+      "hyperplane weights must stay a driver-side literal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join, never a cross join")
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))

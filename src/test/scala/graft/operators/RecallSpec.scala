@@ -61,6 +61,35 @@ class RecallSpec extends SparkSpec {
     assert(r36 >= 0.9, f"s36 multi-probe recall@5 $r36%.3f < 0.9")
   }
 
+  test("d33: near-dup pairs are a subset of exact d31 with bit-equal cosines") {
+    def pairs(q: Q): Map[(Long, Long), Double] =
+      q.fn(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.d31EmbeddingNeardup)
+    val lsh = pairs(Dedup.d33EmbeddingNeardupLsh)
+    assert(exact.nonEmpty)
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      "the probe set may prune pairs, never invent them")
+    lsh.foreach { case (p, c) => assert(c == exact(p), s"$p cosine must be bit-equal") }
+  }
+
+  test("d33: recall >= 0.95 at its design point (true near-dups, cos >= 0.9)") {
+    // the sf tables hold no real near-duplicates (max pair cosine 0.51),
+    // so the far-pair tail there exercises only the formula; THIS is the
+    // regime the operator exists for — clustered members at cos ~0.995+,
+    // where P(buckets within Hamming 1) ~ 0.999 per pair
+    val dir = clusteredCorpus(0.01)
+    def pairsAbove(q: Q, thr: Double): Set[(Long, Long)] =
+      q.fn(spark, dir).collect()
+        .filter(_.getDouble(2) >= thr).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsAbove(Dedup.d31EmbeddingNeardup, 0.9)
+    val lsh = pairsAbove(Dedup.d33EmbeddingNeardupLsh, 0.9)
+    assert(exact.size > 1000, s"corpus must contain real near-dups, got ${exact.size}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"d33 near-dup recall vs exact d31 at cos>=0.9: $recall%.4f (${exact.size} pairs)")
+    assert(recall >= 0.95, f"d33 recall $recall%.4f < 0.95")
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's
