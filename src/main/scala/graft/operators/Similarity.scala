@@ -259,6 +259,57 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** One exact k-means (Lloyd) iteration over the embeddings — the
+    * clustering primitive behind IVF index builds and corpus bucketing.
+    * Assignment: every vector to its nearest of the 8 seed centroids
+    * (vec_id < 8, s34's init) by cosine, ties broken by centroid id —
+    * one broadcast join, the centroid set is always tiny. Update: the
+    * new centroid, emitted in LONG form (cell, dim, n, c_mean) — one
+    * hash aggregation over the posexploded dimensions (K·Dim groups,
+    * map-side partials), no array re-assembly and no collect_list
+    * ordering hazard. Means are computed over a 1e-6 fixed-point
+    * quantization of the components (`floor(x·1e6)` — double multiply +
+    * floor are IEEE-identical on both engines, unlike the double→DECIMAL
+    * cast, whose rounding path differs at the last decimal): integer
+    * sums are exact and order-independent under any partitioning ⇒
+    * AQE-stable, and the centroid drift vs the true mean is bounded by
+    * 1e-6 per component — far below the noise floor of any embedding
+    * model. The full Lloyd loop at 100 TB is this step iterated:
+    * broadcast join + one agg per pass, nothing driver-side but the
+    * K·Dim centroid matrix. */
+  val x93KmeansStep = Q(
+    "x93_kmeans_step",
+    s"""WITH $duckVecs,
+        cent AS (SELECT vec_id AS c_id, v AS vc, nrm AS cnrm FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, e.v, c.c_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) DESC,
+                                   c.c_id) AS rnk
+                 FROM e, cent c),
+        asg AS (SELECT vec_id, v, c_id AS cell FROM asg0 WHERE rnk = 1),
+        dims AS (SELECT cell, CAST(r.d AS BIGINT) AS dim,
+                        CAST(floor(v[r.d + 1] * 1000000.0) AS BIGINT) AS xq
+                 FROM asg, range(0, 64) r(d))
+        SELECT cell, dim, COUNT(*) AS n,
+               CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS c_mean
+        FROM dims GROUP BY cell, dim ORDER BY cell, dim""") { (spark, dir) =>
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(wAsg))
+      .filter(col("rnk") === 1)
+      .select(col("v"), col("c_id").as("cell"))
+    asg.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("x") * 1000000.0d).cast("long")).cast("double") /
+          count(lit(1)) / 1000000.0d).as("c_mean"))
+      .orderBy("cell", "dim")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
-    s36AnnMultiprobe)
+    s36AnnMultiprobe, x93KmeansStep)
 }

@@ -90,6 +90,27 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.95, f"d33 recall $recall%.4f < 0.95")
   }
 
+  test("x93 k-means step: full partition of the corpus, mass-conserving means") {
+    val rows = Similarity.x93KmeansStep.fn(spark, sfDir).collect()
+    assert(rows.length === 8 * 64, "8 cells x 64 dims, long form")
+    val total = T(spark, sfDir, "embeddings").count()
+    val nAtDim0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(nAtDim0 === total, "every vector assigned to exactly one cell")
+    // mass conservation per dimension: cell means weighted by cell sizes
+    // must re-sum to the corpus total, within the 1e-6 quantization the
+    // operator documents (floor per component => error in [0, 1e-6))
+    val byDim = rows.groupBy(_.getLong(1))
+    val vecs = T(spark, sfDir, "embeddings")
+      .selectExpr("transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(_.getSeq[Double](0))
+    byDim.foreach { case (dim, cells) =>
+      val reSum = cells.map(r => r.getLong(2) * r.getDouble(3)).sum
+      val trueSum = vecs.map(_(dim.toInt)).sum
+      assert(math.abs(reSum - trueSum) <= total * 1e-6 + 1e-9,
+        s"dim $dim: $reSum vs $trueSum")
+    }
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's
