@@ -45,8 +45,12 @@ object SkewBench {
     // hot SOURCE is the worst case for the per-source window — the
     // Partial WindowGroupLimit must cap it map-side; x92's semi-join is
     // output-bounded by its left input even when the dup cluster makes
-    // every one of its shingles hot
-    "t29_repetition", "x91_source_mix", "x92_decontamination")
+    // every one of its shingles hot; x93's hot cell (10k identical
+    // vectors land on one centroid) flows through map-side partials into
+    // a fixed K·Dim group space. d33 is excluded like d30/d31: its
+    // OUTPUT is quadratic in duplicate multiplicity by contract.
+    "t29_repetition", "x91_source_mix", "x92_decontamination",
+    "x93_kmeans_step")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
