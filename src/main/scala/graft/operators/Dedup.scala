@@ -586,9 +586,7 @@ object Dedup {
     s"""WITH ${Similarity.duckVecs}, ${Similarity.duckW},
         bk AS (SELECT vec_id, v, nrm, ${Similarity.bucketDuck} AS bucket FROM e, w),
         pr AS (SELECT vec_id AS a_id, v, nrm,
-                      unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-                              xor(bucket, 4), xor(bucket, 8),
-                              xor(bucket, 16), xor(bucket, 32)]) AS pb
+                      ${Similarity.probeUnnestDuck("bucket")} AS pb
                FROM bk),
         p AS (SELECT a.a_id, b.vec_id AS b_id,
                      ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
@@ -596,10 +594,8 @@ object Dedup {
         SELECT a_id, b_id, cos FROM p WHERE cos >= 0.45
         ORDER BY a_id, b_id""") { (spark, dir) =>
     val bk = Similarity.bucketedVecs(spark, dir)
-    val masks = 0L +: (0 until 6).map(b => 1L << b)
     val a = bk.select(col("vec_id").as("a_id"), col("v").as("va"),
-      col("nrm").as("na"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+      col("nrm").as("na"), Similarity.probeBuckets(col("bucket")).as("pb"))
     val b = bk.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("nrm").as("nb"), col("bucket").as("bb"))
     a.join(b, col("pb") === col("bb") && col("a_id") < col("b_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -95,6 +95,18 @@ object Similarity {
       "d -> v[d+1] * wm[b+1][d+1])), (x, y) -> x + y) " +
       "> CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
 
+  /** Wraps `expr` so it raises if the vector column is not [[Dim]]-wide.
+    * Every operator whose OTHER dialect hard-codes Dim (literal weight
+    * matrices, `range(0, Dim)` dimension explosion) must guard its Spark
+    * side with this — otherwise the engines silently diverge on a
+    * different dimensionality instead of failing loudly. The guard must
+    * live INSIDE the consumed expression: a standalone assertion column
+    * would be pruned away. */
+  private def dimGuarded(v: Column, expr: Column): Column =
+    when(size(v) === Dim, expr).otherwise(raise_error(
+      concat(lit(s"expected $Dim-dim embeddings, got "),
+        size(v).cast("string"))))
+
   /** embeddings with their hyperplane-LSH bucket — the candidate-pruning
     * projection for [[s33AnnLsh]]. Fully native: each hyperplane's sign is
     * `array_dot(v, w_b) > 0` against its own literal weight vector, and
@@ -106,14 +118,24 @@ object Similarity {
       val w = typedlit(hpWeights(b).map(_.toDouble))
       when(Cosine.dot(col("v"), w) > 0.0d, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // the literal weight matrix is Dim-wide: on a different dimensionality
-    // ArrayDot would silently truncate (min-length loop) while the oracle
-    // indexes wm[d+1] out of range — fail loudly instead of diverging
-    val guarded = when(size(col("v")) === Dim, bucket).otherwise(raise_error(
-      concat(lit(s"hyperplane-LSH expects $Dim-dim embeddings, got "),
-        size(col("v")).cast("string"))))
-    vecs(spark, dir).withColumn("bucket", guarded)
+    // the literal weight matrix is Dim-wide: ArrayDot would silently
+    // truncate (min-length loop) while the oracle indexes wm[d+1] out of
+    // range — fail loudly instead of diverging
+    vecs(spark, dir).withColumn("bucket", dimGuarded(col("v"), bucket))
   }
+
+  /** THE Hamming-1 probe set (own bucket + each of the 6 hyperplane bits
+    * flipped), shared by [[s36AnnMultiprobe]] and the d33 near-dup pairs
+    * so "the same probe set" is a single definition, not four synced
+    * copies. */
+  private[operators] val probeMasks: Seq[Long] = 0L +: (0 until 6).map(b => 1L << b)
+  /** Spark: bucket column → exploded probe-bucket column. */
+  private[operators] def probeBuckets(bucket: Column): Column =
+    explode(array(probeMasks.map(m => bucket.bitwiseXOR(lit(m))): _*))
+  /** DuckDB dialect of the same probe list over bucket expression `b`. */
+  private[operators] def probeUnnestDuck(b: String): String =
+    probeMasks.map(m => if (m == 0L) b else s"xor($b, $m)")
+      .mkString("unnest([", ", ", "])")
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket (the
     * scale path — equi-join on bucket, no cross join). */
@@ -158,9 +180,7 @@ object Similarity {
     s"""WITH $duckVecs, $duckW,
         bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
         probes AS (SELECT vec_id AS q_id, v, nrm,
-                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-                                  xor(bucket, 4), xor(bucket, 8),
-                                  xor(bucket, 16), xor(bucket, 32)]) AS pb
+                          ${probeUnnestDuck("bucket")} AS pb
                    FROM bk WHERE vec_id < 10),
         p AS (SELECT q.q_id, n.vec_id AS n_id,
                      ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
@@ -171,10 +191,9 @@ object Similarity {
         SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, cos
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
     val bk = bucketedVecs(spark, dir)
-    val masks = 0L +: (0 until 6).map(b => 1L << b)
     val q = bk.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+        probeBuckets(col("bucket")).as("pb"))
     val n = bk.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"),
       col("bucket").as("bn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -186,19 +205,41 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // ---- IVF coarse quantizer, shared by s34 (ANN) and x93 (k-means) ----
+  // centroids = vec_id < 8; every vector ranked against each centroid by
+  // cosine, ties broken by centroid id. ONE definition per dialect: a
+  // one-sided change to centroid selection or tie-breaking would silently
+  // make s34's cells and x93's cells disagree about the same quantizer.
+
+  /** DuckDB: CTEs `cent` + `asg0` (vec_id, v, c_id, rnk) over `e`. */
+  private[operators] val duckIvfAssign =
+    s"""cent AS (SELECT vec_id AS c_id, v AS vc, nrm AS cnrm FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, e.v, c.c_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) DESC,
+                                   c.c_id) AS rnk
+                 FROM e, cent c)"""
+
+  /** Spark twin of [[duckIvfAssign]]: (vec_id, v, nrm, c_id, ccos, rnk).
+    * The centroid set is tiny by construction — always broadcast. */
+  private[operators] def ivfAssign0(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .select("vec_id", "v", "nrm", "c_id", "ccos", "rnk")
+  }
+
   /** IVF ANN: centroids = vec_id < 8; every vector assigned to its nearest
     * centroid (broadcast join); queries probe their 2 nearest cells and rank
     * candidates within them. */
   val s34AnnIvf = Q(
     "s34_ann_ivf",
     s"""WITH $duckVecs,
-        cent AS (SELECT vec_id AS c_id, v AS vc, nrm AS cnrm FROM e WHERE vec_id < 8),
-        asg0 AS (SELECT e.vec_id, c.c_id,
-                        ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) AS cos,
-                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                          ORDER BY ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) DESC,
-                                   c.c_id) AS rnk
-                 FROM e, cent c),
+        $duckIvfAssign,
         asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
         probe AS (SELECT vec_id AS q_id, c_id AS cell FROM asg0
                   WHERE rnk <= 2 AND vec_id < 10),
@@ -213,13 +254,7 @@ object Similarity {
         SELECT q_id, n_id, cell, CAST(rnk AS BIGINT) AS rnk, cos
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
     val e = vecs(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("c_id"))
-    val asg0 = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
-      .withColumn("rnk", row_number().over(wAsg))
+    val asg0 = ivfAssign0(spark, dir)
     val asg = asg0.filter(col("rnk") === 1)
       .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
     val probe = asg0.filter(col("rnk") <= 2 && col("vec_id") < 10)
@@ -280,28 +315,20 @@ object Similarity {
   val x93KmeansStep = Q(
     "x93_kmeans_step",
     s"""WITH $duckVecs,
-        cent AS (SELECT vec_id AS c_id, v AS vc, nrm AS cnrm FROM e WHERE vec_id < 8),
-        asg0 AS (SELECT e.vec_id, e.v, c.c_id,
-                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                          ORDER BY ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) DESC,
-                                   c.c_id) AS rnk
-                 FROM e, cent c),
+        $duckIvfAssign,
         asg AS (SELECT vec_id, v, c_id AS cell FROM asg0 WHERE rnk = 1),
         dims AS (SELECT cell, CAST(r.d AS BIGINT) AS dim,
                         CAST(floor(v[r.d + 1] * 1000000.0) AS BIGINT) AS xq
-                 FROM asg, range(0, 64) r(d))
+                 FROM asg, range(0, $Dim) r(d))
         SELECT cell, dim, COUNT(*) AS n,
                CAST(SUM(xq) AS DOUBLE) / COUNT(*) / 1000000.0 AS c_mean
         FROM dims GROUP BY cell, dim ORDER BY cell, dim""") { (spark, dir) =>
-    val e = vecs(spark, dir)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val asg = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
-      .withColumn("rnk", row_number().over(wAsg))
+    // the oracle explodes range(0, Dim): guard the Spark side's
+    // data-driven posexplode so a different dimensionality fails loudly
+    // instead of silently diverging (same class as bucketedVecs' guard)
+    val asg = ivfAssign0(spark, dir)
       .filter(col("rnk") === 1)
-      .select(col("v"), col("c_id").as("cell"))
+      .select(dimGuarded(col("v"), col("v")).as("v"), col("c_id").as("cell"))
     asg.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),

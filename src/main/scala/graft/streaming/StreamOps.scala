@@ -197,12 +197,18 @@ object StreamOps {
 
   /** Streaming per-source admission quota: the ingestion-time twin of
     * [[graft.operators.Pipeline.x91SourceMix]]'s source balancing — admit
-    * at most `quota` documents per source, first-arrival order. State is
-    * ONE counter per source (bounded by source cardinality, never by
-    * stream length), so no watermark or timeout is needed. Batch x91
-    * selects by hash order (reproducible under any layout); a stream can
-    * only honor arrival order without buffering its whole horizon, so the
-    * two tiers share the cap contract, not the selection order. */
+    * at most `quota` documents per source. State is ONE counter per
+    * source (bounded by source cardinality, never by stream length), so
+    * no watermark or timeout is needed.
+    *
+    * The CONTRACT is the cap plus monotone admission (an admitted doc is
+    * never revoked; later batches admit only the remaining quota).
+    * Admission across micro-batches follows batch order; WITHIN a batch
+    * the group iterator's order after the groupByKey shuffle is
+    * unspecified, so which rows win a batch that overshoots the quota is
+    * not defined — batch x91 is the tier with layout-reproducible
+    * (hash-ordered) selection, and a stream cannot offer that without
+    * buffering its whole horizon. */
   def sourceQuota(docs: Dataset[(String, Long, String)], quota: Int)
       : Dataset[(String, Long, String)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -215,7 +221,10 @@ object StreamOps {
          state: GroupState[Long]) => {
           var n = state.getOption.getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
-          rows.foreach { r => if (n < quota) { out += r; n += 1 } }
+          // stop consuming once the quota fills: a hot source (the 10k-dup
+          // SkewBench shape) would otherwise be walked to the end of every
+          // batch forever for zero admissions
+          while (n < quota && rows.hasNext) { out += rows.next(); n += 1 }
           state.update(n)
           out.iterator
         })
