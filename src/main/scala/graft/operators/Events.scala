@@ -69,5 +69,58 @@ object Events {
       .orderBy("user_id", "sess")
   }
 
-  val all: Seq[Q] = Seq(q51EventWindows, q52Sessionization)
+  /** Time-series resample + forward fill: a dense per-user daily spine
+    * (corpus min..max day) where each day carries the user's LAST event
+    * value that day, gaps forward-filled from the previous day with data
+    * (NULL before a user's first event — filling from nothing would
+    * fabricate data). The gap-filling shape behind feature tables and
+    * dashboard series.
+    *
+    * Scale: the spine is users × days — days stay tiny (broadcast), so
+    * the cross join replicates, never shuffles, the user side; the daily
+    * last-pick and the fill are windows over (user_id[, day]), state
+    * bounded per user by the day span. Deterministic pick: (tsn,
+    * event_id) descending, never `last()` over an unordered group. */
+  val q57ResampleFfill = Q(
+    "q57_resample_ffill",
+    """WITH x AS (SELECT user_id, event_id, value, epoch_ns(ts) AS tsn,
+                         epoch_ns(ts) // 86400000000000 AS day FROM events),
+       b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM x),
+       days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+       users AS (SELECT DISTINCT user_id FROM x),
+       spine AS (SELECT user_id, day FROM users, days),
+       pick AS (SELECT user_id, day, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, day
+                         ORDER BY tsn DESC, event_id DESC) AS rnk FROM x),
+       lastev AS (SELECT user_id, day, value FROM pick WHERE rnk = 1),
+       j AS (SELECT s.user_id, s.day,
+                    CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END AS has_event,
+                    l.value
+             FROM spine s LEFT JOIN lastev l
+               ON s.user_id = l.user_id AND s.day = l.day)
+       SELECT user_id, day, CAST(has_event AS BIGINT) AS has_event,
+              last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS filled_value
+       FROM j ORDER BY user_id, day""") { (spark, dir) =>
+    val x = T(spark, dir, "events").selectExpr("user_id", "event_id", "value",
+      "ts as tsn", "ts div 86400000000000 as day")
+    val days = x.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val spine = x.select("user_id").distinct().crossJoin(broadcast(days))
+    val wPick = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tsn").desc, col("event_id").desc)
+    val lastev = x.withColumn("rnk", row_number().over(wPick))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("day"), col("value"), lit(1L).as("ev"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(lastev, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("ev"), lit(0L)).as("has_event"),
+        last(col("value"), ignoreNulls = true).over(wFill).as("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val all: Seq[Q] = Seq(q51EventWindows, q52Sessionization, q57ResampleFfill)
 }

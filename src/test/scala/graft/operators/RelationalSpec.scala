@@ -84,6 +84,30 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"))
   }
 
+  test("q57 resample: dense spine, gaps carry the previous filled value") {
+    val rows = Events.q57ResampleFfill.fn(spark, sfDir).collect()
+    val users = T(spark, sfDir, "events").select("user_id").distinct().count()
+    val days = rows.map(_.getLong(1)).distinct.length
+    assert(rows.length.toLong == users * days, "spine must be dense: users x days")
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      var prev: Option[Double] = None
+      sorted.foreach { r =>
+        val hasEvent = r.getLong(2) == 1L
+        if (hasEvent) {
+          assert(!r.isNullAt(3), s"user $u day ${r.getLong(1)}: event day must fill")
+          prev = Some(r.getDouble(3))
+        } else prev match {
+          case None => assert(r.isNullAt(3),
+            s"user $u day ${r.getLong(1)}: no fill before the first event")
+          case Some(v) => assert(r.getDouble(3) == v,
+            s"user $u day ${r.getLong(1)}: gap must carry the previous value")
+        }
+      }
+      assert(prev.nonEmpty, s"user $u: spine user with no events is impossible")
+    }
+  }
+
   test("entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
