@@ -191,6 +191,35 @@ object Relational2 {
       .orderBy("c_mktsegment", "metric")
   }
 
+  /** Distribution window functions — quartile bucketing (ntile) and the
+    * two normalized ranks. The window order is (acctbal, custkey):
+    * UNIQUE, so rank == row_number and both percent_rank ((r-1)/(n-1))
+    * and cume_dist (r/n) are integer-derived double divisions — the two
+    * engines agree bit-for-bit. An order with ties would be
+    * nondeterministic in ntile on BOTH engines (tied rows land in
+    * arbitrary tiles), which is why the tiebreaker is part of the
+    * operator, not a test convenience. */
+  val q58Ntile = Q(
+    "q58_ntile",
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_mktsegment, c_acctbal, c_custkey""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    T(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
-    q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot)
+    q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
+    q58Ntile)
 }

@@ -84,6 +84,16 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"))
   }
 
+  test("q58 ntile: four quartiles per segment, balanced within one row") {
+    val rows = Relational2.q58Ntile.fn(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (seg, rs) =>
+      val byTile = rs.groupBy(_.getLong(3)).map { case (t, g) => t -> g.size }
+      assert(byTile.keySet == Set(1L, 2L, 3L, 4L), s"$seg: missing tiles")
+      assert(byTile.values.max - byTile.values.min <= 1,
+        s"$seg: ntile must balance within 1")
+    }
+  }
+
   test("q57 resample: dense spine, gaps carry the previous filled value") {
     val rows = Events.q57ResampleFfill.fn(spark, sfDir).collect()
     val users = T(spark, sfDir, "events").select("user_id").distinct().count()
