@@ -97,8 +97,13 @@ class RelationalSpec extends SparkSpec {
   test("q57 resample: dense spine, gaps carry the previous filled value") {
     val rows = Events.q57ResampleFfill.fn(spark, sfDir).collect()
     val users = T(spark, sfDir, "events").select("user_id").distinct().count()
-    val days = rows.map(_.getLong(1)).distinct.length
-    assert(rows.length.toLong == users * days, "spine must be dense: users x days")
+    // day span derived INDEPENDENTLY from the raw table — counting the
+    // output's own distinct days would pass even if the spine dropped
+    // gap days for every user at once
+    val span = T(spark, sfDir, "events")
+      .selectExpr("max(ts div 86400000000000) - min(ts div 86400000000000) + 1 as d")
+      .head.getLong(0)
+    assert(rows.length.toLong == users * span, "spine must be dense: users x days")
     rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
       var prev: Option[Double] = None
