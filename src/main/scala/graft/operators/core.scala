@@ -62,6 +62,14 @@ object Csv {
   * every money column at any SF we run) and cast the final aggregate back to
   * double. Products stay within DECIMAL(38,12) so both engines keep them
   * exact.
+  *
+  * TRAP (found at sf0.1): DuckDB's `CAST(decimal AS DOUBLE)` is not
+  * correctly rounded (int128 × 10^-scale in binary) and can land one ulp
+  * off Spark's correctly-rounded BigDecimal.doubleValue once the decimal
+  * exceeds ~15 significant digits. Where an oracle hits that regime
+  * (q01's product sums), route the oracle's cast through VARCHAR —
+  * `CAST(CAST(x AS VARCHAR) AS DOUBLE)` is strtod, correctly rounded,
+  * bit-equal to the Spark side.
   */
 object Num {
   val Dec = DecimalType(12, 4)
