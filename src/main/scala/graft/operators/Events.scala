@@ -21,7 +21,7 @@ object Events {
     "q51_event_windows",
     """SELECT epoch_ns(ts) // 3600000000000 AS w, event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
        FROM events GROUP BY 1, 2 ORDER BY w, event_type""") { (spark, dir) =>
     T(spark, dir, "events")

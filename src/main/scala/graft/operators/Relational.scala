@@ -57,7 +57,7 @@ object Relational {
   val q02RevenueByNation = Q(
     "q02_revenue_by_nation",
     """SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
@@ -91,7 +91,7 @@ object Relational {
   val q03TopOrders = Q(
     "q03_top_orders",
     """SELECT o_orderkey, o_custkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderkey, o_custkey
        ORDER BY revenue DESC, o_orderkey
@@ -130,7 +130,7 @@ object Relational {
                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
                                    ORDER BY revenue DESC, l_partkey) AS rn
          FROM (SELECT l_returnflag, l_partkey,
-                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+                      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS revenue
                FROM lineitem GROUP BY l_returnflag, l_partkey))
        WHERE rn <= 3
        ORDER BY l_returnflag, rn""") { (spark, dir) =>
@@ -243,7 +243,7 @@ object Relational {
        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (spark, dir) =>
@@ -267,7 +267,7 @@ object Relational {
        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
        FROM orders
        GROUP BY CUBE (o_orderstatus, o_orderpriority)
        ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (spark, dir) =>
@@ -331,7 +331,7 @@ object Relational {
        CAST(YEAR(o_orderdate) AS BIGINT) AS y,
        CAST(MONTH(o_orderdate) AS BIGINT) AS m,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total
        FROM orders
        GROUP BY 1, 2, 3
        ORDER BY month""") { (spark, dir) =>
@@ -348,7 +348,7 @@ object Relational {
   val q16ConditionalAgg = Q(
     "q16_conditional_agg",
     """SELECT o_orderpriority,
-       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(12,4))) AS DOUBLE) AS finished_total,
+       CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS finished_total,
        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_count,
        COUNT(*) AS n
        FROM orders
@@ -368,7 +368,7 @@ object Relational {
   val q17Having = Q(
     "q17_having",
     """SELECT l_suppkey, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS qty
        FROM lineitem
        GROUP BY l_suppkey
        HAVING COUNT(*) > 100
@@ -407,7 +407,7 @@ object Relational {
   val q19PriceBands = Q(
     "q19_price_bands",
     """SELECT band, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total
        FROM orders
        JOIN (VALUES ('low', 0, 100000), ('mid', 100000, 300000),
                     ('high', 300000, 1000000)) b(band, lo, hi)
@@ -433,7 +433,7 @@ object Relational {
                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                    ORDER BY spend DESC, c_custkey) AS rn
          FROM (SELECT c_mktsegment, c_custkey,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
+                      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS spend
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment, c_custkey))
        WHERE rn <= 3

@@ -30,11 +30,14 @@ object Relational2 {
   val q22GroupingSets = Q(
     "q22_grouping_sets",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS qty
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (spark, dir) =>
     T(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    // Spark dialect: the direct decimal→double cast here IS correctly
+    // rounded (BigDecimal.doubleValue); the VARCHAR mediation is an
+    // oracle-side (DuckDB) fix only — Spark SQL also rejects bare VARCHAR
     spark.sql(
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
@@ -154,10 +157,10 @@ object Relational2 {
   val q28Pivot = Q(
     "q28_pivot",
     """SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'F'
-                     THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE) AS qty_f,
-       CAST(SUM(CASE WHEN l_linestatus = 'O'
-                     THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE) AS qty_o
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE) AS qty_f,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE) AS qty_o
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
     T(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -176,7 +179,7 @@ object Relational2 {
   val q29Unpivot = Q(
     "q29_unpivot",
     """WITH a AS (SELECT c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS n_customers,
-                  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+                  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
                   FROM customer GROUP BY c_mktsegment)
        SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM a
        UNION ALL

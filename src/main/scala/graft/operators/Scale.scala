@@ -55,7 +55,7 @@ object Scale {
   val q26SaltedJoin = Q(
     "q26_salted_join",
     """SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS qty
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (spark, dir) =>
     import Num._
