@@ -150,12 +150,12 @@ object Relational {
   val q06RunningRevenue = Q(
     "q06_running_revenue",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
             OVER (PARTITION BY l_suppkey
                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_rev
        FROM lineitem
-       ORDER BY l_suppkey, l_orderkey, l_linenumber""") { (spark, dir) =>
+       ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""") { (spark, dir) =>
     // l_extendedprice is the LAST window order key because (orderkey,
     // linenumber) is not guaranteed unique in the data (sf0.1 carries one
     // duplicated key pair): without it the engines disagree on which twin
@@ -169,7 +169,8 @@ object Relational {
     T(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(dec(col("l_extendedprice"))).over(w).cast("double").as("running_rev"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_rev"))
   }
 
   /** lag/lead over a per-user event sequence. */

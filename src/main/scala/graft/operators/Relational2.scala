@@ -81,9 +81,9 @@ object Relational2 {
   val q24RangeFrame = Q(
     "q24_range_frame",
     """SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
             OVER (PARTITION BY o_custkey ORDER BY CAST(epoch_ns(o_orderdate) // 86400000000000 AS BIGINT)
-                  RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS nearby_rev
+                  RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS VARCHAR) AS DOUBLE) AS nearby_rev
        FROM orders
        ORDER BY o_custkey, o_orderkey""") { (spark, dir) =>
     val day = expr("cast(unix_timestamp(o_orderdate) div 86400 as bigint)")
