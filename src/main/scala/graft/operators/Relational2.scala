@@ -222,7 +222,42 @@ object Relational2 {
       .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
   }
 
+  /** Map-typed scalar functions over real grouped data: per order, the
+    * linenumber→quantity map (map_from_entries over SORTED entries —
+    * collect_list order is nondeterministic, and map_from_entries throws
+    * on duplicate keys, so entries are pre-aggregated per (order, line)),
+    * then size / map_keys / element_at lookups. The oracle states the
+    * same VALUES relationally — MapType is a Spark-side capability;
+    * what must agree cross-engine is the semantics, and only
+    * integer-keyed projections are stringified (double→string rendering
+    * differs between engines). */
+  val q59MapFns = Q(
+    "q59_map_fns",
+    """WITH per AS (SELECT l_orderkey, l_linenumber AS k,
+                    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS v
+                    FROM lineitem GROUP BY 1, 2)
+       SELECT l_orderkey,
+              COUNT(*) AS n_lines,
+              array_to_string(list_sort(list(k)), ',') AS keys_csv,
+              MAX(CASE WHEN k = 1 THEN v END) AS qty_line1,
+              CAST(MAX(CASE WHEN k = 7 THEN 1 ELSE 0 END) AS BOOLEAN) AS has_line7
+       FROM per GROUP BY l_orderkey ORDER BY l_orderkey""") { (spark, dir) =>
+    val per = T(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber").as("k"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("v"))
+    per.groupBy("l_orderkey")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("k"), col("v"))))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).cast("long").as("n_lines"),
+        array_join(expr("transform(array_sort(map_keys(m)), x -> cast(x as string))"), ",")
+          .as("keys_csv"),
+        element_at(col("m"), 1).as("qty_line1"),
+        element_at(col("m"), 7).isNotNull.as("has_line7"))
+      .orderBy("l_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
-    q58Ntile)
+    q58Ntile, q59MapFns)
 }
