@@ -257,7 +257,36 @@ object Relational2 {
       .orderBy("l_orderkey")
   }
 
+  /** Correlated scalar subquery — orders above their own customer's
+    * average order value. Written as a subquery on BOTH engines: on the
+    * Spark side this exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery turns the per-row subquery into
+    * one aggregate + join — plan-gated: no per-row re-execution
+    * survives). The average follows the exact-decimal convention
+    * (decimal sum → correctly-rounded double → / count) so the filter
+    * boundary is bit-identical across engines; Spark spells the
+    * string type STRING where DuckDB spells it VARCHAR. */
+  val q60CorrelatedSubquery = Q(
+    "q60_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders o
+       WHERE o_totalprice >
+         (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+       ORDER BY o_orderkey""") { (spark, dir) =>
+    T(spark, dir, "orders").createOrReplaceTempView("orders_cs")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders_cs o
+         WHERE o_totalprice >
+           (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,4))) AS STRING) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders_cs o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
-    q58Ntile, q59MapFns)
+    q58Ntile, q59MapFns, q60CorrelatedSubquery)
 }

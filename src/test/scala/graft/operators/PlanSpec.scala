@@ -131,6 +131,14 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the bucket equi-join, never a cross join")
   }
 
+  test("q60: correlated scalar subquery is decorrelated (one agg + join)") {
+    val p = plan("q60_correlated_subquery")
+    assert(!p.contains("Subquery"),
+      "the per-row subquery must be rewritten, never executed per row")
+    assert(p.contains("Join") && p.contains("Aggregate"),
+      "decorrelation = aggregate once, join back")
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))
