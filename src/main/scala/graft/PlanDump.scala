@@ -11,7 +11,8 @@ object PlanDump {
     "q01_pricing_summary", "q02_revenue_by_nation", "pa61_cast_normalize",
     "q56_asof_join", "d27_ngram_jaccard", "d31_embedding_neardup",
     "s32_knn_bruteforce", "s33_ann_lsh", "x90_corpus_pipeline",
-    "x91_source_mix", "d33_embedding_neardup_lsh", "x93_kmeans_step")
+    "x91_source_mix", "d33_embedding_neardup_lsh", "x93_kmeans_step",
+    "q60_correlated_subquery")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
