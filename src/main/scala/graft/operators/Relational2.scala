@@ -244,7 +244,7 @@ object Relational2 {
        FROM per GROUP BY l_orderkey ORDER BY l_orderkey""") { (spark, dir) =>
     val per = T(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"), col("l_linenumber").as("k"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("v"))
+      .agg(dsum(col("l_quantity")).as("v"))
     per.groupBy("l_orderkey")
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("k"), col("v"))))).as("m"))
