@@ -186,6 +186,58 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Token-budget data mixing: fill a fixed per-source token budget with
+    * the best documents first — THE selection step of assembling a
+    * training mix ("N tokens of web, M of code, ..."). Per source,
+    * documents are ranked quality-first (t23's gate, evaluated by the
+    * native one-pass [[graft.functions.TokenQuality]] on the Spark side
+    * and the identical CASE formula in the oracle), tie-broken by the
+    * deterministic doc_id hash, and admitted while the running token sum
+    * stays within the budget. Token counts are integers, so the running
+    * sum is exact on both engines at any partitioning.
+    *
+    * Scale: one window per source (running sum), state per partition
+    * bounded by source size; the quality predicate is scan-local and
+    * codegen'd. The admitted set is a pure function of (text, doc_id) —
+    * reproducible across engines, runs, and layouts, like t27/x91. */
+  val x94TokenBudgetMix = Q(
+    "x94_token_budget_mix",
+    s"""WITH d AS (SELECT source, doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ${H.d("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+        q AS (SELECT source, doc_id, n_tokens, h,
+                     CASE WHEN n_tokens BETWEEN 20 AND 120
+                           AND CAST(len(list_filter(string_split(text, ' '),
+                                     x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                               / n_tokens <= 0.25
+                          THEN 1 ELSE 0 END AS is_quality
+              FROM d),
+        c AS (SELECT source, doc_id, n_tokens, is_quality,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY is_quality DESC, h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM q)
+        SELECT source, doc_id, n_tokens,
+               CAST(is_quality AS BIGINT) AS is_quality,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= 800
+        ORDER BY source, cum_tokens""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = T(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+        expr(H.s("cast(doc_id as string)")).as("h"),
+        when(graft.functions.TokenQuality(col("text"), 20, 120, 0.25), 1L)
+          .otherwise(0L).as("is_quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("is_quality").desc, col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 800)
+      .select("source", "doc_id", "n_tokens", "is_quality", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
-    x92Decontamination)
+    x92Decontamination, x94TokenBudgetMix)
 }

@@ -100,6 +100,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0), "positive control: no overlap found")
   }
 
+  test("x94: budget binds and is never exceeded; quality admitted first") {
+    val rows = Pipeline.x94TokenBudgetMix.fn(spark, sfDir).collect()
+    val total = T(spark, sfDir, "documents").count()
+    assert(rows.nonEmpty && rows.length < total, "the budget must actually bind")
+    val admitted = rows.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(4)).max <= 800L, s"$src: budget exceeded")
+    }
+    // admission is a prefix of the quality-first order, so a low-quality
+    // admit implies every quality doc of that source was admitted too
+    val all = T(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        when(graft.functions.TokenQuality(col("text"), 20, 120, 0.25), 1L)
+          .otherwise(0L).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      val admittedSpam = docs.exists(d => d._3 == 0L && admitted.contains(d._2))
+      if (admittedSpam)
+        docs.filter(_._3 == 1L).foreach { d =>
+          assert(admitted.contains(d._2),
+            s"$src: quality doc ${d._2} rejected while low-quality admitted")
+        }
+    }
+  }
+
   test("x91: selection is a pure function of doc_id (stable across partitioning)") {
     def kept(parts: Int): Set[Long] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
