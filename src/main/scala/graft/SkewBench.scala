@@ -50,7 +50,12 @@ object SkewBench {
     // a fixed K·Dim group space. d33 is excluded like d30/d31: its
     // OUTPUT is quadratic in duplicate multiplicity by contract.
     "t29_repetition", "x91_source_mix", "x92_decontamination",
-    "x93_kmeans_step")
+    "x93_kmeans_step",
+    // x94's running-sum window has no WindowGroupLimit shortcut (the
+    // admission filter is on a cumulative sum, not a rank), so the 10k-doc
+    // hot source is sorted whole on one reducer — linear, not quadratic;
+    // this measures that the sort stays sane under the hostile skew
+    "x94_token_budget_mix")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
