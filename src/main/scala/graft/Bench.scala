@@ -144,6 +144,10 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
         }
       }
+      // a failed query's "time" is its time-to-failure — meaningless, and
+      // summing it into the total would let a fast crash read as a speedup;
+      // the failure is reported in `errors` only
+      if (errors.contains(name)) results.remove(name)
     }
 
     // encode/decode throughput at the reference's batch sizes, with the
@@ -156,13 +160,15 @@ object Bench {
     // per-point (same prefix semantics as the query loop), so
     // `Bench pa_decode_10000` runs that point alone.
     def minOf3(f: => Unit): Double = (1 to 3).map(_ => time(f)).min
-    def timed(key: String)(f: => Unit): Unit =
+    def timed(key: String)(f: => Unit): Unit = {
       results(key) = minOf3 {
         try f
         catch { case e: Throwable =>
           errors(key) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
         }
       }
+      if (errors.contains(key)) results.remove(key) // same rule as queries
+    }
     val md = Schemas.msg("ExampleMessage")
     val reg = Schemas.registry
     val gen = new MsgGen(42L)
@@ -175,14 +181,22 @@ object Bench {
       if (selected(encKey)) timed(encKey) {
         Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg).count(); ()
       }
-      if (selected(decKey)) {
-        // materialized once outside the timer: the decode point measures
-        // dataFrameToMessages only, as in prior rounds
+      val distKey = s"pa_decode_dist_$n"
+      if (selected(decKey) || selected(distKey)) {
+        // materialized once outside the timer: the decode points measure
+        // the decode only, as in prior rounds
         val df = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
           .cache()
         try {
           df.count()
-          timed(decKey) { Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); () }
+          // driver-collect API floor (table_to_messages contract) ...
+          if (selected(decKey))
+            timed(decKey) { Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); () }
+          // ... vs the distributed twin at the largest batch: decode stays
+          // on executors (toProtoBinary), only wire-bytes counts return —
+          // the measured counterpart of the "driver-collect floor" claim
+          if (n == 10000 && selected(distKey))
+            timed(distKey) { Protarrow.toProtoBinary(df, md, GraftConfig(), reg).count(); () }
         } catch { case e: Throwable =>
           errors(decKey) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
         } finally { df.unpersist(); () }

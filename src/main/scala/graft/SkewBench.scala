@@ -52,9 +52,11 @@ object SkewBench {
     "t29_repetition", "x91_source_mix", "x92_decontamination",
     "x93_kmeans_step",
     // x94's running-sum window has no WindowGroupLimit shortcut (the
-    // admission filter is on a cumulative sum, not a rank), so the 10k-doc
-    // hot source is sorted whole on one reducer — linear, not quadratic;
-    // this measures that the sort stays sane under the hostile skew
+    // admission filter is on a cumulative sum, not a rank); the two-phase
+    // selection range-buckets each source so the 10k-doc hot source is
+    // sorted across ≤ 2B bucket partitions, with whole buckets past the
+    // budget discarded before the wide shuffle (SkewSpec pins the
+    // bucket spread; this measures the wall clock under the hostile skew)
     "x94_token_budget_mix")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew

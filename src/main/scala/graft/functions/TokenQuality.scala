@@ -24,6 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TokenQuality(child: Expression, minTok: Int, maxTok: Int,
     maxStopRatio: Double) extends UnaryExpression {
+  // doGenCode interpolates maxStopRatio into Java source; Infinity/NaN
+  // would render as invalid literals ("InfinityD") and break codegen
+  // compilation (silent interpreted fallback). A ratio outside [0, 1] is
+  // meaningless anyway, so reject it at construction.
+  require(maxStopRatio >= 0.0 && maxStopRatio <= 1.0,
+    s"maxStopRatio must be in [0, 1], got $maxStopRatio")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -74,5 +74,41 @@ object Json {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q53JsonExtract, q27Percentiles, q30ApproxPercentile)
+  /** Struct ↔ JSON round trip — from_json / to_json (the shaping half of
+    * the SURVEY §2 JSON row; q53 covers path extraction). Each event's
+    * props payload is parsed into a typed struct, re-serialized with
+    * to_json, and re-parsed; the emitted JSON string `j` and the re-parsed
+    * fields are themselves checked values, so the two engines must agree
+    * on the rendering byte-for-byte (both emit compact
+    * `{"k":<int>,"et":"<str>"}` — verified; the struct is built null-free
+    * because Spark's to_json OMITS null fields while DuckDB renders
+    * `"k":null`). roundtrip_ok pins from_json(to_json(s)) == s per row. */
+  val q62JsonShape = Q(
+    "q62_json_shape",
+    """WITH s AS (SELECT event_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                  event_type AS et FROM events),
+       j AS (SELECT event_id, k, et,
+                    to_json(struct_pack(k := k, et := et)) AS j FROM s),
+       r AS (SELECT event_id, k, et, j,
+                    CAST(json_extract(j, '$.k') AS BIGINT) AS k2,
+                    json_extract_string(j, '$.et') AS et2 FROM j)
+       SELECT event_id, k, j, k2, et2,
+              (k2 = k AND et2 = et) AS roundtrip_ok
+       FROM r ORDER BY event_id""") { (spark, dir) =>
+    val s = T(spark, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k").as("k"),
+        col("event_type").as("et"))
+    s.withColumn("j", to_json(struct(col("k"), col("et"))))
+      .withColumn("s2", from_json(col("j"), "k BIGINT, et STRING", Map.empty[String, String]))
+      .select(col("event_id"), col("k"), col("j"),
+        col("s2.k").as("k2"), col("s2.et").as("et2"),
+        (col("s2.k") === col("k") && col("s2.et") === col("et"))
+          .as("roundtrip_ok"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q53JsonExtract, q27Percentiles, q30ApproxPercentile,
+    q62JsonShape)
 }

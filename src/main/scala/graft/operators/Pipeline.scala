@@ -196,9 +196,29 @@ object Pipeline {
     * stays within the budget. Token counts are integers, so the running
     * sum is exact on both engines at any partitioning.
     *
-    * Scale: one window per source (running sum), state per partition
-    * bounded by source size; the quality predicate is scan-local and
-    * codegen'd. The admitted set is a pure function of (text, doc_id) —
+    * Scale — two-phase selection, NO single-reducer sort: a running-sum
+    * window has no WindowGroupLimit shortcut (the admission predicate is
+    * a cumulative sum, not a rank), so the naive `PARTITION BY source`
+    * window would shuffle the dominant source of a 100 TB corpus onto ONE
+    * task. Instead the selection order (is_quality DESC, h, doc_id) is
+    * range-bucketed by `b = (1-is_quality)·B + h div (2³² / B)` — a
+    * MONOTONE function of the order (is_quality is constant within a
+    * bucket, h ranges ascending), h being uniform md5 bits so buckets are
+    * balanced by construction, never by sampling. Phase 1 aggregates
+    * exact per-bucket token sums (column-pruned scan, ≤ 2B rows per
+    * source); a tiny window over that aggregate yields each bucket's
+    * prefix offset. Phase 2 broadcast-joins the offsets back, discards
+    * whole buckets whose offset already exceeds the budget (at 100 TB
+    * with budget ≪ corpus that is almost all data — filtered BEFORE any
+    * wide shuffle), and runs the running sum per (source, bucket)
+    * partition: cum = offset + within-bucket sum, bit-identical to the
+    * single-window formula because token counts are integers and the
+    * bucket order is monotone. The hot source's sort is spread over B
+    * tasks (SkewSpec pins >1 non-empty bucket under the hostile
+    * workload). Cost: two passes over the corpus — the phase-1 pass reads
+    * only (source, text-length columns), pruned at the scan.
+    *
+    * The admitted set is a pure function of (text, doc_id) —
     * reproducible across engines, runs, and layouts, like t27/x91. */
   val x94TokenBudgetMix = Q(
     "x94_token_budget_mix",
@@ -223,17 +243,33 @@ object Pipeline {
         FROM c WHERE cum_tokens <= 800
         ORDER BY source, cum_tokens""") { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    val budget = 800L
+    val nBuckets = 16 // per quality class; hot source spreads over ≤ 2B tasks
+    val width = (1L << 32) / nBuckets // h is 32-bit md5 bits: uniform
     val q = T(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
         expr(H.s("cast(doc_id as string)")).as("h"),
         when(graft.functions.TokenQuality(col("text"), 20, 120, 0.25), 1L)
           .otherwise(0L).as("is_quality"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("is_quality").desc, col("h"), col("doc_id"))
+      .withColumn("b",
+        (lit(1L) - col("is_quality")) * nBuckets + expr(s"h div $width"))
+    // phase 1: exact per-bucket token totals → prefix offsets (tiny frame:
+    // sources × 2B rows, so the per-source offset window is trivially small)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = q.groupBy("source", "b").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select("source", "b", "off")
+    // phase 2: whole buckets past the budget are discarded BEFORE the wide
+    // shuffle (off > budget ⇒ even the bucket's first row lands past it);
+    // the running sum then runs per (source, bucket) — B-way parallel
+    val wIn = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id")) // is_quality constant within bucket
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= 800)
+    q.join(broadcast(off.filter(col("off") <= budget)), Seq("source", "b"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
       .select("source", "doc_id", "n_tokens", "is_quality", "cum_tokens")
       .orderBy("source", "cum_tokens")
   }

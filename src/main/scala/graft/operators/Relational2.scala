@@ -257,6 +257,38 @@ object Relational2 {
       .orderBy("l_orderkey")
   }
 
+  /** Ranking with ties — rank() (gapped) and dense_rank() (gapless) over
+    * REAL ties: orders ranked by order month within priority, where many
+    * orders share a month. Ties are the point: rank/dense_rank assign the
+    * same value to every tied row (deterministic regardless of row order
+    * within the tie), while row_number — which must be fully tie-broken
+    * (ym, o_orderkey) to be deterministic — differs from rank on every
+    * tied row, making the three functions' divergence part of the checked
+    * values. Completes the SURVEY §2 window-function row. */
+  val q61RankDenseRank = Q(
+    "q61_rank_dense_rank",
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym FROM orders)
+       SELECT o_orderkey, o_orderpriority, ym,
+              CAST(RANK() OVER w AS BIGINT) AS rnk,
+              CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+              CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY ym, o_orderkey) AS BIGINT) AS rn
+       FROM o WINDOW w AS (PARTITION BY o_orderpriority ORDER BY ym)
+       ORDER BY o_orderkey""") { (spark, dir) =>
+    val wTies = Window.partitionBy(col("o_orderpriority")).orderBy(col("ym"))
+    val wFull = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("ym"), col("o_orderkey"))
+    T(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyyMM").cast("long").as("ym"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("ym"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"),
+        row_number().over(wFull).cast("long").as("rn"))
+      .orderBy("o_orderkey")
+  }
+
   /** Correlated scalar subquery — orders above their own customer's
     * average order value. Written as a subquery on BOTH engines: on the
     * Spark side this exercises Catalyst's decorrelation
@@ -288,5 +320,5 @@ object Relational2 {
 
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
-    q58Ntile, q59MapFns, q60CorrelatedSubquery)
+    q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank)
 }

@@ -123,6 +123,13 @@ object StreamOps {
     * stop-shingle set from the batch profile via `hotShingles` to keep
     * hot buckets bounded at scale.
     *
+    * State-size note: each document's full shingle-hash array is held in
+    * ALL 4 band buckets' state for the whole detection horizon — a 4×
+    * amplification of per-doc set storage. That is the dominant state
+    * cost with long documents; if it bites, store sets once in a
+    * doc-keyed state and keep only (doc_id, ts) per band at the price of
+    * a second stateful join.
+    *
     * Rows carry (doc_id, ts, text). The watermark is (re)applied here,
     * after the shingling map — event-time metadata does not survive an
     * object-serializing mapPartitions, and the stateful operator requires
@@ -189,7 +196,13 @@ object StreamOps {
               }
             }
             state.update(seen)
-            state.setTimeoutTimestamp(maxTs + stateTimeoutMs)
+            // clamped: FlatMapGroupsWithStateExec drops rows older than the
+            // watermark under EventTimeTimeout, so maxTs + stateTimeoutMs is
+            // normally > watermark — but if the operator is ever reused with
+            // a stateTimeoutMs shorter than the watermark delay, an unclamped
+            // value below the current watermark would throw and kill the query
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, maxTs + stateTimeoutMs))
             out.iterator
           }
         })

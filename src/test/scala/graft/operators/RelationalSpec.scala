@@ -53,6 +53,28 @@ class RelationalSpec extends SparkSpec {
     assert(n == T(spark, sfDir, "orders").count())
   }
 
+  test("q61: data has real ties — rank diverges from row_number and gaps exist") {
+    import org.apache.spark.sql.functions._
+    val df = Relational2.q61RankDenseRank.fn(spark, sfDir).cache()
+    // tied rows: rank == same value but row_number differs
+    assert(df.filter(col("rnk") =!= col("rn")).count() > 0,
+      "no ties in the window order — rank degenerates to row_number")
+    // gapped vs gapless: after a tie group, rank jumps past dense_rank
+    assert(df.filter(col("rnk") =!= col("drnk")).count() > 0,
+      "rank never diverged from dense_rank — no gap was exercised")
+    df.unpersist()
+  }
+
+  test("q62: from_json(to_json(s)) round-trips every row") {
+    import org.apache.spark.sql.functions._
+    val df = Json.q62JsonShape.fn(spark, sfDir).cache()
+    assert(df.filter(!col("roundtrip_ok")).count() == 0)
+    // the rendering itself is pinned: compact, field order (k, et)
+    val j = df.select("j").head.getString(0)
+    assert(j.matches("""\{"k":-?\d+,"et":"[^"]*"\}"""), s"unexpected rendering: $j")
+    df.unpersist()
+  }
+
   test("q28 pivot: wide columns re-sum to the per-flag totals") {
     import org.apache.spark.sql.functions._
     val wide = Relational2.q28Pivot.fn(spark, sfDir)

@@ -44,6 +44,50 @@ class SkewSpec extends SparkSpec {
     assert(n === docs.count()) // generator is deterministic/stable
   }
 
+  test("x94 two-phase selection: hot source spreads over many buckets, prunes wholesale, matches the single-window formula") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_x94").toString
+    graft.SkewBench.generate(spark, sfDir, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // the hot source (the 10k-dup cluster's source) must NOT land in one
+    // window partition: its rows span many range buckets pre-pruning
+    val q = docs.select(col("source"), col("doc_id"),
+      expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"),
+      expr(H.s("cast(doc_id as string)")).as("h"),
+      when(graft.functions.TokenQuality(col("text"), 20, 120, 0.25), 1L)
+        .otherwise(0L).as("is_quality"))
+      .withColumn("b", (lit(1L) - col("is_quality")) * 16 + expr(s"h div ${(1L << 32) / 16}"))
+    val hotSource = docs.groupBy("source").count().orderBy(desc("count"))
+      .head.getString(0)
+    val spread = q.filter(col("source") === hotSource)
+      .select("b").distinct().count()
+    assert(spread > 8, s"hot source occupies only $spread buckets — not spread")
+
+    // wholesale pruning: with budget ≪ corpus, most of the hot source's
+    // buckets are discarded by the offset filter BEFORE the wide shuffle
+    val wOff = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = q.groupBy("source", "b").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+    val kept = off.filter(col("source") === hotSource && col("off") <= 800).count()
+    assert(kept < spread / 2, s"pruning kept $kept of $spread hot-source buckets")
+
+    // exactness: the two-phase result is row-identical to the naive
+    // one-window-per-source formula (the spec that makes the rewrite safe)
+    val wNaive = Window.partitionBy(col("source"))
+      .orderBy(col("is_quality").desc, col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = q.withColumn("cum_tokens", sum(col("n_tokens")).over(wNaive))
+      .filter(col("cum_tokens") <= 800)
+      .select("source", "doc_id", "n_tokens", "is_quality", "cum_tokens")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val twoPhase = Pipeline.x94TokenBudgetMix.fn(spark, dir)
+      .select("source", "doc_id", "n_tokens", "is_quality", "cum_tokens")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(twoPhase.toSeq === naive.toSeq)
+  }
+
   test("streaming near-dup guarded by the batch hot-shingle profile under mass duplication") {
     // the streaming tier cannot compute corpus-wide document frequency, so
     // its skew guard is the batch profile: the hot-shingle set computed
