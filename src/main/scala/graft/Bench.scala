@@ -194,9 +194,16 @@ object Bench {
             timed(decKey) { Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); () }
           // ... vs the distributed twin at the largest batch: decode stays
           // on executors (toProtoBinary), only wire-bytes counts return —
-          // the measured counterpart of the "driver-collect floor" claim
-          if (n == 10000 && selected(distKey))
-            timed(distKey) { Protarrow.toProtoBinary(df, md, GraftConfig(), reg).count(); () }
+          // the measured counterpart of the "driver-collect floor" claim.
+          // The driver-built batch is ONE partition (LocalRelation); spread
+          // it outside the timer so the point measures the distributed
+          // decode, not an accidental single-task layout
+          if (n == 10000 && selected(distKey)) {
+            val dfd = df.repartition(cpus.toInt).cache()
+            dfd.count()
+            try timed(distKey) { Protarrow.toProtoBinary(dfd, md, GraftConfig(), reg).count(); () }
+            finally { dfd.unpersist(); () }
+          }
         } catch { case e: Throwable =>
           errors(decKey) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
         } finally { df.unpersist(); () }

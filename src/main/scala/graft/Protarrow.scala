@@ -40,8 +40,13 @@ object Protarrow {
       md: PMessageDesc, cfg: GraftConfig = GraftConfig(),
       reg: ProtoRegistry = WellKnown.registry): DataFrame = {
     val schema = messageTypeToSchema(md, cfg, reg)
-    val writer = Codecs.rowWriter(md, cfg, reg)
-    spark.createDataFrame(msgs.map(writer).asJava, schema)
+    // catalyst-native writer → LocalRelation: skips createDataFrame's
+    // per-row CatalystTypeConverters pass over the external rows (the
+    // external rowWriter path remains for executor-side encodes);
+    // CatalystWriterSpec pins path equality, RoundTripSpec runs the whole
+    // config matrix through here
+    val writer = Codecs.internalRowWriter(md, cfg, reg)
+    org.apache.spark.sql.GraftBridge.localDataFrame(spark, schema, msgs.map(writer))
   }
 
   /** Distributed variant (messages_to_table): messages already on

@@ -137,6 +137,102 @@ object Codecs {
   def rowWriter(md: PMessageDesc, cfg: GraftConfig, reg: ProtoRegistry): DynamicMessage => Row =
     rowWriter(md, cfg, reg, Vector(md.fullName))
 
+  // ------------------------------------------- encode (catalyst-native)
+
+  /** Catalyst-internal twin of [[valueWriter]]: emits UTF8String /
+    * epoch-micros / epoch-days / InternalRow / ArrayData / MapData so the
+    * driver-local encode can build `InternalRow`s directly and skip the
+    * per-row `CatalystTypeConverters` pass `createDataFrame(rows, schema)`
+    * would run over the external values (~1 s of the 10k-row full-shape
+    * encode point). Only the representations differ: every leaf delegates
+    * to [[valueWriter]] where external == internal, and the temporal
+    * leaves go through the SAME `DateTimeUtils` conversions Spark itself
+    * applies to `Instant`/`LocalDate` — so the two paths are value-equal
+    * by construction, and the full RoundTripSpec matrix (which runs the
+    * internal path via messagesToDataFrame) plus CatalystWriterSpec's
+    * explicit cross-path comparison pin it. */
+  def catalystValueWriter(t: PType, cfg: GraftConfig, reg: ProtoRegistry,
+      trace: Vector[String] = Vector.empty): ValueWriter = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    t match {
+      case PString => v => UTF8String.fromString(v.asInstanceOf[String])
+      case PEnum(name) if cfg.enumType.nameBased && !cfg.enumType.binary =>
+        val ed = reg.enum(name)
+        v => UTF8String.fromString(
+          ed.numberToName.getOrElse(v.asInstanceOf[Int], ed.firstName))
+      case PMessage(WellKnown.TimestampName) =>
+        val ext = valueWriter(t, cfg, reg, trace)
+        v => DateTimeUtils.instantToMicros(ext(v).asInstanceOf[Instant])
+      case PMessage(WellKnown.DateName) =>
+        val ext = valueWriter(t, cfg, reg, trace)
+        v => DateTimeUtils.localDateToDays(ext(v).asInstanceOf[LocalDate])
+      case PMessage(WellKnown.TimeOfDayName) | PMessage(WellKnown.DurationName) =>
+        valueWriter(t, cfg, reg, trace) // already plain longs
+      case PMessage(name) if WellKnown.isWrapper(name) =>
+        val inner = catalystValueWriter(WellKnown.wrapperNames(name), cfg, reg, trace)
+        val field = reg.message(name).byName("value")
+        v => inner(v.asInstanceOf[DynamicMessage].getOrDefault(field))
+      case PMessage(WellKnown.EmptyName) =>
+        _ => org.apache.spark.sql.catalyst.InternalRow.empty
+      case PMessage(name) if trace.contains(name) =>
+        _ => org.apache.spark.sql.catalyst.InternalRow.empty
+      case PMessage(name) =>
+        val rw = catalystRowWriter(reg.message(name), cfg, reg, trace :+ name)
+        v => rw(v.asInstanceOf[DynamicMessage])
+      // numerics, bool, bytes, binary enums, TimeOfDay/Duration longs:
+      // external and internal representations coincide
+      case _ => valueWriter(t, cfg, reg, trace)
+    }
+  }
+
+  /** Catalyst twin of [[fieldWriter]]: same absent/default semantics,
+    * internal containers (GenericArrayData / ArrayBasedMapData). */
+  def catalystFieldWriter(f: PField, cfg: GraftConfig, reg: ProtoRegistry,
+      trace: Vector[String]): DynamicMessage => Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    if (f.isMap) {
+      val kw = catalystValueWriter(f.mapKey, cfg, reg, trace)
+      val vw = catalystValueWriter(f.mapValue, cfg, reg, trace)
+      if (cfg.mapAsList) { m =>
+        new GenericArrayData(m.getOrDefault(f).asInstanceOf[Map[Any, Any]]
+          .map { case (k, v) => InternalRow(kw(k), vw(v)) }.toArray[Any])
+      } else { m =>
+        val kvs = m.getOrDefault(f).asInstanceOf[Map[Any, Any]].toArray
+        new ArrayBasedMapData(
+          new GenericArrayData(kvs.map(kv => kw(kv._1))),
+          new GenericArrayData(kvs.map(kv => vw(kv._2))))
+      }
+    } else if (f.repeated) {
+      val vw = catalystValueWriter(f.typ, cfg, reg, trace)
+      m => new GenericArrayData(
+        m.getOrDefault(f).asInstanceOf[Vector[Any]].map(vw).toArray[Any])
+    } else if (f.hasPresence) {
+      val vw = catalystValueWriter(f.typ, cfg, reg, trace)
+      m => m.get(f.number) match {
+        case Some(v) => vw(v)
+        case None => null
+      }
+    } else {
+      val vw = catalystValueWriter(f.typ, cfg, reg, trace)
+      m => vw(m.getOrDefault(f))
+    }
+  }
+
+  private def catalystRowWriter(md: PMessageDesc, cfg: GraftConfig,
+      reg: ProtoRegistry, trace: Vector[String])
+      : DynamicMessage => org.apache.spark.sql.catalyst.InternalRow = {
+    val writers = md.fields.map(f => catalystFieldWriter(f, cfg, reg, trace)).toArray
+    m => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      writers.map(w => w(m)))
+  }
+
+  /** Compiled message → InternalRow writer (top-level entry). */
+  def internalRowWriter(md: PMessageDesc, cfg: GraftConfig, reg: ProtoRegistry)
+      : DynamicMessage => org.apache.spark.sql.catalyst.InternalRow =
+    catalystRowWriter(md, cfg, reg, Vector(md.fullName))
+
   // ---------------------------------------------------------------- decode
 
   /** Scalar/WKT decoder: Spark external value (collected Row cell) →

@@ -254,6 +254,11 @@ object Pipeline {
           .otherwise(0L).as("is_quality"))
       .withColumn("b",
         (lit(1L) - col("is_quality")) * nBuckets + expr(s"h div $width"))
+      // cached: phases 1 and 2 both consume this projection, and the
+      // expensive part (tokenize + quality scan) must run once, not twice.
+      // The cached frame is the NARROW projection (~40 bytes/row, ~1% of
+      // corpus bytes) — at extreme scale swap for recompute or checkpoint
+      .cache()
     // phase 1: exact per-bucket token totals → prefix offsets (tiny frame:
     // sources × 2B rows, so the per-source offset window is trivially small)
     val wOff = Window.partitionBy(col("source")).orderBy(col("b"))

@@ -337,6 +337,147 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  // ---- x95: full Lloyd loop (x93's step iterated to convergence) ----
+
+  /** Lloyd-loop parameters. Convergence = max component drift of the new
+    * means vs the previous centroids < [[LloydEps]]. The loop FREEZES at
+    * convergence: once drift < ε the centroid state is carried unchanged,
+    * which makes the converged state a literal fixed point — every further
+    * iteration recomputes the identical assignment, means, and drift. That
+    * is what lets the oracle be a fixed [[LloydMaxIter]]-deep unrolled CTE
+    * chain while the Spark side stops early: iterations past the freeze
+    * are no-ops, so "stopped at t" and "unrolled to 8" give the same
+    * state. If ε is never reached, both sides run exactly
+    * [[LloydMaxIter]] real iterations — equality holds with or without
+    * convergence. */
+  private val LloydMaxIter = 8
+  private val LloydEps = 0.02
+
+  private def lloydOracle: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+      s"e AS MATERIALIZED (SELECT vec_id, v, ${Cosine.duckNorm("v")} AS nrm FROM e0)",
+      "c0 AS MATERIALIZED (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8)")
+    for (i <- 1 to LloydMaxIter) {
+      val p = i - 1
+      ctes += s"""a$i AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Cosine.duckDot("e.v", "c.cv")} / (e.nrm * ${Cosine.duckNorm("c.cv")}) DESC,
+                            c.cell) AS rnk
+          FROM e, c$p c) WHERE rnk = 1)"""
+      ctes += s"""m$i AS MATERIALIZED (SELECT cell, CAST(r.d AS BIGINT) AS dim, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(v[r.d + 1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1000000.0 AS c_mean
+          FROM a$i, range(0, $Dim) r(d) GROUP BY cell, dim)"""
+      ctes += s"""dr$i AS MATERIALIZED (SELECT MAX(ABS(m.c_mean - p.cv[m.dim + 1])) AS drift
+          FROM m$i m JOIN c$p p ON m.cell = p.cell)"""
+      ctes += s"""c$i AS MATERIALIZED (SELECT p.cell,
+                 CASE WHEN (SELECT drift FROM dr$i) < $LloydEps THEN p.cv
+                      ELSE COALESCE(nm.cv, p.cv) END AS cv
+          FROM c$p p LEFT JOIN (SELECT cell, list(c_mean ORDER BY dim) AS cv
+                                FROM m$i GROUP BY cell) nm
+          ON p.cell = nm.cell)"""
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+        SELECT c.cell AS cell, CAST(r.d AS BIGINT) AS dim, cnt.n, c.cv[r.d + 1] AS c_val
+        FROM c$LloydMaxIter c
+        JOIN (SELECT cell, COUNT(*) AS n FROM a$LloydMaxIter GROUP BY cell) cnt
+          ON c.cell = cnt.cell, range(0, $Dim) r(d)
+        ORDER BY c.cell, dim"""
+  }
+
+  /** One Lloyd iteration given the current centroid matrix: assignment is
+    * a pure per-row map — the K candidate cosines are inlined as literal
+    * centroid arrays and `array_min(struct(-cos, cell))` picks the argmax
+    * with the exact ROW_NUMBER (cos DESC, cell) tie-break, so NO shuffle
+    * touches the corpus at all (the windowed crossJoin form shuffled every
+    * vector ×K per iteration — ~400 MB/iter at sf0.1, unbounded at
+    * 100 TB). The only shuffle is the x93 mean update's K·Dim-group
+    * aggregation (map-side partials). Centroid norms are driver-computed
+    * with the same ascending acc + x·x fold as [[Cosine]]'s
+    * expression/DuckDB forms, so cosines stay bit-equal to the oracle's.
+    * Only the K·Dim result crosses to the driver. */
+  private def lloydStep(spark: SparkSession, e: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): Array[((Long, Long), (Long, Double))] = {
+    def jvmNorm(cv: Seq[Double]): Double =
+      math.sqrt(cv.foldLeft(0.0d)((acc, x) => acc + x * x))
+    val cand = array(cent.map { case (c, cv) =>
+      struct(
+        (-(Cosine.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(jvmNorm(cv)))))
+          .as("nc"),
+        lit(c).as("c"))
+    }: _*)
+    e.select(array_min(cand).getField("c").as("cell"), col("v"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("x") * 1000000.0d).cast("long")).cast("double") /
+          count(lit(1)) / 1000000.0d).as("c_mean"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+  }
+
+  /** Full k-means (Lloyd) to convergence — x93's oracle-checked step
+    * iterated until the max centroid drift under the 1e-6 quantization
+    * falls below [[LloydEps]] (or [[LloydMaxIter]]). The corpus-bucketing
+    * operator an IVF index build runs: at 100 TB each iteration is one
+    * broadcast assignment join + one K·Dim-group aggregation — the same
+    * plan as x93, looped — and the driver holds nothing but the K·Dim
+    * centroid matrix between iterations (exactly MLlib's k-means shape).
+    * Convergence/freeze semantics in [[lloydOracle]]'s doc; the final
+    * state is (cell, dim, cluster size, centroid component), bit-equal
+    * across engines because every iteration's means are exact integer
+    * sums and the drift test compares identical doubles. */
+  /** The driver loop behind [[x95KmeansLloyd]], exposed so specs can
+    * observe convergence. Returns (final centroids, final cluster sizes,
+    * real iterations run, converged?). */
+  private[operators] def lloydRun(spark: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double])], Map[Long, Long], Int, Boolean) = {
+    // dim guard once up front (oracle unrolls range(0, Dim) per iteration)
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), dimGuarded(col("v"), col("v")).as("v"), col("nrm"))
+      .cache()
+    try {
+      var cent: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double]))
+        .sortBy(_._1).toSeq
+      var lastCounts = Map.empty[Long, Long]
+      var frozen = false
+      var it = 0
+      while (it < LloydMaxIter && !frozen) {
+        it += 1
+        val m = lloydStep(spark, e, cent)
+        val byCell = m.groupBy(_._1._1)
+        lastCounts = byCell.map { case (c, rows) => c -> rows.head._2._1 }
+        val prev = cent.toMap
+        val drift = m.iterator.map { case ((c, d), (_, mean)) =>
+          math.abs(mean - prev(c)(d.toInt))
+        }.max
+        if (drift < LloydEps) frozen = true
+        else cent = cent.map { case (c, old) =>
+          val rows = byCell.get(c)
+          (c, rows.fold(old)(rs =>
+            rs.sortBy(_._1._2).map(_._2._2).toVector: Seq[Double]))
+        }
+      }
+      (cent, lastCounts, it, frozen)
+    } finally { e.unpersist(); () }
+  }
+
+  val x95KmeansLloyd = Q("x95_kmeans_lloyd", lloydOracle) { (spark, dir) =>
+    val (cent, lastCounts, _, _) = lloydRun(spark, dir)
+    // final state: centroid matrix + final-assignment cluster sizes,
+    // K·Dim rows built from the driver-held matrix (by design)
+    import spark.implicits._
+    val rows = for {
+      (c, cv) <- cent if lastCounts.contains(c)
+      d <- 0 until Dim
+    } yield (c, d.toLong, lastCounts(c), cv(d))
+    rows.toDF("cell", "dim", "n", "c_val").orderBy("cell", "dim")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
-    s36AnnMultiprobe, x93KmeansStep)
+    s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd)
 }

@@ -13,4 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Driver-local DataFrame from pre-built InternalRows — what
+    * `createDataFrame(rows, schema)` becomes AFTER its per-row
+    * CatalystTypeConverters pass. Callers (graft's compiled encode
+    * writers) guarantee the rows already hold catalyst representations
+    * for `schema`. */
+  def localDataFrame(spark: SparkSession, schema: types.StructType,
+      rows: Seq[catalyst.InternalRow]): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      catalyst.plans.logical.LocalRelation(
+        catalyst.types.DataTypeUtils.toAttributes(schema), rows))
 }

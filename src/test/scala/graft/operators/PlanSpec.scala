@@ -139,6 +139,17 @@ class PlanSpec extends SparkSpec {
       "decorrelation = aggregate once, join back")
   }
 
+  test("x94: running sum is bucket-partitioned and offsets broadcast back") {
+    val p = plan("x94_token_budget_mix")
+    // the wide window must partition by (source, b) — never source alone:
+    // one window partition per source is the single-reducer hot-source sort
+    assert(p.contains("windowspecdefinition(source#") && p.contains(", b#"),
+      "running-sum window must include the range bucket in its partition key")
+    // the tiny offset frame joins back via broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket offsets must broadcast to the corpus side")
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))

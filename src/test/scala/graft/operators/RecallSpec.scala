@@ -111,6 +111,36 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("x95 Lloyd loop converges on the clustered corpus and recovers the true centers") {
+    val dir = clusteredCorpus(0.01)
+    val (cent, counts, iters, converged) = Similarity.lloydRun(spark, dir)
+    info(s"x95 converged=$converged after $iters iterations")
+    assert(converged, "Lloyd must reach the drift-<-eps fixed point on clustered data")
+    assert(counts.values.sum === 500L, "every vector assigned")
+    // seeds ARE the true centers (vec_id 0-7): every converged centroid
+    // must stay near its seed — cosine to the seed direction ~ 1
+    val seeds = T(spark, dir, "embeddings").filter("vec_id < 8")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    cent.foreach { case (c, cv) =>
+      assert(cos(cv, seeds(c)) > 0.99, s"cell $c drifted off its true center")
+    }
+  }
+
+  test("x95 Lloyd loop actually iterates on the noisy sf corpus before freezing") {
+    // on real (noisy) embeddings the seed vectors are NOT the means, so
+    // the loop must take several real steps before the drift-<-eps freeze
+    val (_, counts, iters, converged) = Similarity.lloydRun(spark, sfDir)
+    info(s"x95 on sf0.001: converged=$converged after $iters iterations")
+    assert(iters > 1, "loop must do more than one real iteration on noisy data")
+    assert(converged, "and still reach the fixed point within the cap")
+    assert(counts.values.sum === T(spark, sfDir, "embeddings").count())
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's
