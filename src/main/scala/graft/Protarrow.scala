@@ -66,10 +66,15 @@ object Protarrow {
   def dataFrameToMessages(df: DataFrame, md: PMessageDesc,
       cfg: GraftConfig = GraftConfig(),
       reg: ProtoRegistry = WellKnown.registry): Seq[DynamicMessage] = {
-    val reader = Codecs.rowReader(md, df.schema, cfg, reg)
-    // one job, not one per partition (toLocalIterator) — this API is
+    // catalyst-native read: executeCollect() yields InternalRows, so the
+    // whole-row internal→external deserializer (per-cell Timestamp/
+    // LocalDate/Row/Map allocation — the dominant and JIT-unstable cost
+    // of collect() on the ~190-field harness schema) never runs; the
+    // compiled reader decodes internal representations directly.
+    // One job, not one per partition (toLocalIterator) — this API is
     // driver-side by contract; the distributed path is toProtoBinary
-    df.collect().iterator.map(reader).toVector
+    val reader = Codecs.internalRowReader(md, df.schema, cfg, reg)
+    df.queryExecution.executedPlan.executeCollect().iterator.map(reader).toVector
   }
 
   /** Local rows → messages (record_batch_to_messages). */
@@ -86,9 +91,16 @@ object Protarrow {
   def toProtoBinary(df: DataFrame, md: PMessageDesc,
       cfg: GraftConfig = GraftConfig(),
       reg: ProtoRegistry = WellKnown.registry): Dataset[Array[Byte]] = {
-    val schema = df.schema
-    val reader = Codecs.rowReader(md, schema, cfg, reg)
-    df.mapPartitions(rows => rows.map(r => ProtoWire.encode(reader(r))))(Encoders.BINARY)
+    val spark = df.sparkSession
+    val reader = Codecs.internalRowReader(md, df.schema, cfg, reg)
+    // queryExecution.toRdd keeps rows in catalyst form on the executors
+    // (no per-row external deserialization). Buffer-reuse safe: the
+    // reader materializes every value into fresh objects before the
+    // iterator advances.
+    import spark.implicits._
+    spark.createDataset(
+      df.queryExecution.toRdd.mapPartitions(rows =>
+        rows.map(r => ProtoWire.encode(reader(r)))))(Encoders.BINARY)
   }
 
   /** Distributed encode from wire-format bytes (micro-batch/Kafka shape —

@@ -57,7 +57,11 @@ object SkewBench {
     // sorted across ≤ 2B bucket partitions, with whole buckets past the
     // budget discarded before the wide shuffle (SkewSpec pins the
     // bucket spread; this measures the wall clock under the hostile skew)
-    "x94_token_budget_mix")
+    "x94_token_budget_mix",
+    // x95's assignment is map-only (literal centroids, no corpus shuffle),
+    // so the 10k-dup hot embedding only concentrates ONE k-means cell —
+    // absorbed by the same map-side partials into K·Dim groups as x93
+    "x95_kmeans_lloyd")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -419,4 +419,137 @@ object Codecs {
       }
     case _ => valueReader(t, cfg, reg)
   }
+
+  // ------------------------------------------- decode (catalyst-native)
+
+  /** Catalyst-internal twin of [[valueReader]]: consumes internal
+    * representations (UTF8String, epoch micros/days, InternalRow,
+    * ArrayData/MapData) so [[graft.Protarrow.dataFrameToMessages]] and
+    * [[graft.Protarrow.toProtoBinary]] can read `executeCollect()` /
+    * `toRdd` rows directly, skipping the whole-row internal→external
+    * deserializer (and its per-cell Timestamp/LocalDate/Row/Map object
+    * churn — the dominant, JIT-sensitive cost of the driver-collect
+    * decode). Every branch delegates to [[valueReader]] where internal ==
+    * external; temporal branches re-enter it with the reconstructed
+    * Instant/LocalDate so the unit/sentinel semantics stay one
+    * definition. Gated by the RoundTripSpec matrix + the pa63 wire
+    * round-trip oracle (both run through these readers). */
+  private def catalystValueReader(t: PType, dt: DataType, cfg: GraftConfig,
+      reg: ProtoRegistry): Any => Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    (t, dt) match {
+      case (PString, _) => v => v.asInstanceOf[UTF8String].toString
+      case (PEnum(name), StringType) if cfg.enumType.nameBased && !cfg.enumType.binary =>
+        val ed = reg.enum(name)
+        v => ed.nameToNumber.getOrElse(v.asInstanceOf[UTF8String].toString, 0)
+      case (PMessage(WellKnown.TimestampName), TimestampType) =>
+        v => {
+          val micros = v.asInstanceOf[Long]
+          DynamicMessage(WellKnown.timestamp, Map(
+            1 -> Math.floorDiv(micros, 1000000L),
+            2 -> (Math.floorMod(micros, 1000000L) * 1000L).toInt))
+        }
+      case (PMessage(WellKnown.DateName), DateType) =>
+        val ext = valueReader(t, cfg, reg) // sentinel/unset semantics live there
+        v => ext(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (PMessage(name), _) if WellKnown.isWrapper(name) =>
+        val wrapperDesc = reg.message(name)
+        val inner = catalystValueReader(WellKnown.wrapperNames(name), dt, cfg, reg)
+        v => DynamicMessage(wrapperDesc, Map(1 -> inner(v)))
+      case (PMessage(name), st: StructType) if !WellKnown.isWellKnown(name) =>
+        val rr = internalRowReader(reg.message(name), st, cfg, reg)
+        v => rr(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      // numerics, bool, bytes, binary enums, TimeOfDay/Duration ticks,
+      // Empty: internal and external representations coincide
+      case _ => valueReader(t, cfg, reg)
+    }
+  }
+
+  private def compileCatalystFieldReader(f: PField, idx: Int, dt: DataType,
+      cfg: GraftConfig, reg: ProtoRegistry)
+      : org.apache.spark.sql.catalyst.InternalRow => Option[(Int, Any)] = {
+    type IRow = org.apache.spark.sql.catalyst.InternalRow
+    if (f.isMap) {
+      val (kDt, vDt) = dt match {
+        case ArrayType(StructType(fields), _) if cfg.mapAsList =>
+          (fields(0).dataType, fields(1).dataType)
+        case MapType(kt, vt, _) => (kt, vt)
+        case other => (other, other)
+      }
+      val kr = catalystValueReader(f.mapKey, kDt, cfg, reg)
+      val vr = catalystValueReader(f.mapValue, vDt, cfg, reg)
+      val defaultV: Any = f.mapValue match {
+        case PMessage(name) => DynamicMessage.empty(reg.message(name))
+        case t => PType.defaultOf(t)
+      }
+      def vOrDefault(v: Any): Any = if (v == null) defaultV else vr(v)
+      if (cfg.mapAsList) { (row: IRow) =>
+        if (row.isNullAt(idx)) None
+        else {
+          val entries = row.getArray(idx)
+          val n = entries.numElements()
+          var m = Map.empty[Any, Any]
+          var i = 0
+          while (i < n) {
+            val e = entries.getStruct(i, 2)
+            m += kr(e.get(0, kDt)) -> vOrDefault(e.get(1, vDt))
+            i += 1
+          }
+          if (m.isEmpty) None else Some(f.number -> m)
+        }
+      } else { (row: IRow) =>
+        if (row.isNullAt(idx)) None
+        else {
+          val md = row.getMap(idx)
+          val ks = md.keyArray().toObjectArray(kDt)
+          val vs = md.valueArray().toObjectArray(vDt)
+          var m = Map.empty[Any, Any]
+          var i = 0
+          while (i < ks.length) { m += kr(ks(i)) -> vOrDefault(vs(i)); i += 1 }
+          if (m.isEmpty) None else Some(f.number -> m)
+        }
+      }
+    } else if (f.repeated) {
+      val elemType = dt match {
+        case ArrayType(et, _) => et
+        case other => other
+      }
+      val vr = catalystValueReader(f.typ, elemType, cfg, reg)
+      (row: IRow) =>
+        if (row.isNullAt(idx)) None
+        else {
+          val xs = row.getArray(idx).toObjectArray(elemType).map { v =>
+            if (v == null) throw new IllegalArgumentException(
+              s"null element in repeated field ${f.name}: proto repeated " +
+                "fields cannot represent null")
+            vr(v)
+          }.toVector
+          if (xs.isEmpty) None else Some(f.number -> xs)
+        }
+    } else {
+      val vr = catalystValueReader(f.typ, dt, cfg, reg)
+      (row: IRow) =>
+        if (row.isNullAt(idx)) None // null → unset (presence) / default (plain)
+        else Some(f.number -> vr(row.get(idx, dt)))
+    }
+  }
+
+  /** Compiled InternalRow → message reader — [[rowReader]]'s catalyst
+    * twin, same missing-column tolerance. */
+  def internalRowReader(md: PMessageDesc, schema: StructType, cfg: GraftConfig,
+      reg: ProtoRegistry)
+      : org.apache.spark.sql.catalyst.InternalRow => DynamicMessage = {
+    val steps = md.fields.flatMap { f =>
+      val idx = schema.fieldNames.indexOf(f.name)
+      if (idx < 0) None // column absent: skip field
+      else Some(compileCatalystFieldReader(f, idx, schema.fields(idx).dataType, cfg, reg))
+    }.toArray
+    row => {
+      var values = Map.empty[Int, Any]
+      steps.foreach { step =>
+        step(row).foreach { case (num, v) => values += (num -> v) }
+      }
+      DynamicMessage(md, values)
+    }
+  }
 }

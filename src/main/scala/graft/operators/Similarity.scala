@@ -418,17 +418,6 @@ object Similarity {
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
   }
 
-  /** Full k-means (Lloyd) to convergence — x93's oracle-checked step
-    * iterated until the max centroid drift under the 1e-6 quantization
-    * falls below [[LloydEps]] (or [[LloydMaxIter]]). The corpus-bucketing
-    * operator an IVF index build runs: at 100 TB each iteration is one
-    * broadcast assignment join + one K·Dim-group aggregation — the same
-    * plan as x93, looped — and the driver holds nothing but the K·Dim
-    * centroid matrix between iterations (exactly MLlib's k-means shape).
-    * Convergence/freeze semantics in [[lloydOracle]]'s doc; the final
-    * state is (cell, dim, cluster size, centroid component), bit-equal
-    * across engines because every iteration's means are exact integer
-    * sums and the drift test compares identical doubles. */
   /** The driver loop behind [[x95KmeansLloyd]], exposed so specs can
     * observe convergence. Returns (final centroids, final cluster sizes,
     * real iterations run, converged?). */
@@ -466,6 +455,17 @@ object Similarity {
     } finally { e.unpersist(); () }
   }
 
+  /** Full k-means (Lloyd) to convergence — x93's oracle-checked step
+    * iterated until the max centroid drift under the 1e-6 quantization
+    * falls below [[LloydEps]] (or [[LloydMaxIter]]). The corpus-bucketing
+    * operator an IVF index build runs: each iteration is the shuffle-free
+    * [[lloydStep]] (map-only assignment + K·Dim-group aggregation), and
+    * the driver holds nothing but the K·Dim centroid matrix between
+    * iterations (exactly MLlib's k-means shape). Convergence/freeze
+    * semantics in [[lloydOracle]]'s doc; the final state is (cell, dim,
+    * cluster size, centroid component), bit-equal across engines because
+    * every iteration's means are exact integer sums and the drift test
+    * compares identical doubles. */
   val x95KmeansLloyd = Q("x95_kmeans_lloyd", lloydOracle) { (spark, dir) =>
     val (cent, lastCounts, _, _) = lloydRun(spark, dir)
     // final state: centroid matrix + final-assignment cluster sizes,
