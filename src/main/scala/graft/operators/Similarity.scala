@@ -353,7 +353,11 @@ object Similarity {
   private val LloydMaxIter = 8
   private val LloydEps = 0.02
 
-  private def lloydOracle: String = {
+  /** The WITH-body of the unrolled Lloyd chain (shared by x95's and
+    * x96's oracles): e/c0 seeds then (a_i, m_i, dr_i, c_i) per
+    * iteration; the final assignment is `a$LloydMaxIter`, the final
+    * centroids `c$LloydMaxIter`. */
+  private def lloydCtes: String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
       s"e AS MATERIALIZED (SELECT vec_id, v, ${Cosine.duckNorm("v")} AS nrm FROM e0)",
@@ -379,13 +383,16 @@ object Similarity {
                                 FROM m$i GROUP BY cell) nm
           ON p.cell = nm.cell)"""
     }
-    s"""WITH ${ctes.mkString(",\n")}
+    ctes.mkString(",\n")
+  }
+
+  private def lloydOracle: String =
+    s"""WITH $lloydCtes
         SELECT c.cell AS cell, CAST(r.d AS BIGINT) AS dim, cnt.n, c.cv[r.d + 1] AS c_val
         FROM c$LloydMaxIter c
         JOIN (SELECT cell, COUNT(*) AS n FROM a$LloydMaxIter GROUP BY cell) cnt
           ON c.cell = cnt.cell, range(0, $Dim) r(d)
         ORDER BY c.cell, dim"""
-  }
 
   /** One Lloyd iteration given the current centroid matrix: assignment is
     * a pure per-row map — the K candidate cosines are inlined as literal
@@ -398,8 +405,13 @@ object Similarity {
     * with the same ascending acc + x·x fold as [[Cosine]]'s
     * expression/DuckDB forms, so cosines stay bit-equal to the oracle's.
     * Only the K·Dim result crosses to the driver. */
-  private def lloydStep(spark: SparkSession, e: DataFrame,
-      cent: Seq[(Long, Seq[Double])]): Array[((Long, Long), (Long, Double))] = {
+  /** The shuffle-free cell assignment against a literal centroid matrix:
+    * `array_min(struct(-cos, cell)).c` — exact ROW_NUMBER (cos DESC,
+    * cell) tie-break semantics, evaluated per row over columns (v, nrm).
+    * Centroid norms are driver-computed with the same ascending
+    * acc + x·x fold as [[Cosine]]'s expression/DuckDB forms, so cosines
+    * stay bit-equal to the oracle's. */
+  private def cellAssign(cent: Seq[(Long, Seq[Double])]): Column = {
     def jvmNorm(cv: Seq[Double]): Double =
       math.sqrt(cv.foldLeft(0.0d)((acc, x) => acc + x * x))
     val cand = array(cent.map { case (c, cv) =>
@@ -408,7 +420,12 @@ object Similarity {
           .as("nc"),
         lit(c).as("c"))
     }: _*)
-    e.select(array_min(cand).getField("c").as("cell"), col("v"))
+    array_min(cand).getField("c")
+  }
+
+  private def lloydStep(spark: SparkSession, e: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): Array[((Long, Long), (Long, Double))] = {
+    e.select(cellAssign(cent).as("cell"), col("v"))
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
@@ -478,6 +495,62 @@ object Similarity {
     rows.toDF("cell", "dim", "n", "c_val").orderBy("cell", "dim")
   }
 
+  /** SemDeDup-style cluster-scoped embedding dedup: cluster the corpus
+    * with the converged x95 centroids (map-only assignment), then search
+    * for near-duplicate pairs ONLY within each cluster — the standard
+    * contraction of the all-pairs problem for semantic dedup of a
+    * pretraining corpus (pairs across clusters are by construction far).
+    * Output is the per-cell dedup summary (members, near-dup pairs at
+    * cos ≥ 0.5, distinct higher-id docs a dedup pass would drop, max
+    * pair cosine) — K rows, stable at any SF.
+    *
+    * Scale shape: assignment never shuffles the corpus (x95's literal-
+    * centroid argmax); the pair join is a cell equi-join — candidates
+    * bounded per cell like d33's buckets, never corpus × corpus; the
+    * summary is a K-group aggregate. The escape hatch for a degenerate
+    * giant cell is raising K — exactly the SemDeDup recipe. */
+  val x96Semdedup = Q(
+    "x96_semdedup",
+    s"""WITH $lloydCtes,
+        asg AS (SELECT a.vec_id, a.v, a.cell, e.nrm
+                FROM a$LloydMaxIter a JOIN e ON a.vec_id = e.vec_id),
+        p AS (SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id,
+                     ${Cosine.duckDot("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
+              FROM asg x JOIN asg y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        pp AS (SELECT cell, COUNT(*) AS n_pairs,
+                      COUNT(DISTINCT b_id) AS n_drop, MAX(cos) AS max_cos
+               FROM p WHERE cos >= 0.5 GROUP BY cell),
+        cnt AS (SELECT cell, COUNT(*) AS n FROM a$LloydMaxIter GROUP BY cell)
+        SELECT cnt.cell AS cell, cnt.n AS n,
+               CAST(COALESCE(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(pp.n_drop, 0) AS BIGINT) AS n_drop,
+               pp.max_cos AS max_cos
+        FROM cnt LEFT JOIN pp ON cnt.cell = pp.cell
+        ORDER BY cnt.cell""") { (spark, dir) =>
+    val (cent, _, _, _) = lloydRun(spark, dir)
+    val asg = vecs(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .withColumn("cell", cellAssign(cent))
+      .cache() // three consumers: both pair-join sides + the member count
+    val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pp = a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
+      .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.5d)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("b_id")).as("n_drop"),
+        max(col("cos")).as("max_cos"))
+    asg.groupBy("cell").agg(count(lit(1)).as("n"))
+      .join(pp, Seq("cell"), "left")
+      .select(col("cell"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_drop"), lit(0L)).as("n_drop"), col("max_cos"))
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
-    s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd)
+    s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup)
 }

@@ -141,6 +141,20 @@ class RecallSpec extends SparkSpec {
     assert(counts.values.sum === T(spark, sfDir, "embeddings").count())
   }
 
+  test("x96: cells partition the corpus; within-cell dedup pairs are a subset of d31's") {
+    val rows = Similarity.x96Semdedup.fn(spark, sfDir).collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(1)).sum === T(spark, sfDir, "embeddings").count(),
+      "every vector in exactly one cell")
+    // global exact near-dups at the same threshold bound the cluster-scoped
+    // count: cluster scoping may PRUNE cross-cell pairs, never invent them
+    val globalAtHalf = Dedup.d31EmbeddingNeardup.fn(spark, sfDir)
+      .filter(col("cos") >= 0.5).count()
+    val withinCells = rows.map(_.getLong(2)).sum
+    assert(withinCells <= globalAtHalf,
+      s"$withinCells within-cell pairs vs $globalAtHalf global")
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's
