@@ -142,6 +142,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("x96: cells partition the corpus; within-cell dedup pairs are a subset of d31's") {
+    import org.apache.spark.sql.functions.col
     val rows = Similarity.x96Semdedup.fn(spark, sfDir).collect()
     assert(rows.length === 8)
     assert(rows.map(_.getLong(1)).sum === T(spark, sfDir, "embeddings").count(),
