@@ -72,9 +72,13 @@ object Protarrow {
     // of collect() on the ~190-field harness schema) never runs; the
     // compiled reader decodes internal representations directly.
     // One job, not one per partition (toLocalIterator) — this API is
-    // driver-side by contract; the distributed path is toProtoBinary
+    // driver-side by contract; the distributed path is toProtoBinary.
+    // withExecutionId keeps the collect visible to the Spark UI and
+    // QueryExecutionListeners, which driving executedPlan directly skips
     val reader = Codecs.internalRowReader(md, df.schema, cfg, reg)
-    df.queryExecution.executedPlan.executeCollect().iterator.map(reader).toVector
+    org.apache.spark.sql.GraftBridge.withExecutionId(df.queryExecution) {
+      df.queryExecution.executedPlan.executeCollect()
+    }.iterator.map(reader).toVector
   }
 
   /** Local rows → messages (record_batch_to_messages). */
@@ -96,7 +100,9 @@ object Protarrow {
     // queryExecution.toRdd keeps rows in catalyst form on the executors
     // (no per-row external deserialization). Buffer-reuse safe: the
     // reader materializes every value into fresh objects before the
-    // iterator advances.
+    // iterator advances. Listener/UI attribution: the returned Dataset is
+    // lazy — whatever action the caller runs on it registers its own
+    // execution id covering this lineage, so the work stays visible.
     import spark.implicits._
     spark.createDataset(
       df.queryExecution.toRdd.mapPartitions(rows =>

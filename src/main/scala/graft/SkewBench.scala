@@ -61,7 +61,13 @@ object SkewBench {
     // x95's assignment is map-only (literal centroids, no corpus shuffle),
     // so the 10k-dup hot embedding only concentrates ONE k-means cell —
     // absorbed by the same map-side partials into K·Dim groups as x93
-    "x95_kmeans_lloyd")
+    "x95_kmeans_lloyd",
+    // x96's 10k identical vectors all land in one k-means cell — the
+    // worst case for its within-cell pair join. The per-cell candidate
+    // cap (map-side WindowGroupLimit, SemCellCap=256) bounds the hot
+    // cell's pair stage at cap²/2 ≈ 33k pairs instead of 5·10⁷, and
+    // K ∝ N (375 here) keeps every other cell at ~32 members
+    "x96_semdedup")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -80,14 +80,19 @@ object Json {
     * to_json, and re-parsed; the emitted JSON string `j` and the re-parsed
     * fields are themselves checked values, so the two engines must agree
     * on the rendering byte-for-byte (both emit compact
-    * `{"k":<int>,"et":"<str>"}` — verified; the struct is built null-free
-    * because Spark's to_json OMITS null fields while DuckDB renders
-    * `"k":null`). roundtrip_ok pins from_json(to_json(s)) == s per row. */
+    * `{"k":<int>,"et":"<str>"}` — verified). The struct must be null-free
+    * for that: Spark's to_json OMITS null fields while DuckDB renders
+    * `"k":null`, so both sides FILTER k IS NOT NULL rather than assume
+    * the data provides it — a props payload lacking `$.k` (or carrying a
+    * non-numeric k) is excluded identically on both engines instead of
+    * silently diverging the rendering. roundtrip_ok pins
+    * from_json(to_json(s)) == s per row. */
   val q62JsonShape = Q(
     "q62_json_shape",
     """WITH s AS (SELECT event_id,
-                  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-                  event_type AS et FROM events),
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                  event_type AS et FROM events
+                  WHERE k IS NOT NULL),
        j AS (SELECT event_id, k, et,
                     to_json(struct_pack(k := k, et := et)) AS j FROM s),
        r AS (SELECT event_id, k, et, j,
@@ -100,6 +105,7 @@ object Json {
       .select(col("event_id"),
         from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k").as("k"),
         col("event_type").as("et"))
+      .filter(col("k").isNotNull)
     s.withColumn("j", to_json(struct(col("k"), col("et"))))
       .withColumn("s2", from_json(col("j"), "k BIGINT, et STRING", Map.empty[String, String]))
       .select(col("event_id"), col("k"), col("j"),

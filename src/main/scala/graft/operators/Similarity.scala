@@ -356,12 +356,13 @@ object Similarity {
   /** The WITH-body of the unrolled Lloyd chain (shared by x95's and
     * x96's oracles): e/c0 seeds then (a_i, m_i, dr_i, c_i) per
     * iteration; the final assignment is `a$LloydMaxIter`, the final
-    * centroids `c$LloydMaxIter`. */
-  private def lloydCtes: String = {
+    * centroids `c$LloydMaxIter`. `seedPred` picks the seed set — x95
+    * pins K=8, x96 passes the data-adaptive K (see [[semKDuck]]). */
+  private def lloydCtes(seedPred: String = "vec_id < 8"): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
       s"e AS MATERIALIZED (SELECT vec_id, v, ${Cosine.duckNorm("v")} AS nrm FROM e0)",
-      "c0 AS MATERIALIZED (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8)")
+      s"c0 AS MATERIALIZED (SELECT vec_id AS cell, v AS cv FROM e WHERE $seedPred)")
     for (i <- 1 to LloydMaxIter) {
       val p = i - 1
       ctes += s"""a$i AS MATERIALIZED (SELECT vec_id, v, cell FROM (
@@ -387,33 +388,34 @@ object Similarity {
   }
 
   private def lloydOracle: String =
-    s"""WITH $lloydCtes
+    s"""WITH ${lloydCtes()}
         SELECT c.cell AS cell, CAST(r.d AS BIGINT) AS dim, cnt.n, c.cv[r.d + 1] AS c_val
         FROM c$LloydMaxIter c
         JOIN (SELECT cell, COUNT(*) AS n FROM a$LloydMaxIter GROUP BY cell) cnt
           ON c.cell = cnt.cell, range(0, $Dim) r(d)
         ORDER BY c.cell, dim"""
 
-  /** One Lloyd iteration given the current centroid matrix: assignment is
-    * a pure per-row map — the K candidate cosines are inlined as literal
-    * centroid arrays and `array_min(struct(-cos, cell))` picks the argmax
-    * with the exact ROW_NUMBER (cos DESC, cell) tie-break, so NO shuffle
-    * touches the corpus at all (the windowed crossJoin form shuffled every
-    * vector ×K per iteration — ~400 MB/iter at sf0.1, unbounded at
-    * 100 TB). The only shuffle is the x93 mean update's K·Dim-group
-    * aggregation (map-side partials). Centroid norms are driver-computed
-    * with the same ascending acc + x·x fold as [[Cosine]]'s
-    * expression/DuckDB forms, so cosines stay bit-equal to the oracle's.
-    * Only the K·Dim result crosses to the driver. */
-  /** The shuffle-free cell assignment against a literal centroid matrix:
+  /** Driver-side centroid norm — the same ascending acc + x·x fold as
+    * [[Cosine]]'s expression/DuckDB forms, so cosines built from it stay
+    * bit-equal to the oracle's. */
+  private def jvmNorm(cv: Seq[Double]): Double =
+    math.sqrt(cv.foldLeft(0.0d)((acc, x) => acc + x * x))
+
+  /** Above this K the literal-argmax plan is replaced by the
+    * broadcast-centroid join: the literal form inlines K struct literals
+    * into ONE projection, so its generated code grows O(K·Dim) — exactly
+    * right at K=8 (zero shuffle, whole-stage codegen), hopeless at
+    * K=10⁴ (codegen blowup). The threshold sits below x96's K at the
+    * oracle SF (16), so the broadcast path itself is oracle-checked. */
+  private[operators] val LiteralAssignMaxK = 12
+
+  /** Shuffle-free small-K assignment against a literal centroid matrix:
     * `array_min(struct(-cos, cell)).c` — exact ROW_NUMBER (cos DESC,
     * cell) tie-break semantics, evaluated per row over columns (v, nrm).
-    * Centroid norms are driver-computed with the same ascending
-    * acc + x·x fold as [[Cosine]]'s expression/DuckDB forms, so cosines
-    * stay bit-equal to the oracle's. */
-  private def cellAssign(cent: Seq[(Long, Seq[Double])]): Column = {
-    def jvmNorm(cv: Seq[Double]): Double =
-      math.sqrt(cv.foldLeft(0.0d)((acc, x) => acc + x * x))
+    * NO shuffle touches the corpus (the windowed crossJoin form shuffled
+    * every vector ×K per iteration — ~400 MB/iter at sf0.1, unbounded at
+    * 100 TB). */
+  private def cellAssignLiteral(cent: Seq[(Long, Seq[Double])]): Column = {
     val cand = array(cent.map { case (c, cv) =>
       struct(
         (-(Cosine.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(jvmNorm(cv)))))
@@ -423,9 +425,61 @@ object Similarity {
     array_min(cand).getField("c")
   }
 
+  /** Nearest-centroid assignment, dispatched on K: appends `cell` to a
+    * frame carrying (vec_id, v, nrm, ...). K ≤ [[LiteralAssignMaxK]] uses
+    * the map-only literal argmax; larger K broadcasts the K·Dim centroid
+    * matrix and joins — BroadcastNestedLoopJoin fan-out of K SLIM
+    * candidate rows per vector (vec_id + struct(-cos, cell) only — see
+    * [[assignCellsBroadcast]] for why slimness is load-bearing),
+    * collapsed to one row per vec_id by a map-side partial
+    * `min(struct(-cos, cell))` BEFORE the exchange, then equi-joined back
+    * to the input row. `min(struct(...))` is the same (cos DESC, cell)
+    * tie-break as the literal form — the two forms are bit-equal
+    * (RecallSpec pins it). At MLlib-scale K the broadcast form is the
+    * only viable plan; per assignment it trades the literal form's zero
+    * shuffle for two slim corpus-row shuffles (the argmin exchange and
+    * the join-back). */
+  private[operators] def assignCells(df: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cent.size <= LiteralAssignMaxK) assignCellsLiteral(df, cent)
+    else assignCellsBroadcast(df, cent)
+
+  /** Map-only small-K form (exposed so RecallSpec can pin both forms
+    * bit-equal on the same centroid matrix). */
+  private[operators] def assignCellsLiteral(df: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame =
+    df.withColumn("cell", cellAssignLiteral(cent))
+
+  /** Broadcast-centroid large-K form (see [[assignCells]] doc). The ×K
+    * fan-out is kept SLIM: the candidate rows carry only (vec_id,
+    * struct(nc, cell)) — projecting v/nrm out before the aggregate is
+    * what keeps this viable (the first cut carried the 64-dim vector
+    * through the fan-out and the sort-based partial aggregate
+    * materialized+sorted ~0.6 KB × N·K per iteration — 375 s on
+    * SkewBench's 12k×375; slim rows are ~40 B and sort in ~1 s). The
+    * chosen cell then joins back to the input row by vec_id — one slim
+    * equi-join instead of a wide fan-out sort. */
+  private[operators] def assignCellsBroadcast(df: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDF = cent.map { case (c, cv) => (c, cv, jvmNorm(cv)) }
+      .toDF("cen_cell", "cv", "cnrm")
+    val slim = df.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centDF))
+      .select(col("vec_id"), struct(
+        (-(Cosine.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
+          .as("nc"),
+        col("cen_cell")).as("cand"))
+      .groupBy("vec_id")
+      .agg(min(col("cand")).getField("cen_cell").as("cell"))
+    df.join(slim, "vec_id")
+      .select(df.columns.map(col).toIndexedSeq :+ col("cell"): _*)
+  }
+
   private def lloydStep(spark: SparkSession, e: DataFrame,
       cent: Seq[(Long, Seq[Double])]): Array[((Long, Long), (Long, Double))] = {
-    e.select(cellAssign(cent).as("cell"), col("v"))
+    assignCells(e, cent)
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
@@ -435,25 +489,40 @@ object Similarity {
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
   }
 
-  /** The driver loop behind [[x95KmeansLloyd]], exposed so specs can
-    * observe convergence. Returns (final centroids, final cluster sizes,
-    * real iterations run, converged?). */
-  private[operators] def lloydRun(spark: SparkSession, dir: String)
-      : (Seq[(Long, Seq[Double])], Map[Long, Long], Int, Boolean) = {
+  /** Result of [[lloydRun]]. `cent` is the POST-update matrix (the
+    * oracle's `c$LloydMaxIter` — x95's output). `assignCent` is the matrix
+    * the FINAL assignment pass was computed against (the oracle's
+    * `a$LloydMaxIter` saw `c$(LloydMaxIter-1)`): equal to `cent` once the
+    * loop froze (the converged state is a fixed point), but one update
+    * BEHIND it when the loop exhausts [[LloydMaxIter]] without converging
+    * — a consumer re-assigning the corpus (x96) MUST use `assignCent`, or
+    * it silently performs an extra assignment pass the oracle never ran. */
+  private[operators] final case class LloydResult(
+      cent: Seq[(Long, Seq[Double])],
+      assignCent: Seq[(Long, Seq[Double])],
+      counts: Map[Long, Long], iters: Int, converged: Boolean)
+
+  /** The driver loop behind [[x95KmeansLloyd]] and [[x96Semdedup]],
+    * exposed so specs can observe convergence. Seeds = the k lowest
+    * vec_ids (x95 pins k=8; x96 passes the data-adaptive K). */
+  private[operators] def lloydRun(spark: SparkSession, dir: String,
+      k: Long = 8): LloydResult = {
     // dim guard once up front (oracle unrolls range(0, Dim) per iteration)
     val e = vecs(spark, dir)
       .select(col("vec_id"), dimGuarded(col("v"), col("v")).as("v"), col("nrm"))
       .cache()
     try {
-      var cent: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < 8)
+      var cent: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double]))
         .sortBy(_._1).toSeq
+      var assignCent = cent
       var lastCounts = Map.empty[Long, Long]
       var frozen = false
       var it = 0
       while (it < LloydMaxIter && !frozen) {
         it += 1
+        assignCent = cent
         val m = lloydStep(spark, e, cent)
         val byCell = m.groupBy(_._1._1)
         lastCounts = byCell.map { case (c, rows) => c -> rows.head._2._1 }
@@ -468,7 +537,7 @@ object Similarity {
             rs.sortBy(_._1._2).map(_._2._2).toVector: Seq[Double]))
         }
       }
-      (cent, lastCounts, it, frozen)
+      LloydResult(cent, assignCent, lastCounts, it, frozen)
     } finally { e.unpersist(); () }
   }
 
@@ -484,39 +553,66 @@ object Similarity {
     * every iteration's means are exact integer sums and the drift test
     * compares identical doubles. */
   val x95KmeansLloyd = Q("x95_kmeans_lloyd", lloydOracle) { (spark, dir) =>
-    val (cent, lastCounts, _, _) = lloydRun(spark, dir)
+    val res = lloydRun(spark, dir)
     // final state: centroid matrix + final-assignment cluster sizes,
     // K·Dim rows built from the driver-held matrix (by design)
     import spark.implicits._
     val rows = for {
-      (c, cv) <- cent if lastCounts.contains(c)
+      (c, cv) <- res.cent if res.counts.contains(c)
       d <- 0 until Dim
-    } yield (c, d.toLong, lastCounts(c), cv(d))
+    } yield (c, d.toLong, res.counts(c), cv(d))
     rows.toDF("cell", "dim", "n", "c_val").orderBy("cell", "dim")
   }
 
+  /** SemDeDup cluster count scales with the corpus: K = max(8, ⌈N /
+    * [[SemTargetCell]]⌉), so cells stay ~[[SemTargetCell]] members at ANY
+    * corpus size — the quantity that bounds the within-cell pair stage.
+    * Both engines compute K from the data with the same integer formula. */
+  private[operators] val SemTargetCell = 32L
+  private[operators] def semK(n: Long): Long =
+    math.max(8L, (n + SemTargetCell - 1) / SemTargetCell)
+  private def semKDuck: String =
+    s"kq AS (SELECT GREATEST(8, (COUNT(*) + ${SemTargetCell - 1}) // $SemTargetCell) AS k FROM embeddings)"
+
+  /** Hard bound on pair-join membership per cell: members ranked by
+    * vec_id, only the first [[SemCellCap]] enter the pair stage. With
+    * K ∝ N the expected cell is ~[[SemTargetCell]] ≪ the cap, so on
+    * non-degenerate data the cap is INACTIVE and the summary exact; it
+    * engages only when a mass-duplicated vector floods one cell — the
+    * input d26 (exact dedup) owns, same pipeline contract as d30/d31.
+    * Worst-case pair count per cell is cap²/2 regardless of skew. */
+  private[operators] val SemCellCap = 256
+
   /** SemDeDup-style cluster-scoped embedding dedup: cluster the corpus
-    * with the converged x95 centroids (map-only assignment), then search
-    * for near-duplicate pairs ONLY within each cluster — the standard
-    * contraction of the all-pairs problem for semantic dedup of a
-    * pretraining corpus (pairs across clusters are by construction far).
-    * Output is the per-cell dedup summary (members, near-dup pairs at
-    * cos ≥ 0.5, distinct higher-id docs a dedup pass would drop, max
-    * pair cosine) — K rows, stable at any SF.
+    * with k-means (K ∝ N, [[semK]]), then search for near-duplicate
+    * pairs ONLY within each cluster — the standard contraction of the
+    * all-pairs problem for semantic dedup of a pretraining corpus (pairs
+    * across clusters are by construction far). Output is the per-cell
+    * dedup summary (members, near-dup pairs at cos ≥ 0.5 over the capped
+    * candidate set, distinct higher-id docs a dedup pass would drop, max
+    * pair cosine) — ≤K rows.
     *
-    * Scale shape: assignment never shuffles the corpus (x95's literal-
-    * centroid argmax); the pair join is a cell equi-join — candidates
-    * bounded per cell like d33's buckets, never corpus × corpus; the
-    * summary is a K-group aggregate. The escape hatch for a degenerate
-    * giant cell is raising K — exactly the SemDeDup recipe. */
+    * Scale shape: K grows with N so cells stay ~[[SemTargetCell]]; the
+    * assignment uses the FINAL-iteration centroid matrix (`assignCent` —
+    * the post-update matrix would be an extra assignment pass the oracle
+    * never ran) via [[assignCells]] — a broadcast-centroid join at real
+    * K, map-only literals at toy K; candidate membership per cell is
+    * hard-capped ([[SemCellCap]]) by a map-side WindowGroupLimit BEFORE
+    * any shuffle, so the pair stage is bounded at cap²/2 per cell even
+    * under a mass-duplicated embedding (SkewBench measures exactly that);
+    * the summary is a K-group aggregate. */
   val x96Semdedup = Q(
     "x96_semdedup",
-    s"""WITH $lloydCtes,
+    s"""WITH $semKDuck,
+        ${lloydCtes("vec_id < (SELECT k FROM kq)")},
         asg AS (SELECT a.vec_id, a.v, a.cell, e.nrm
                 FROM a$LloydMaxIter a JOIN e ON a.vec_id = e.vec_id),
+        capped AS (SELECT vec_id, v, nrm, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY vec_id) AS mrnk FROM asg) WHERE mrnk <= $SemCellCap),
         p AS (SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id,
                      ${Cosine.duckDot("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
-              FROM asg x JOIN asg y
+              FROM capped x JOIN capped y
                 ON x.cell = y.cell AND x.vec_id < y.vec_id),
         pp AS (SELECT cell, COUNT(*) AS n_pairs,
                       COUNT(DISTINCT b_id) AS n_drop, MAX(cos) AS max_cos
@@ -528,14 +624,20 @@ object Similarity {
                pp.max_cos AS max_cos
         FROM cnt LEFT JOIN pp ON cnt.cell = pp.cell
         ORDER BY cnt.cell""") { (spark, dir) =>
-    val (cent, _, _, _) = lloydRun(spark, dir)
-    val asg = vecs(spark, dir)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .withColumn("cell", cellAssign(cent))
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val k = semK(e.count())
+    val res = lloydRun(spark, dir, k)
+    val asg = assignCells(e, res.assignCent)
       .cache() // three consumers: both pair-join sides + the member count
-    val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+    // rnk-then-filter → InferWindowGroupLimit: the hot cell is capped
+    // MAP-SIDE (Partial WindowGroupLimit), so ≤ cap rows per cell ever
+    // reach the rank shuffle — same mechanism x91 leans on
+    val wm = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val capped = asg.withColumn("mrnk", row_number().over(wm))
+      .filter(col("mrnk") <= SemCellCap)
+    val a = capped.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = asg.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
+    val b = capped.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
       col("v").as("vb"), col("nrm").as("nb"))
     val pp = a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
       .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))

@@ -24,4 +24,11 @@ object GraftBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
       catalyst.plans.logical.LocalRelation(
         catalyst.types.DataTypeUtils.toAttributes(schema), rows))
+
+  /** Runs `body` under a registered SQL execution id — what Dataset's own
+    * withAction does around collect(). Callers that drive executedPlan
+    * directly (graft's catalyst-native collect) would otherwise be
+    * invisible to QueryExecutionListeners and the Spark UI. */
+  def withExecutionId[T](qe: execution.QueryExecution)(body: => T): T =
+    execution.SQLExecution.withNewExecutionId(qe)(body)
 }

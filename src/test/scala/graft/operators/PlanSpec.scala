@@ -150,6 +150,35 @@ class PlanSpec extends SparkSpec {
       "per-bucket offsets must broadcast to the corpus side")
   }
 
+  test("x96 assignment: large-K form broadcasts the centroid matrix, small-K form plans no join") {
+    val res = Similarity.lloydRun(spark, sfDir, 16L)
+    val e = Similarity.vecs(spark, sfDir)
+    val bc = Similarity.assignCellsBroadcast(e, res.assignCent)
+      .queryExecution.explainString(FormattedMode)
+    assert(bc.contains("BroadcastExchange"),
+      "the K·Dim centroid matrix must ship as a broadcast, not a shuffle")
+    assert(bc.contains("BroadcastNestedLoopJoin"),
+      "the candidate fan-out must be the broadcast cross join")
+    // min(struct) has an immutable buffer type, so the aggregate plans
+    // sort-based — what matters for scale is that the PARTIAL collapse of
+    // the ×K fan-out happens before the slim exchange on vec_id
+    assert(bc.contains("partial_min("),
+      "the ×K fan-out must collapse map-side (partial min) before the exchange")
+    assert(bc.contains("hashpartitioning(vec_id"),
+      "the fan-out exchange is the slim per-vector one")
+    val litP = Similarity.assignCellsLiteral(e, res.assignCent)
+      .queryExecution.explainString(FormattedMode)
+    assert(!litP.contains("Join"), "the literal argmax form must stay map-only")
+  }
+
+  test("x96: per-cell candidate cap is a map-side WindowGroupLimit") {
+    val p = plan("x96_semdedup")
+    assert(p.contains("WindowGroupLimit"),
+      "mrnk <= cap must trigger InferWindowGroupLimit")
+    assert(p.contains("Partial"),
+      "the partial (pre-shuffle) group limit is what bounds a hot cell")
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))

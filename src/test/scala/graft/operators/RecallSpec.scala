@@ -113,10 +113,13 @@ class RecallSpec extends SparkSpec {
 
   test("x95 Lloyd loop converges on the clustered corpus and recovers the true centers") {
     val dir = clusteredCorpus(0.01)
-    val (cent, counts, iters, converged) = Similarity.lloydRun(spark, dir)
+    val res = Similarity.lloydRun(spark, dir)
+    val (cent, counts, iters, converged) = (res.cent, res.counts, res.iters, res.converged)
     info(s"x95 converged=$converged after $iters iterations")
     assert(converged, "Lloyd must reach the drift-<-eps fixed point on clustered data")
     assert(counts.values.sum === 500L, "every vector assigned")
+    assert(res.assignCent === res.cent,
+      "at the fixed point the final assignment's matrix IS the final matrix")
     // seeds ARE the true centers (vec_id 0-7): every converged centroid
     // must stay near its seed — cosine to the seed direction ~ 1
     val seeds = T(spark, dir, "embeddings").filter("vec_id < 8")
@@ -134,18 +137,22 @@ class RecallSpec extends SparkSpec {
   test("x95 Lloyd loop actually iterates on the noisy sf corpus before freezing") {
     // on real (noisy) embeddings the seed vectors are NOT the means, so
     // the loop must take several real steps before the drift-<-eps freeze
-    val (_, counts, iters, converged) = Similarity.lloydRun(spark, sfDir)
-    info(s"x95 on sf0.001: converged=$converged after $iters iterations")
-    assert(iters > 1, "loop must do more than one real iteration on noisy data")
-    assert(converged, "and still reach the fixed point within the cap")
-    assert(counts.values.sum === T(spark, sfDir, "embeddings").count())
+    val res = Similarity.lloydRun(spark, sfDir)
+    info(s"x95 on sf0.001: converged=${res.converged} after ${res.iters} iterations")
+    assert(res.iters > 1, "loop must do more than one real iteration on noisy data")
+    assert(res.converged, "and still reach the fixed point within the cap")
+    assert(res.counts.values.sum === T(spark, sfDir, "embeddings").count())
   }
 
   test("x96: cells partition the corpus; within-cell dedup pairs are a subset of d31's") {
     import org.apache.spark.sql.functions.col
+    val n = T(spark, sfDir, "embeddings").count()
+    val k = Similarity.semK(n)
+    assert(k === 16, "sf0.001's 500 vectors must exercise the parameterized K")
     val rows = Similarity.x96Semdedup.fn(spark, sfDir).collect()
-    assert(rows.length === 8)
-    assert(rows.map(_.getLong(1)).sum === T(spark, sfDir, "embeddings").count(),
+    assert(rows.length <= k && rows.length >= 8,
+      s"${rows.length} non-empty cells of $k")
+    assert(rows.map(_.getLong(1)).sum === n,
       "every vector in exactly one cell")
     // global exact near-dups at the same threshold bound the cluster-scoped
     // count: cluster scoping may PRUNE cross-cell pairs, never invent them
@@ -154,6 +161,27 @@ class RecallSpec extends SparkSpec {
     val withinCells = rows.map(_.getLong(2)).sum
     assert(withinCells <= globalAtHalf,
       s"$withinCells within-cell pairs vs $globalAtHalf global")
+  }
+
+  test("assignment forms: literal argmax and broadcast-centroid join are bit-equal") {
+    // both the small-K regime (x95's 8 seeds, clustered corpus) and the
+    // oracle-checked large-K regime (x96's K=16 on the sf corpus): the
+    // dispatch in assignCells must be a pure physical-plan choice — any
+    // divergence (tie-break, norm fold, fan-out collapse) is a bug
+    for ((dir, k) <- Seq((clusteredCorpus(0.01), 8L), (sfDir, 16L))) {
+      val res = Similarity.lloydRun(spark, dir, k)
+      val e = Similarity.vecs(spark, dir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("nrm"))
+      def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.select("vec_id", "cell").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lit = cells(Similarity.assignCellsLiteral(e, res.assignCent))
+      val bc = cells(Similarity.assignCellsBroadcast(e, res.assignCent))
+      assert(lit.size === bc.size && lit === bc,
+        s"forms diverge at k=$k on $dir")
+    }
   }
 
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
