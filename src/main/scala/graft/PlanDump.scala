@@ -12,7 +12,8 @@ object PlanDump {
     "q56_asof_join", "d27_ngram_jaccard", "d31_embedding_neardup",
     "s32_knn_bruteforce", "s33_ann_lsh", "x90_corpus_pipeline",
     "x91_source_mix", "d33_embedding_neardup_lsh", "x93_kmeans_step",
-    "q60_correlated_subquery", "q07_lag_lead", "x94_token_budget_mix")
+    "q60_correlated_subquery", "q07_lag_lead", "x94_token_budget_mix",
+    "q26_salted_join", "x96_semdedup", "q63_partition_pruned_scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

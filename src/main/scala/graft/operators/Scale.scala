@@ -67,5 +67,47 @@ object Scale {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(q26SaltedJoin)
+  /** Hive-partitioned rewrite of `orders` (…/o_year=YYYY/part-*.parquet),
+    * written once per source dir and reused — the layout a 100 TB fact
+    * table actually ships in. Idempotent: keyed by the source dir, gated
+    * on the _SUCCESS marker; a torn write (no marker) is rewritten. Same
+    * rows as the driver's orders table, only re-laid-out. */
+  private[operators] def partitionedOrders(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$key"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      T(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    }
+    out
+  }
+
+  /** q63: the 100×-scale scan-posture demo — a query over the
+    * year-partitioned orders layout whose plan MUST prune to one
+    * partition directory (PartitionFilters on o_year) and push the data
+    * predicate into the parquet reader (PushedFilters on o_totalprice);
+    * PlanSpec gates both. At 100 TB this is the difference between
+    * reading one year and reading the table. The oracle runs the
+    * equivalent predicate over the flat table — identical rows prove the
+    * re-layout is pure physics, not semantics. Also exercises the
+    * partitioned-parquet SINK ([[partitionedOrders]]), the write shape
+    * every operator here would produce at scale. */
+  val q63PartitionPrunedScan = Q(
+    "q63_partition_pruned_scan",
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS month, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS revenue
+       FROM orders
+       WHERE year(o_orderdate) = 1997 AND o_totalprice > 50000.0
+       GROUP BY month ORDER BY month""") { (spark, dir) =>
+    import Num._
+    spark.read.parquet(partitionedOrders(spark, dir))
+      .filter(col("o_year") === 1997 && col("o_totalprice") > 50000.0d)
+      .groupBy(month(col("o_orderdate")).cast("long").as("month"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+  }
+
+  val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan)
 }

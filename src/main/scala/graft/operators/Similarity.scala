@@ -415,7 +415,7 @@ object Similarity {
     * NO shuffle touches the corpus (the windowed crossJoin form shuffled
     * every vector ×K per iteration — ~400 MB/iter at sf0.1, unbounded at
     * 100 TB). */
-  private def cellAssignLiteral(cent: Seq[(Long, Seq[Double])]): Column = {
+  private[graft] def cellAssignLiteral(cent: Seq[(Long, Seq[Double])]): Column = {
     val cand = array(cent.map { case (c, cv) =>
       struct(
         (-(Cosine.dot(col("v"), typedlit(cv)) / (col("nrm") * lit(jvmNorm(cv)))))
@@ -439,7 +439,7 @@ object Similarity {
     * only viable plan; per assignment it trades the literal form's zero
     * shuffle for two slim corpus-row shuffles (the argmin exchange and
     * the join-back). */
-  private[operators] def assignCells(df: DataFrame,
+  private[graft] def assignCells(df: DataFrame,
       cent: Seq[(Long, Seq[Double])]): DataFrame =
     if (cent.size <= LiteralAssignMaxK) assignCellsLiteral(df, cent)
     else assignCellsBroadcast(df, cent)
@@ -505,7 +505,7 @@ object Similarity {
   /** The driver loop behind [[x95KmeansLloyd]] and [[x96Semdedup]],
     * exposed so specs can observe convergence. Seeds = the k lowest
     * vec_ids (x95 pins k=8; x96 passes the data-adaptive K). */
-  private[operators] def lloydRun(spark: SparkSession, dir: String,
+  private[graft] def lloydRun(spark: SparkSession, dir: String,
       k: Long = 8): LloydResult = {
     // dim guard once up front (oracle unrolls range(0, Dim) per iteration)
     val e = vecs(spark, dir)
@@ -569,7 +569,7 @@ object Similarity {
     * corpus size — the quantity that bounds the within-cell pair stage.
     * Both engines compute K from the data with the same integer formula. */
   private[operators] val SemTargetCell = 32L
-  private[operators] def semK(n: Long): Long =
+  private[graft] def semK(n: Long): Long =
     math.max(8L, (n + SemTargetCell - 1) / SemTargetCell)
   private def semKDuck: String =
     s"kq AS (SELECT GREATEST(8, (COUNT(*) + ${SemTargetCell - 1}) // $SemTargetCell) AS k FROM embeddings)"

@@ -285,4 +285,27 @@ object StreamOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       consume(graft.Protarrow.toProtoBinary(batch, md, cfg, reg))
     }
+
+  /** x96's cell scope at ingest time: every arriving embedding is scored
+    * against the batch-trained centroid matrix and assigned its semantic
+    * cell — stateless and map-only, so downstream per-cell state (counts,
+    * candidate sets for cross-batch semantic dedup) hangs off a plain
+    * streaming aggregation. Expects a `v: array<double>` column; appends
+    * `nrm` and `cell` computed EXACTLY as batch x96's assignment
+    * (same argmax expression, same tie-break — StreamingSpec pins the
+    * streamed cell partition equal to the batch one).
+    *
+    * Always the literal-matrix form, never the large-K broadcast join:
+    * that form ends in a per-vector argmin AGGREGATION, and a streaming
+    * query cannot chain another aggregation behind it — while the
+    * literal form's plan grows O(K·Dim), which at ingest is fine for the
+    * K this engine trains here and degrades loudly (analysis error /
+    * codegen fallback), not silently. At SemDeDup-scale K, assign at
+    * ingest against a periodically refreshed coarser matrix and leave
+    * exact cell refinement to the batch pass. */
+  def assignCellsStream(embeddings: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame =
+    embeddings
+      .withColumn("nrm", graft.operators.Cosine.norm(col("v")))
+      .withColumn("cell", graft.operators.Similarity.cellAssignLiteral(cent))
 }

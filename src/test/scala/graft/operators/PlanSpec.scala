@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
       "the partial (pre-shuffle) group limit is what bounds a hot cell")
   }
 
+  test("q63: partition pruning and predicate pushdown reach the partitioned scan") {
+    val p = plan("q63_partition_pruned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      "the o_year predicate must prune directories, not filter rows")
+    assert(p.contains("= 1997)"),
+      "the pruning predicate must bind the literal year")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      "the price predicate must reach the parquet reader")
+  }
+
   test("q56 as-of join: union+window, no join explosion, bounded shuffles") {
     val p = plan("q56_asof_join")
     assert(p.contains("Window"))

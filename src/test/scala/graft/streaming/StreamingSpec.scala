@@ -385,6 +385,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cell assignment matches batch x96's cell partition cross-batch") {
+    // the cross-batch extension of cluster-scoped semantic dedup: train
+    // centroids batch-side at x96's data-adaptive K, then stream the same
+    // embeddings in two micro-batches through assignCellsStream; the
+    // complete-mode per-cell counts must equal the batch assignment's —
+    // proving an ingest pipeline can keep per-cell state (candidate sets,
+    // counts) keyed by exactly the cells the batch x96 pass would use
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ops = graft.operators.Similarity
+    val sfEmb = graft.operators.T(spark, sfDir, "embeddings")
+    val k = ops.semK(sfEmb.count())
+    val res = ops.lloydRun(spark, sfDir, k)
+    val batchCells = ops.assignCells(
+      sfEmb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .withColumn("nrm", graft.operators.Cosine.norm(col("v"))),
+      res.assignCent)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val vecs = sfEmb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (h1, h2) = vecs.splitAt(vecs.length / 2)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val assigned = StreamOps.assignCellsStream(
+      stream.toDS().toDF("vec_id", "v"), res.assignCent)
+    val q = assigned.groupBy("cell").count()
+      .writeStream.format("memory").queryName("cells_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(h1.toSeq)
+      q.processAllAvailable()
+      stream.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cells_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batchCells,
+        "streamed cell partition must equal the batch x96 assignment")
+    } finally q.stop()
+  }
+
   test("foreachBatch proto sink re-encodes each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
