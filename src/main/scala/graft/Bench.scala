@@ -211,6 +211,22 @@ object Bench {
           })
         } catch { case e: Throwable => fail(encDistKey, e) }
       }
+      // wire-bytes encode twin — the production distributed-encode shape
+      // (micro-batch Kafka payloads → typed rows, fromProtoBinary):
+      // executor-resident input is compact wire bytes, not POJOs, so this
+      // point isolates the codec from pa_encode_dist's java-deserialization
+      // of cached message objects
+      val encWireKey = s"pa_encode_wire_$n"
+      if (n == 10000 && selected(encWireKey)) {
+        try {
+          val wire = spark.createDataset(msgs.map(m => ProtoWire.encode(m, reg)))(Encoders.BINARY)
+            .repartition(cpus.toInt).cache()
+          wire.count()
+          points += encWireKey -> (() => {
+            Protarrow.fromProtoBinary(wire, md, GraftConfig(), reg).count(); ()
+          })
+        } catch { case e: Throwable => fail(encWireKey, e) }
+      }
       if (selected(decKey) || (n == 10000 && selected(decDistKey))) {
         // materialized once outside the timers: the decode points measure
         // the decode only, as in prior rounds

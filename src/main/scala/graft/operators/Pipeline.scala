@@ -279,6 +279,48 @@ object Pipeline {
       .orderBy("source", "cum_tokens")
   }
 
+  /** Deterministic per-stratum Bernoulli admission: doc admitted iff
+    * `u < rate_bp`, where u = hash('samp' ++ doc_id) mod 10000. A pure
+    * function of the stable id (never `rand()` — t27's rule), salted so
+    * admission is independent of t27's split buckets: the same doc keeps
+    * its fate across engines, runs, and re-partitioning. Map-only. */
+  private[operators] def sampleAdmitted(rateBp: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    expr(s"${H.s("concat('samp', cast(doc_id as string))")} % 10000") < rateBp
+  private[operators] val sampleAdmittedDuck =
+    s"${H.d("'samp' || CAST(doc_id AS VARCHAR)")} % 10000 < rate_bp"
+
+  /** Per-source stratified down-sampling — the source-reweighting step a
+    * data-mix job runs (oversampled web crawl down to its target share,
+    * books/wiki kept whole). Each source's rate (in basis points) is a
+    * deterministic function of the source name here, standing in for the
+    * mix config a real job carries; admission is [[sampleAdmitted]].
+    * Output = the per-source audit a mix job logs: total, admitted, and
+    * the rate applied. Scale shape: one narrow map-only projection and a
+    * per-source aggregate with map-side partials — nothing about it
+    * changes at 100 TB; the admitted ROWS (not summarized here) never
+    * shuffle at all. */
+  val x97StratifiedSample = Q(
+    "x97_stratified_sample",
+    s"""WITH d AS (SELECT source,
+                   500 + ${H.d("source")} % 9500 AS rate_bp, doc_id
+                   FROM documents),
+        a AS (SELECT source, rate_bp,
+                     CASE WHEN $sampleAdmittedDuck THEN 1 ELSE 0 END AS kept
+              FROM d)
+        SELECT source, CAST(MIN(rate_bp) AS BIGINT) AS rate_bp,
+               COUNT(*) AS n, CAST(SUM(kept) AS BIGINT) AS n_kept
+        FROM a GROUP BY source ORDER BY source""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("rate_bp", expr(s"500 + ${H.s("source")} % 9500"))
+      .withColumn("kept", when(sampleAdmitted(col("rate_bp")), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(min(col("rate_bp")).as("rate_bp"), count(lit(1)).as("n"),
+        sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
-    x92Decontamination, x94TokenBudgetMix)
+    x92Decontamination, x94TokenBudgetMix, x97StratifiedSample)
 }

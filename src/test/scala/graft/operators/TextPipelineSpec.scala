@@ -135,4 +135,23 @@ class TextPipelineSpec extends SparkSpec {
     }
     assert(kept(2) == kept(7), "the mix must not depend on physical partitioning")
   }
+
+  test("x97: per-row JVM recomputation reproduces the stratified-sample audit exactly") {
+    // the summary must be the exact aggregate of the per-row admission
+    // rule (H.jvm is the one shared bit-assembly) — any drift between the
+    // three hash dialects or the salt shows up as a count mismatch
+    val out = Pipeline.x97StratifiedSample.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val docs = T(spark, sfDir, "documents").select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val rate = 500L + H.jvm(src, md5) % 9500L
+      val kept = rows.count { case (_, id) => H.jvm("samp" + id, md5) % 10000L < rate }
+      src -> ((rate, rows.length.toLong, kept.toLong))
+    }
+    assert(out === expected)
+    assert(out.values.exists(_._3 > 0) && out.values.exists(v => v._3 < v._2),
+      "positive control: the rate spectrum must both keep and drop")
+  }
 }
