@@ -427,22 +427,29 @@ object Similarity {
 
   /** Nearest-centroid assignment, dispatched on K: appends `cell` to a
     * frame carrying (vec_id, v, nrm, ...). K ≤ [[LiteralAssignMaxK]] uses
-    * the map-only literal argmax; larger K broadcasts the K·Dim centroid
-    * matrix and joins — BroadcastNestedLoopJoin fan-out of K SLIM
-    * candidate rows per vector (vec_id + struct(-cos, cell) only — see
-    * [[assignCellsBroadcast]] for why slimness is load-bearing),
-    * collapsed to one row per vec_id by a map-side partial
-    * `min(struct(-cos, cell))` BEFORE the exchange, then equi-joined back
-    * to the input row. `min(struct(...))` is the same (cos DESC, cell)
-    * tie-break as the literal form — the two forms are bit-equal
-    * (RecallSpec pins it). At MLlib-scale K the broadcast form is the
-    * only viable plan; per assignment it trades the literal form's zero
-    * shuffle for two slim corpus-row shuffles (the argmin exchange and
-    * the join-back). */
+    * the map-only literal argmax (zero setup, whole-stage codegen);
+    * larger K uses [[assignCellsExpr]] — the codegen'd
+    * `centroid_argmin` expression, map-only at any K. All forms share
+    * the exact `min(struct(-cos, cell))` = ROW_NUMBER (cos DESC, cell)
+    * tie-break and are spec-pinned bit-equal (RecallSpec). */
   private[graft] def assignCells(df: DataFrame,
       cent: Seq[(Long, Seq[Double])]): DataFrame =
     if (cent.size <= LiteralAssignMaxK) assignCellsLiteral(df, cent)
-    else assignCellsBroadcast(df, cent)
+    else assignCellsExpr(df, cent)
+
+  /** The preferred large-K form: [[graft.functions.CentroidArgmin]] — a
+    * codegen'd per-row K·Dim argmin whose matrix rides as a codegen
+    * reference object. O(1) plan size at any K, map-only (zero shuffle,
+    * zero fan-out) — strictly dominates the two DataFrame forms at
+    * scale; they remain as the small-K fast path (literal) and the
+    * pure-DataFrame alternative (broadcast join), all three spec-pinned
+    * bit-equal. */
+  private[graft] def assignCellsExpr(df: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    val sorted = cent.sortBy(_._1)
+    df.withColumn("cell", graft.functions.CentroidArgmin(
+      col("v"), col("nrm"), sorted, sorted.map(c => jvmNorm(c._2))))
+  }
 
   /** Map-only small-K form (exposed so RecallSpec can pin both forms
     * bit-equal on the same centroid matrix). */
@@ -450,15 +457,18 @@ object Similarity {
       cent: Seq[(Long, Seq[Double])]): DataFrame =
     df.withColumn("cell", cellAssignLiteral(cent))
 
-  /** Broadcast-centroid large-K form (see [[assignCells]] doc). The ×K
-    * fan-out is kept SLIM: the candidate rows carry only (vec_id,
-    * struct(nc, cell)) — projecting v/nrm out before the aggregate is
-    * what keeps this viable (the first cut carried the 64-dim vector
-    * through the fan-out and the sort-based partial aggregate
-    * materialized+sorted ~0.6 KB × N·K per iteration — 375 s on
-    * SkewBench's 12k×375; slim rows are ~40 B and sort in ~1 s). The
-    * chosen cell then joins back to the input row by vec_id — one slim
-    * equi-join instead of a wide fan-out sort. */
+  /** Pure-DataFrame broadcast-join large-K form — kept as the
+    * no-custom-expression alternative to [[assignCellsExpr]] (and as the
+    * measured comparison point: it pays a BroadcastNestedLoopJoin
+    * fan-out, a partial-min collapse, and two slim shuffles per
+    * assignment where the expression form is map-only). The ×K fan-out
+    * is kept SLIM: the candidate rows carry only (vec_id, struct(nc,
+    * cell)) — projecting v/nrm out before the aggregate is what keeps
+    * this viable (the first cut carried the 64-dim vector through the
+    * fan-out and the sort-based partial aggregate materialized+sorted
+    * ~0.6 KB × N·K per iteration — 375 s on SkewBench's 12k×375; slim
+    * rows are ~40 B and sort in ~1 s). The chosen cell then joins back
+    * to the input row by vec_id. */
   private[operators] def assignCellsBroadcast(df: DataFrame,
       cent: Seq[(Long, Seq[Double])]): DataFrame = {
     val spark = df.sparkSession

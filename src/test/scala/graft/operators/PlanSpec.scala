@@ -150,7 +150,7 @@ class PlanSpec extends SparkSpec {
       "per-bucket offsets must broadcast to the corpus side")
   }
 
-  test("x96 assignment: large-K form broadcasts the centroid matrix, small-K form plans no join") {
+  test("assignment forms: broadcast alternative broadcasts + collapses map-side; literal stays map-only") {
     val res = Similarity.lloydRun(spark, sfDir, 16L)
     val e = Similarity.vecs(spark, sfDir)
     val bc = Similarity.assignCellsBroadcast(e, res.assignCent)
@@ -169,6 +169,22 @@ class PlanSpec extends SparkSpec {
     val litP = Similarity.assignCellsLiteral(e, res.assignCent)
       .queryExecution.explainString(FormattedMode)
     assert(!litP.contains("Join"), "the literal argmax form must stay map-only")
+  }
+
+  test("x96 assignment: centroid_argmin is map-only and stays inside whole-stage codegen") {
+    // the large-K path x96 actually dispatches to: one projection, no
+    // join, no exchange, matrix as a codegen reference — O(1) plan at any K
+    val res = Similarity.lloydRun(spark, sfDir, 16L)
+    val e = Similarity.vecs(spark, sfDir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Similarity.assignCellsExpr(e, res.assignCent)
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("centroid_argmin"), "the native expression must be in the plan")
+      assert(!p.contains("Join") && !p.contains("Exchange"),
+        "assignment must be map-only — zero shuffle at any K")
+      assert(p.contains("[codegen id :"), "the projection must stay codegen'd")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("x96: per-cell candidate cap is a map-side WindowGroupLimit") {

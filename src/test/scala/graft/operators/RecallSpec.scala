@@ -163,11 +163,12 @@ class RecallSpec extends SparkSpec {
       s"$withinCells within-cell pairs vs $globalAtHalf global")
   }
 
-  test("assignment forms: literal argmax and broadcast-centroid join are bit-equal") {
+  test("assignment forms: literal argmax, broadcast join, and centroid_argmin are bit-equal") {
     // both the small-K regime (x95's 8 seeds, clustered corpus) and the
     // oracle-checked large-K regime (x96's K=16 on the sf corpus): the
     // dispatch in assignCells must be a pure physical-plan choice — any
-    // divergence (tie-break, norm fold, fan-out collapse) is a bug
+    // divergence (tie-break, norm fold, fan-out collapse, codegen loop)
+    // is a bug
     for ((dir, k) <- Seq((clusteredCorpus(0.01), 8L), (sfDir, 16L))) {
       val res = Similarity.lloydRun(spark, dir, k)
       val e = Similarity.vecs(spark, dir)
@@ -179,8 +180,10 @@ class RecallSpec extends SparkSpec {
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val lit = cells(Similarity.assignCellsLiteral(e, res.assignCent))
       val bc = cells(Similarity.assignCellsBroadcast(e, res.assignCent))
+      val ex = cells(Similarity.assignCellsExpr(e, res.assignCent))
       assert(lit.size === bc.size && lit === bc,
-        s"forms diverge at k=$k on $dir")
+        s"literal vs broadcast diverge at k=$k on $dir")
+      assert(ex === lit, s"centroid_argmin diverges at k=$k on $dir")
     }
   }
 
