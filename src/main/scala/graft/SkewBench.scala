@@ -67,7 +67,10 @@ object SkewBench {
     // cap (map-side WindowGroupLimit, SemCellCap=256) bounds the hot
     // cell's pair stage at cap²/2 ≈ 33k pairs instead of 5·10⁷, and
     // K ∝ N (375 here) keeps every other cell at ~32 members
-    "x96_semdedup")
+    "x96_semdedup",
+    // x98's top-1-per-cell is a Partial WindowGroupLimit: the 10k-member
+    // hot cell forwards ONE candidate per map task to the rank shuffle
+    "x98_cluster_reps")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

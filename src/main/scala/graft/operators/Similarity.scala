@@ -663,6 +663,57 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Cluster-representative (coreset) selection: for each k-means cell,
+    * the member nearest its centroid — the "keeper" a SemDeDup pass
+    * retains per duplicate cluster, and the coreset a data-pruning job
+    * trains on. Same clustering as x96 (K ∝ N, final-iteration
+    * `assignCent` matrix — scoring against the post-update matrix would
+    * rank against centroids the assignment never saw).
+    *
+    * Scale shape: assignment is the map-only [[assignCellsExpr]] path
+    * (via [[assignCells]]); scoring joins the K-row centroid table
+    * BROADCAST (never a shuffle); the top-1-per-cell is a rnk=1 filter —
+    * InferWindowGroupLimit caps each cell to ONE candidate map-side
+    * before the rank shuffle, so a degenerate hot cell forwards one row,
+    * not 10k (SkewBench measures it). One shuffle total (cell), K rows
+    * out. */
+  val x98ClusterReps = Q(
+    "x98_cluster_reps",
+    s"""WITH $semKDuck,
+        ${lloydCtes("vec_id < (SELECT k FROM kq)")},
+        asg AS (SELECT a.vec_id, a.v, a.cell, e.nrm
+                FROM a$LloydMaxIter a JOIN e ON a.vec_id = e.vec_id),
+        sc AS (SELECT asg.cell, asg.vec_id,
+                      ${Cosine.duckDot("asg.v", "c.cv")} / (asg.nrm * ${Cosine.duckNorm("c.cv")}) AS cos
+               FROM asg JOIN c${LloydMaxIter - 1} c ON asg.cell = c.cell),
+        r AS (SELECT cell, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS rnk
+              FROM sc),
+        cnt AS (SELECT cell, COUNT(*) AS n FROM a$LloydMaxIter GROUP BY cell)
+        SELECT r.cell AS cell, r.vec_id AS rep_id, r.cos AS rep_cos, cnt.n AS n
+        FROM r JOIN cnt ON r.cell = cnt.cell
+        WHERE r.rnk = 1 ORDER BY cell""") { (spark, dir) =>
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val k = semK(e.count())
+    val res = lloydRun(spark, dir, k)
+    val asg = assignCells(e, res.assignCent).cache()
+    import spark.implicits._
+    val centDF = res.assignCent
+      .map { case (c, cv) => (c, cv, jvmNorm(cv)) }
+      .toDF("cell", "cv", "cnrm")
+    val w = Window.partitionBy(col("cell")).orderBy(col("cos").desc, col("vec_id"))
+    val reps = asg.join(broadcast(centDF), "cell")
+      .withColumn("cos", Cosine.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cell"), col("vec_id").as("rep_id"), col("cos").as("rep_cos"))
+    asg.groupBy("cell").agg(count(lit(1)).as("n"))
+      .join(reps, "cell")
+      .select("cell", "rep_id", "rep_cos", "n")
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
-    s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup)
+    s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
+    x98ClusterReps)
 }

@@ -195,6 +195,24 @@ class PlanSpec extends SparkSpec {
       "the partial (pre-shuffle) group limit is what bounds a hot cell")
   }
 
+  test("x98: top-1-per-cell is a map-side WindowGroupLimit; centroid table broadcasts") {
+    val p = plan("x98_cluster_reps")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "rnk = 1 must cap each cell to one candidate before the rank shuffle")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the K-row centroid table must broadcast, never shuffle the corpus side")
+  }
+
+  test("q64: bucketed scans, sort-merge join, zero hash exchanges end-to-end") {
+    val p = plan("q64_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      "merge hint must force SMJ (broadcast would hide the bucketing)")
+    assert("Bucketed: true".r.findAllIn(p).size >= 2,
+      "both sides must scan their bucketed layout")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "join AND group-by must reuse the bucket partitioning — no shuffle")
+  }
+
   test("q63: partition pruning and predicate pushdown reach the partitioned scan") {
     val p = plan("q63_partition_pruned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(o_year"),

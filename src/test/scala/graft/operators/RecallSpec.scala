@@ -187,6 +187,37 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("x98: each representative is its cell's true argmax member") {
+    import org.apache.spark.sql.functions.col
+    val reps = Similarity.x98ClusterReps.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(reps.nonEmpty)
+    // recompute per-member cosines to the assigned centroid in plain Scala
+    val k = Similarity.semK(T(spark, sfDir, "embeddings").count())
+    val res = Similarity.lloydRun(spark, sfDir, k)
+    val cent = res.assignCent.toMap
+    val members = Similarity.assignCells(
+      Similarity.vecs(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")),
+      res.assignCent)
+      .select("vec_id", "v", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def n(x: Seq[Double]) = math.sqrt(x.foldLeft(0.0)((s, v) => s + v * v))
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y } / (n(a) * n(b))
+    }
+    assert(members.map(_._3).toSet === reps.keySet, "one rep per non-empty cell")
+    members.groupBy(_._3).foreach { case (cell, ms) =>
+      val (repId, repCos, n) = reps(cell)
+      assert(n === ms.length.toLong, s"cell $cell size")
+      assert(ms.exists(_._1 == repId), s"rep $repId must be a member of cell $cell")
+      val best = ms.map(m => (cos(m._2, cent(cell)), m._1)).max
+      // argmax by (cos, then smallest id on ties): recompute and compare id
+      val bestByRule = ms.map(m => (-cos(m._2, cent(cell)), m._1)).min._2
+      assert(repId === bestByRule,
+        s"cell $cell: rep $repId vs recomputed argmax $bestByRule (best cos ${best._1})")
+    }
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's
