@@ -109,5 +109,57 @@ object Scale {
       .orderBy("month")
   }
 
-  val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan)
+  /** Bucketed re-layout of lineitem+orders (8 buckets on the join key,
+    * sorted within buckets), written once per source dir via
+    * `saveAsTable` — bucketing metadata lives in the catalog, so the
+    * guard is `tableExists` (the in-memory catalog dies with the JVM;
+    * a fresh JVM rewrites, mode Overwrite). Table names carry the dir
+    * key so two SF dirs in one session cannot alias. */
+  private[operators] def bucketedTables(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val (liT, oT) = (s"graft_b_lineitem_$key", s"graft_b_orders_$key")
+    if (!spark.catalog.tableExists(liT)) {
+      T(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/graft_bkt_li_$key").saveAsTable(liT)
+    }
+    if (!spark.catalog.tableExists(oT)) {
+      T(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/graft_bkt_o_$key").saveAsTable(oT)
+    }
+    (liT, oT)
+  }
+
+  /** q64: the co-located-join posture demo — lineitem⋈orders over the
+    * bucketed layout ([[bucketedTables]]), sort-merge joined (`merge`
+    * hint beats the sf0.01 broadcast threshold) with ZERO hash
+    * exchanges end-to-end: both scans are pre-bucketed on the join key,
+    * and the group-by keys include that key, so the join's
+    * HashPartitioning satisfies the aggregation's distribution too.
+    * PlanSpec gates `Bucketed: true` on both scans and the absence of
+    * any `Exchange hashpartitioning`. At 100 TB this is THE fact-fact
+    * join shape: bucket both tables once at ingest, join and aggregate
+    * forever after without moving either. The oracle runs the plain
+    * join — identical rows prove the layout is physics, not semantics. */
+  val q64BucketedJoin = Q(
+    "q64_bucketed_join",
+    """SELECT l.l_orderkey AS okey, o.o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS rev
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY okey, pri ORDER BY okey""") { (spark, dir) =>
+    import Num._
+    val (liT, oT) = bucketedTables(spark, dir)
+    spark.table(liT).hint("merge")
+      .join(spark.table(oT).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("okey"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+      .orderBy("okey")
+  }
+
+  val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan, q64BucketedJoin)
 }

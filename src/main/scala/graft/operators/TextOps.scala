@@ -328,7 +328,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // Chunking geometry: 64-token windows every 48 tokens (16-token
+  // overlap) — the pretraining/RAG shape where each boundary sentence
+  // appears in two chunks so no context is lost at a cut.
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Overlapping-window chunking: split each document into whitespace
+    * tokens and emit one row per `ChunkSize`-token window starting every
+    * `ChunkStride` tokens — the chunk table a tokenize-and-pack training
+    * job or a RAG indexer consumes. Window starts are `1, 1+stride, …`
+    * up to the token count, so every token lands in ≥1 chunk and a
+    * trailing short chunk keeps the document suffix.
+    *
+    * Scale posture: map-only — split/sequence/explode/slice/array_join
+    * are all codegen'd built-ins, no shuffle before the deterministic
+    * ORDER BY; the ~1.33× fan-out (stride/size overlap) is row-local, so
+    * at 100 TB this is an embarrassingly-parallel scan whose output
+    * partitioning follows the input's. */
+  val t32ChunkOverlap = Q(
+    "t32_chunk_overlap",
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     UNNEST(generate_series(1, greatest(len(toks),1), $ChunkStride)) AS st
+              FROM t)
+        SELECT doc_id,
+               CAST((st-1)/$ChunkStride AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, st, st+${ChunkSize - 1})) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, st, st+${ChunkSize - 1}), ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_idx""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(ChunkStride))).as("st"))
+      .select(col("doc_id"),
+        ((col("st") - 1) / lit(ChunkStride)).cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("st"), lit(ChunkSize))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("st"), lit(ChunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
-    t31PiiRedact)
+    t31PiiRedact, t32ChunkOverlap)
 }

@@ -65,6 +65,33 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("t32: chunks equal a plain-Scala windowing of every document") {
+    val chunks = TextOps.t32ChunkOverlap.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = T(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    var n = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1) // -1: keep trailing empties like SQL split
+      val starts = 0 until math.max(toks.length, 1) by 48
+      starts.zipWithIndex.foreach { case (st, idx) =>
+        val expect = toks.slice(st, st + 64)
+        val (nc, ct) = chunks((id, idx.toLong))
+        assert(nc == expect.length.toLong, s"doc $id chunk $idx size")
+        assert(ct == expect.mkString(" "), s"doc $id chunk $idx text")
+        n += 1
+      }
+      // overlap: every chunk after the first repeats the previous 16 tokens
+      starts.drop(1).zipWithIndex.foreach { case (st, i) =>
+        assert(chunks((id, (i + 1).toLong))._2.startsWith(
+          toks.slice(st, math.min(st + 16, toks.length)).mkString(" ")))
+      }
+    }
+    assert(n == chunks.size, "no chunks beyond the recomputed windows")
+  }
+
   test("x91: every source capped at exactly K docs, ranks contiguous") {
     val df = Pipeline.x91SourceMix.fn(spark, sfDir)
     val per = df.groupBy("source").agg(count(lit(1)).as("n"),
