@@ -357,7 +357,15 @@ object TextOps {
                CAST(len(list_slice(toks, st, st+${ChunkSize - 1})) AS BIGINT) AS n_chunk_tokens,
                array_to_string(list_slice(toks, st, st+${ChunkSize - 1}), ' ') AS chunk_text
         FROM s ORDER BY doc_id, chunk_idx""") { (spark, dir) =>
-    T(spark, dir, "documents")
+    chunkRows(T(spark, dir, "documents")).orderBy("doc_id", "chunk_idx")
+  }
+
+  /** The t32 chunking transform on any (doc_id, text) frame — stateless
+    * and map-only, so it applies unchanged to a STREAMING frame (append
+    * mode, no watermark/state; see StreamOps.chunkStream and its spec). */
+  private[graft] def chunkRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
@@ -368,8 +376,6 @@ object TextOps {
           .as("n_chunk_tokens"),
         array_join(slice(col("toks"), col("st"), lit(ChunkSize)), " ")
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
-  }
 
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,

@@ -308,4 +308,13 @@ object StreamOps {
     embeddings
       .withColumn("nrm", graft.operators.Cosine.norm(col("v")))
       .withColumn("cell", graft.operators.Similarity.cellAssignLiteral(cent))
+
+  /** t32's chunking at ingest time: each arriving (doc_id, text) row
+    * explodes into its overlapping 64-token / 48-stride chunk rows —
+    * stateless and map-only (split/sequence/explode/slice built-ins), so
+    * it runs in append mode with no watermark or state and composes in
+    * front of any stateful stage. StreamingSpec pins the streamed chunk
+    * set equal to batch t32's on the same documents. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.chunkRows(docs)
 }

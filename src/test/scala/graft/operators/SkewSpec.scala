@@ -44,6 +44,63 @@ class SkewSpec extends SparkSpec {
     assert(n === docs.count()) // generator is deterministic/stable
   }
 
+  test("AQE skew-join splits the hot partition at runtime and matches the salted join") {
+    // README claims "AQE for runtime skew splits" as the alternative to
+    // manual salting — prove it fires. Thresholds are scaled down so the
+    // sf0.001 hostile table (20 % of lineitem on one key) crosses the
+    // skew bar exactly the way a 100 TB hot partition crosses the 256 MB
+    // default; the semantics under test are identical.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_aqe").toString
+    // sf0.01 (not the spec's usual sf0.001): the hot key needs ~12k rows
+    // to clear even the scaled-down skew bar with margin
+    graft.SkewBench.generate(spark, "/root/testdata/sf0.01", dir)
+    // AQE splits a skewed partition by MAPPER block ranges — a partition
+    // fed by one mapper is unsplittable and never even counted as skewed.
+    // A real cluster scan has thousands of mappers; reproduce that shape
+    // locally: 16 files + a maxPartitionBytes small enough that file
+    // packing keeps 16 scan splits.
+    spark.read.parquet(s"$dir/lineitem.parquet").repartition(16)
+      .write.mode("overwrite").parquet(s"$dir/lineitem16.parquet")
+    val s2 = spark.newSession()
+    // the spec session's 4 shuffle partitions would dissolve the hot key
+    // into the base load (hot/median < factor); use a cluster-like 32
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "4MB")
+    // the collected join is the RESULT stage: without the force flag the
+    // cost evaluator rejects the split there
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    import graft.operators.{Num => N}
+    val li = s2.read.parquet(s"$dir/lineitem16.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = s2.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    // the skew split is asserted on the join's own execution (a final
+    // stage feeding an Exchange does not adopt the split)
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // collect() executes joined's OWN QueryExecution (count() would plan
+    // a separate aggregate on a fresh one and hide the skew read)
+    assert(joined.collect().length === 60000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      "AQE must have marked the join skewed and split the hot partition")
+    // identical results to the salted strategy on the same hostile dir
+    val got = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), N.dsum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = Scale.q26SaltedJoin.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === salted.toSeq,
+      "AQE-split and salted joins must agree exactly")
+  }
+
   test("x94 two-phase selection: hot source spreads over many buckets, prunes wholesale, matches the single-window formula") {
     import org.apache.spark.sql.expressions.Window
     val dir = java.nio.file.Files.createTempDirectory("graft_skew_x94").toString

@@ -385,6 +385,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunking matches batch t32's chunk set cross-batch") {
+    // stateless map-only chunking at ingest: stream the sf documents in
+    // two micro-batches through chunkStream (append mode, no watermark);
+    // the accumulated chunk rows must equal batch t32's exactly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.TextOps.t32ChunkOverlap.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val docs = graft.operators.T(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val chunked = StreamOps.chunkStream(stream.toDS().toDF("doc_id", "text"))
+    val q = chunked.writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(h1.toSeq)
+      q.processAllAvailable()
+      stream.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("chunks_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(streamed === batch,
+        "streamed chunk set must equal the batch t32 output")
+    } finally q.stop()
+  }
+
   test("streaming cell assignment matches batch x96's cell partition cross-batch") {
     // the cross-batch extension of cluster-scoped semantic dedup: train
     // centroids batch-side at x96's data-adaptive K, then stream the same
