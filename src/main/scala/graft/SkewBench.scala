@@ -70,7 +70,11 @@ object SkewBench {
     "x96_semdedup",
     // x98's top-1-per-cell is a Partial WindowGroupLimit: the 10k-member
     // hot cell forwards ONE candidate per map task to the rank shuffle
-    "x98_cluster_reps")
+    "x98_cluster_reps",
+    // d34 inherits d28's hot-shingle cap (the 10k-dup cluster contributes
+    // ZERO pairs, so the label-propagation graph stays at the organic
+    // near-dup pairs), and each HashMin round moves only (id, lbl) longs
+    "d34_dedup_components")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

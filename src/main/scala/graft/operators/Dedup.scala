@@ -288,11 +288,11 @@ object Dedup {
     * ≥ 0.5. Only bucket-colliding pairs are verified — the candidate join
     * is on (band, band_key) — and the capped shingle sets feed both the
     * signatures and the verification, identically in both dialects. */
-  val d28MinhashLsh = Q(
-    "d28_minhash_lsh",
-    s"""WITH $duckShingles,
-        $duckCappedSets,
-        sig AS (SELECT doc_id, $sigDuck AS m FROM sh2),
+  /** The LSH candidate/verify CTE chain shared by d28 and d34 (band
+    * buckets → distinct candidates → exact-Jaccard verification inputs);
+    * one text so the two oracles cannot drift. */
+  private[operators] def duckLshPairCtes: String =
+    s"""sig AS (SELECT doc_id, $sigDuck AS m FROM sh2),
         band AS (SELECT doc_id, b,
                  m[b*3+1]::VARCHAR || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
                  FROM sig, range(0, 4) r(b)),
@@ -302,7 +302,13 @@ object Dedup {
         v AS (SELECT a_id, b_id,
                      CAST(len(list_intersect(sa.th, sb.th)) AS BIGINT) AS n_common,
                      CAST(len(sa.th) AS BIGINT) AS n_a, CAST(len(sb.th) AS BIGINT) AS n_b
-              FROM cand JOIN sh2 sa ON a_id = sa.doc_id JOIN sh2 sb ON b_id = sb.doc_id)
+              FROM cand JOIN sh2 sa ON a_id = sa.doc_id JOIN sh2 sb ON b_id = sb.doc_id)"""
+
+  val d28MinhashLsh = Q(
+    "d28_minhash_lsh",
+    s"""WITH $duckShingles,
+        $duckCappedSets,
+        $duckLshPairCtes
         SELECT a_id, b_id, n_common, n_a, n_b,
                CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
         FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
@@ -314,6 +320,94 @@ object Dedup {
     lshVerifiedPairs(sh)
       .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
       .orderBy("a_id", "b_id")
+  }
+
+  /** Bounded-round cap for HashMin label propagation. Near-dup graphs
+    * are band-bucket cliques glued at shared documents — diameters of
+    * 2-4, converging in ≤3 rounds; 20 is a pathological-chain backstop
+    * (the loop stops the first round nothing changes). */
+  private val CCMaxIter = 20
+
+  /** d34: duplicate CLUSTERS, not pairs — connected components over the
+    * d28 near-dup pair graph, because production dedup keeps one doc per
+    * component (a–b and b–c must collapse to ONE keeper even when a–c
+    * never co-banded). Output: every paired doc with its component id
+    * (= min doc_id reachable), the component size, and the keeper flag;
+    * singletons (docs in no pair) are trivially their own keeper and are
+    * excluded by contract.
+    *
+    * Spark side is HashMin label propagation ([[connectedComponents]]):
+    * O(diameter) rounds of (edge ⋈ label, min) — each round one shuffle
+    * keyed on doc_id over (id, lbl) longs ONLY, nothing wide. The DuckDB
+    * oracle computes the same fixpoint as a recursive transitive-closure
+    * CTE — tractable at oracle SF, exactly what the Spark side must NOT
+    * do at 100 TB (closure is O(n·paths); HashMin materializes only one
+    * label per node per round). At extreme diameters the known upgrade
+    * is large-star/small-star contraction (same per-round shape). */
+  val d34DedupComponents = Q(
+    "d34_dedup_components",
+    s"""WITH RECURSIVE $duckShingles,
+        $duckCappedSets,
+        $duckLshPairCtes,
+        pairs AS (SELECT a_id, b_id FROM v
+                  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component, s.n_members,
+               c.doc_id = c.component AS is_keeper
+        FROM comp c JOIN sz s ON c.component = s.component
+        ORDER BY c.doc_id""") { (spark, dir) =>
+    val hs0 = shingleHashes(spark, dir).cache()
+    val sh = cappedShingleSets(hs0).cache()
+    connectedComponents(lshVerifiedPairs(sh).select("a_id", "b_id"))
+      .orderBy("doc_id")
+  }
+
+  /** HashMin connected components over an undirected pair list
+    * (a_id, b_id): every node starts labeled with its own id; each round
+    * every node takes the min of its own and its neighbors' labels; stop
+    * when a round changes nothing (or at [[CCMaxIter]]). Deterministic —
+    * min over longs, no tie to break. Returns (doc_id, component,
+    * n_members, is_keeper). */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("u"), col("b_id").as("w"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < CCMaxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("w2"), col("lbl").as("wl")),
+          col("w") === col("w2"))
+        .groupBy(col("u").as("pid")).agg(min(col("wl")).as("plbl"))
+      val next = labels
+        .join(prop, col("id") === col("pid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      it += 1
+    }
+    val sz = labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+      .join(sz, "component")
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_keeper"))
   }
 
   /** MinHash-LSH verified near-dup pairs of capped per-doc sets `sh`
@@ -606,7 +700,8 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
-    d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh)
+    d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
+    d34DedupComponents)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

@@ -17,6 +17,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d34: components equal a plain-Scala union-find over the d28 pairs") {
+    val pairs = Dedup.d28MinhashLsh.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val sizes = expect.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = Dedup.d34DedupComponents.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet === expect.keySet, "node set")
+    got.foreach { case (doc, comp, n, keeper) =>
+      assert(comp === expect(doc), s"doc $doc component")
+      assert(n === sizes(comp), s"component $comp size")
+      assert(keeper === (doc == comp), s"doc $doc keeper flag")
+    }
+  }
+
   test("d27/d28: the hot-shingle cap changes nothing when no shingle is hot") {
     // at sf0.001 every shingle's document frequency is far below the cap, so
     // the capped pipeline must reproduce the uncapped pair set — the cap is
