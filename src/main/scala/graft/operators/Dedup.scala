@@ -378,9 +378,14 @@ object Dedup {
     * min over longs, no tie to break. Returns (doc_id, component,
     * n_members, is_keeper). */
   private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // pre-partition on the probe key ONCE: the cached scan keeps
+    // hashpartitioning(w), so every round's edge⋈label join reuses it
+    // instead of re-shuffling the (static) edge list per round — at
+    // scale the edge list is the big side of every round
     val edges = pairs
       .select(col("a_id").as("u"), col("b_id").as("w"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
+      .repartition(col("w"))
       .cache()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).cache()
