@@ -14,7 +14,8 @@ object PlanDump {
     "x91_source_mix", "d33_embedding_neardup_lsh", "x93_kmeans_step",
     "q60_correlated_subquery", "q07_lag_lead", "x94_token_budget_mix",
     "q26_salted_join", "x96_semdedup", "q63_partition_pruned_scan",
-    "x98_cluster_reps", "q64_bucketed_join", "t32_chunk_overlap")
+    "x98_cluster_reps", "q64_bucketed_join", "t32_chunk_overlap",
+    "q65_range_join", "x99_global_index")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

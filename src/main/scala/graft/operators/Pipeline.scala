@@ -321,6 +321,54 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Scale-safe GLOBAL row numbering — the export step that stamps every
+    * training example with its position in a deterministic global
+    * shuffle order. The naive form, `row_number() OVER (ORDER BY …)`
+    * with no PARTITION BY, sorts the entire corpus in ONE task — the
+    * classic driver-shaped bottleneck, dead at 100 TB. The scale-safe
+    * form is x94's monotone-bucket trick applied to numbering:
+    *
+    *  1. order key = (h, doc_id) where h is the 32-bit doc hash — a
+    *     deterministic global shuffle (t27's no-`rand()` rule);
+    *  2. bucket b = h div (2^32/B) is MONOTONE in h, so the global
+    *     order is bucket-major: every row of bucket b precedes every
+    *     row of bucket b+1;
+    *  3. row_number per bucket (B-way parallel, each task sorts ~N/B);
+    *  4. exact per-bucket counts → prefix offsets (a window over B tiny
+    *     rows, never over data) broadcast back;
+    *  5. global_idx = offset(b) + rank-in-bucket.
+    *
+    * Bit-equal to the single-task window (the oracle runs exactly that);
+    * the engine never materializes a global sort. B scales with the
+    * cluster — at 100 TB pick B ≈ tasks, each bucket ~N/B rows. */
+  val x99GlobalIndex = Q(
+    "x99_global_index",
+    s"""WITH d AS (SELECT doc_id, ${H.d("text")} AS h FROM documents)
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) AS global_idx
+        FROM d ORDER BY doc_id""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 32
+    val width = (1L << 32) / nBuckets
+    val d = T(spark, dir, "documents")
+      .select(col("doc_id"), expr(H.s("text")).as("h"))
+      .withColumn("b", expr(s"h div $width"))
+      .cache() // consumed by both the per-bucket rank and the offsets
+    val wIn = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets: B rows total — the partitionBy-less window is over the
+    // bucket COUNTS, never the data (x94's offset shape)
+    val off = d.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select("b", "off")
+    d.withColumn("rn", row_number().over(wIn))
+      .join(broadcast(off), Seq("b"))
+      .select(col("doc_id"), col("h"),
+        (col("off") + col("rn")).as("global_idx"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
-    x92Decontamination, x94TokenBudgetMix, x97StratifiedSample)
+    x92Decontamination, x94TokenBudgetMix, x97StratifiedSample, x99GlobalIndex)
 }

@@ -161,5 +161,54 @@ object Scale {
       .orderBy("okey")
   }
 
-  val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan, q64BucketedJoin)
+  /** Bin width for [[q65RangeJoin]]: 10 minutes in nanos, equal to the
+    * interval length so every interval overlaps at most 2 bins. */
+  private[operators] val RangeBinNs = 600000000000L
+
+  /** Binned point-in-interval range join. A naive `p.ts BETWEEN a.s AND
+    * a.e` theta join is a BroadcastNestedLoopJoin — O(N·M) compares and a
+    * broadcast of a whole side, dead at scale. The binned form makes it
+    * an EQUI-join: pick a bin width W ≥ the max interval length, explode
+    * each interval into the (≤2) bins it overlaps, map each point to its
+    * single bin, hash-join on bin, and apply the BETWEEN as a residual
+    * filter. Each (interval, point) pair meets in exactly one bin — the
+    * point's — so no dedup is needed. Shuffle is on bin; a hot time bin
+    * at scale is handled like any hot key (AQE skew split — the salting
+    * in [[saltedJoin]] composes if needed).
+    *
+    * q65: for each 'purchase' event, count and sum the OTHER events
+    * landing in the 10 minutes after it — the "what happens right after
+    * a conversion" attribution shape. The oracle runs the naive BETWEEN
+    * join; identical results prove the binning is physics, not
+    * semantics. PlanSpec gates that the join really is a hash/merge
+    * equi-join, not a nested loop. */
+  val q65RangeJoin = Q(
+    "q65_range_join",
+    s"""WITH a AS (SELECT event_id AS a_id, epoch_ns(ts) AS s,
+                         epoch_ns(ts) + $RangeBinNs AS e
+                  FROM events WHERE event_type = 'purchase'),
+        p AS (SELECT event_id, epoch_ns(ts) AS tsn, value FROM events)
+        SELECT a_id, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM a JOIN p ON p.tsn BETWEEN a.s AND a.e AND p.event_id <> a.a_id
+        GROUP BY a_id ORDER BY a_id""") { (spark, dir) =>
+    import Num._
+    val ev = T(spark, dir, "events").selectExpr("event_id", "ts as tsn", "value",
+      "event_type")
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("tsn").as("s"),
+        (col("tsn") + RangeBinNs).as("e"))
+      .withColumn("bin", explode(expr(s"sequence(s div $RangeBinNs, e div $RangeBinNs)")))
+    val points = ev.select(col("event_id"), col("tsn"), col("value"))
+      .withColumn("bin", expr(s"tsn div $RangeBinNs"))
+    anchors.join(points,
+        anchors("bin") === points("bin") &&
+          col("tsn").between(col("s"), col("e")) && col("event_id") =!= col("a_id"))
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("a_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(q26SaltedJoin, q63PartitionPrunedScan, q64BucketedJoin, q65RangeJoin)
 }

@@ -231,4 +231,24 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges")
   }
+
+  test("q65 range join: binned to an equi-join, never a nested loop") {
+    val p = plan("q65_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "the BETWEEN must be a residual on a bin equi-join, not a theta join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "bin keys must drive a hash/merge equi-join")
+  }
+
+  test("x99: rank window is bucket-partitioned; offsets broadcast back") {
+    val p = plan("x99_global_index")
+    // the data-wide window must carry the bucket in its partition spec —
+    // a partitionBy-less window over the corpus is the single-task sort
+    // this operator exists to avoid
+    assert("windowspecdefinition\\(b#\\d+L?, h#".r.findFirstIn(p).nonEmpty,
+      "row_number must partition by the monotone bucket (b partition key " +
+        "BEFORE the h sort key — not a partitionBy-less global sort)")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket prefix offsets must broadcast to the corpus side")
+  }
 }

@@ -98,6 +98,42 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q65 binned range join == naive BETWEEN theta join") {
+    // the oracle proves this vs DuckDB; this pins the Spark-side theta
+    // form too, so the binning math (bin width vs interval length,
+    // 2-bin explode) can't drift under refactor
+    val W = Scale.RangeBinNs
+    val ev = T(spark, sfDir, "events")
+      .selectExpr("event_id", "ts as tsn", "value", "event_type")
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("tsn").as("s"),
+        (col("tsn") + W).as("e"))
+    val p = ev.select(col("event_id"), col("tsn"), col("value"))
+    val naive = a.join(p,
+        col("tsn").between(col("s"), col("e")) && col("event_id") =!= col("a_id"))
+      .groupBy("a_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = Scale.q65RangeJoin.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned === naive)
+    assert(naive.nonEmpty, "fixture must produce at least one populated window")
+  }
+
+  test("x99 bucketed global index == single-task global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = T(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(H.s("text")).as("h"))
+      .withColumn("global_idx",
+        row_number().over(Window.orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "global_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = Pipeline.x99GlobalIndex.fn(spark, sfDir)
+      .select("doc_id", "global_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed === naive)
+    assert(naive.size > 100, "fixture must cover enough rows to cross buckets")
+  }
+
   test("broadcast dimension join plans no shuffle for the fact side") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_suppkey")
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
