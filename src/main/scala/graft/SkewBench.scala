@@ -74,7 +74,14 @@ object SkewBench {
     // d34 inherits d28's hot-shingle cap (the 10k-dup cluster contributes
     // ZERO pairs, so the label-propagation graph stays at the organic
     // near-dup pairs), and each HashMin round moves only (id, lbl) longs
-    "d34_dedup_components")
+    "d34_dedup_components",
+    // q65's hostile input collapses 10k events onto ONE nanosecond — the
+    // hottest possible time bin. The matched pairs there are inherent
+    // work (every coincident purchase genuinely matches every coincident
+    // point; the per-anchor SUM must see each match), but the plan stays
+    // an equi-join on bin whose partial aggregation absorbs the pair
+    // stream map-side — no nested loop, no driver involvement
+    "q65_range_join")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
@@ -118,6 +125,17 @@ object SkewBench {
 
     // orders unchanged (q26's build side)
     t("orders").write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // events: every 10th event collapses onto ONE nanosecond — a
+    // flash-crowd instant that makes one q65 time bin maximally hot.
+    // Read via T (nanosAsLong); the hostile copy carries ts as plain
+    // int64 epoch-nanos, which T's readers accept unchanged.
+    val ev = graft.operators.T(spark, sfDir, "events")
+    val hotTs = ev.agg(min("ts")).head().getLong(0)
+    ev.withColumn("ts",
+      when(pmod(col("event_id"), lit(10)) === 0, lit(hotTs))
+        .otherwise(col("ts")))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {

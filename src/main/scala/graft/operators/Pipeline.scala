@@ -369,6 +369,65 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Tokens per packed training sequence for [[t33SequencePack]]. */
+  private[operators] val PackLen = 2048L
+
+  /** Sequence packing — the concat-and-chunk step that turns a shuffled
+    * corpus into fixed-length pretraining sequences: conceptually,
+    * concatenate every document's tokens in the deterministic global
+    * order (x99's (h, doc_id) shuffle), then cut every [[PackLen]]
+    * tokens; a document may span a pack boundary. Each doc needs only
+    * its global STARTING token offset — an exclusive prefix sum of
+    * token counts in the global order — from which its first/last pack
+    * and offset within the first pack are integer arithmetic.
+    *
+    * The prefix sum is x99's bucket shape, summing tokens instead of
+    * counting rows: per-bucket exclusive running sums in parallel, plus
+    * broadcast per-bucket token-total offsets (B tiny rows). No task
+    * ever holds more than one bucket; the single-task global window the
+    * oracle runs never executes here. Integer token counts make the
+    * prefix sums exact, so both engines agree bit-for-bit. */
+  val t33SequencePack = Q(
+    "t33_sequence_pack",
+    s"""WITH tok AS (SELECT doc_id, ${H.d("text")} AS h,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+        c AS (SELECT doc_id, h, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+              FROM tok)
+        SELECT doc_id, n_tokens, s // $PackLen AS start_pack,
+               (s + n_tokens - 1) // $PackLen AS end_pack,
+               s % $PackLen AS pack_off
+        FROM c ORDER BY doc_id""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 32
+    val width = (1L << 32) / nBuckets
+    val d = T(spark, dir, "documents")
+      .select(col("doc_id"), expr(H.s("text")).as("h"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      .withColumn("b", expr(s"h div $width"))
+      .cache() // consumed by both the per-bucket prefix and the offsets
+    val wIn = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets: per-bucket token totals, B rows — the partitionBy-less
+    // window is over those B rows, never the corpus (x99's shape)
+    val off = d.groupBy("b").agg(sum(col("n_tokens")).as("tk"))
+      .withColumn("off", coalesce(sum(col("tk")).over(wOff), lit(0L)))
+      .select("b", "off")
+    d.withColumn("ls", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(off), Seq("b"))
+      .withColumn("s", col("off") + col("ls"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"s div $PackLen").as("start_pack"),
+        expr(s"(s + n_tokens - 1) div $PackLen").as("end_pack"),
+        (col("s") % PackLen).as("pack_off"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
-    x92Decontamination, x94TokenBudgetMix, x97StratifiedSample, x99GlobalIndex)
+    x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
+    x99GlobalIndex, t33SequencePack)
 }

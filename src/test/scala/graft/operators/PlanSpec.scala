@@ -251,4 +251,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "per-bucket prefix offsets must broadcast to the corpus side")
   }
+
+  test("t33: token prefix sum is bucket-partitioned; offsets broadcast back") {
+    val p = plan("t33_sequence_pack")
+    assert("windowspecdefinition\\(b#\\d+L?, h#".r.findFirstIn(p).nonEmpty,
+      "the corpus-wide running token sum must partition by the monotone " +
+        "bucket — not a partitionBy-less global window")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket token-total offsets must broadcast to the corpus side")
+  }
 }

@@ -134,6 +134,29 @@ class ScaleSpec extends SparkSpec {
     assert(naive.size > 100, "fixture must cover enough rows to cross buckets")
   }
 
+  test("t33 bucketed sequence packing == single-task global prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val L = Pipeline.PackLen
+    val naive = T(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(H.s("text")).as("h"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      .withColumn("s", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), expr(s"s div $L").as("start_pack"),
+        expr(s"(s + n_tokens - 1) div $L").as("end_pack"),
+        (col("s") % L).as("pack_off"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val bucketed = Pipeline.t33SequencePack.fn(spark, sfDir)
+      .select("doc_id", "start_pack", "end_pack", "pack_off")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bucketed === naive)
+    // the fixture must actually exercise packing: some doc crosses a
+    // pack boundary, and more than one pack exists
+    assert(naive.values.exists(v => v._2 > v._1), "no doc spans a boundary")
+    assert(naive.values.map(_._1).toSet.size > 1, "only one pack produced")
+  }
+
   test("broadcast dimension join plans no shuffle for the fact side") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_suppkey")
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
