@@ -209,6 +209,65 @@ object Scale {
       .orderBy("a_id")
   }
 
-  val all: Seq[Q] =
-    Seq(q26SaltedJoin, q63PartitionPrunedScan, q64BucketedJoin, q65RangeJoin)
+  /** Runtime bloom-filter join pruning (semi-join reduction) — the third
+    * structural scale upgrade next to bucketing (q64) and salting (q26).
+    * When a join's build side is made small by a SELECTIVE predicate, the
+    * optimizer can build a bloom filter over the surviving join keys and
+    * push `might_contain(key)` into the FACT side's scan stage, so rows
+    * that cannot match are dropped BEFORE the shuffle — at 100 TB that is
+    * the difference between shuffling the whole fact table and shuffling
+    * the few percent that survive. Spark's `InjectRuntimeFilter` rule does
+    * this when `spark.sql.optimizer.runtime.bloomFilter.enabled` is on and
+    * the fact-side scan exceeds `applicationSideScanSizeThreshold`
+    * (default 10 GB — sized for exactly the 100 TB regime; the demo lowers
+    * it to 0 because the test tables are MBs, a real cluster keeps the
+    * default). The confs are set only while this plan is optimized and
+    * restored after: the injected bloom is frozen into the returned
+    * DataFrame's executed plan (PlanSpec gates `might_contain` + the
+    * SMJ), while later queries in the same session re-optimize under the
+    * session's own settings. Results are byte-identical with or without
+    * the bloom — the oracle runs the plain join. */
+  val q66RuntimeFilter = Q(
+    "q66_runtime_filter",
+    """SELECT l_returnflag, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+       GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
+    import Num._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only fires for probably-SHUFFLE joins: at test SF both
+      // sides sit under the broadcast threshold, which on a real 100 TB
+      // fact table they never would — model that regime, don't fake data
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = T(spark, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      val ords = T(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000)
+        .select("o_orderkey")
+      // merge hint: a broadcast join would already co-locate the filter
+      // with the scan — the bloom exists for the shuffle-join regime
+      val df = li.hint("merge")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+      df.queryExecution.executedPlan // force optimization under the confs
+      df
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
+    q64BucketedJoin, q65RangeJoin, q66RuntimeFilter)
 }

@@ -252,6 +252,16 @@ class PlanSpec extends SparkSpec {
       "per-bucket prefix offsets must broadcast to the corpus side")
   }
 
+  test("q66: runtime bloom filter prunes the fact side before the shuffle") {
+    val p = plan("q66_runtime_filter")
+    assert(p.contains("might_contain"),
+      "InjectRuntimeFilter must push a bloom membership test into the " +
+        "fact side's pre-shuffle stage")
+    assert(p.contains("SortMergeJoin"),
+      "the demo targets the shuffle-join regime (broadcast joins " +
+        "co-locate the filter already)")
+  }
+
   test("t33: token prefix sum is bucket-partitioned; offsets broadcast back") {
     val p = plan("t33_sequence_pack")
     assert("windowspecdefinition\\(b#\\d+L?, h#".r.findFirstIn(p).nonEmpty,
