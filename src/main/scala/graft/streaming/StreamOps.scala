@@ -317,4 +317,41 @@ object StreamOps {
     * set equal to batch t32's on the same documents. */
   def chunkStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.chunkRows(docs)
+
+  /** Stream-stream attribution join — q65's streaming twin: for each
+    * 'purchase' anchor, emit every other event landing within
+    * `windowSec` after it, as both sides ARRIVE. The batch design maps
+    * 1:1 onto Structured Streaming's state model: the time bin that
+    * makes the batch join an equi-join is exactly the state-store key
+    * here (anchors explode into their ≤2 bins, each point lands in one),
+    * and the BETWEEN residual becomes the event-time range condition
+    * that — together with the watermarks — lets Spark compute a state
+    * watermark and EVICT anchors/points once no future match is
+    * possible. Without the range condition the join state would grow
+    * forever; with it, state is bounded by (watermark delay + window)
+    * of traffic per bin. Inner join, append mode; matches emit as soon
+    * as both sides have arrived. StreamingSpec pins the accumulated
+    * match set equal to the batch theta join on the same fixture.
+    *
+    * `events` columns: event_id long, ts timestamp, event_type string,
+    * value double. */
+  def attributionJoin(events: DataFrame, windowSec: Long = 600L,
+      delay: String = "30 minutes"): DataFrame = {
+    val anchors = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", delay)
+      .withColumn("bin", explode(expr(
+        s"sequence(cast(a_ts as long) div $windowSec, " +
+          s"(cast(a_ts as long) + $windowSec) div $windowSec)")))
+    val points = events
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", delay)
+      .withColumn("bin", expr(s"cast(p_ts as long) div $windowSec"))
+    anchors.join(points,
+        anchors("bin") === points("bin") &&
+          col("p_ts") >= col("a_ts") &&
+          col("p_ts") <= col("a_ts") + expr(s"interval $windowSec seconds") &&
+          col("p_id") =!= col("a_id"))
+      .select("a_id", "p_id", "value")
+  }
 }

@@ -457,6 +457,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch theta join") {
+    // q65's streaming twin: the sf events (ns ts truncated to µs — the
+    // stream carries TimestampType) arrive in two event-time-ordered
+    // micro-batches; the accumulated per-anchor counts and 1e-6-quantized
+    // value sums must equal a batch theta join over the identical rows.
+    // The split point exercises cross-batch matching: anchors from batch
+    // 1 must still be in state when their batch-2 points arrive (the
+    // 30-min watermark delay exceeds the 10-min window, so nothing
+    // needed is evicted early)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.operators.T(spark, sfDir, "events")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) as ts",
+        "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._2.getTime)
+    val evDf = ev.toSeq.toDF("event_id", "ts", "event_type", "value")
+    val a = evDf.filter($"event_type" === "purchase")
+      .select($"event_id".as("a_id"), $"ts".as("a_ts"))
+    val p = evDf.select($"event_id".as("p_id"), $"ts".as("p_ts"), $"value")
+    def agg(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = df
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 1e6).cast("long")).as("sv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = agg(a.join(p,
+      $"p_ts" >= $"a_ts" &&
+        $"p_ts" <= $"a_ts" + expr("interval 600 seconds") &&
+        $"p_id" =!= $"a_id").select("a_id", "p_id", "value"))
+
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val joined = StreamOps.attributionJoin(
+      stream.toDS().toDF("event_id", "ts", "event_type", "value"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = ev.splitAt(ev.length / 2)
+      stream.addData(h1.toSeq)
+      q.processAllAvailable()
+      stream.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamed = agg(spark.table("attrib"))
+      assert(streamed === expected)
+      assert(expected.size > 10, "fixture must populate multiple windows")
+    } finally q.stop()
+  }
+
   test("foreachBatch proto sink re-encodes each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
