@@ -396,15 +396,18 @@ object Dedup {
         .join(labels.select(col("id").as("w2"), col("lbl").as("wl")),
           col("w") === col("w2"))
         .groupBy(col("u").as("pid")).agg(min(col("wl")).as("plbl"))
+      // carry the pre-round label through the update so the convergence
+      // check is a filter over THIS round's materialization — not an
+      // extra labels⋈next join per round
       val next = labels
         .join(prop, col("id") === col("pid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .cache()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      val prev = labels
+      labels = next.select("id", "lbl")
+      prev.unpersist() // next is materialized; the old round's cache is dead
       it += 1
     }
     val sz = labels.groupBy(col("lbl").as("component"))
