@@ -268,6 +268,60 @@ object Scale {
     }
   }
 
+  /** Query window for [[q67RangeLayout]]: [2024-01-08, 2024-01-15) UTC
+    * in epoch-nanos — one week of the one-month events fixture. */
+  private[operators] val RangeLoNs = 1704672000000000000L
+  private[operators] val RangeHiNs = 1705276800000000000L
+
+  /** The time-ordered layout [[q67RangeLayout]] reads: events rewritten
+    * with `repartitionByRange(ts)` + `sortWithinPartitions(ts)`, so each
+    * file covers a disjoint time slice and rows are sorted inside it —
+    * parquet then records tight ts min/max per file and row group, and a
+    * time-windowed scan skips everything outside the window at the
+    * reader level. Idempotent per source dir (same guard shape as
+    * [[partitionedOrders]]). */
+  private[operators] def rangeLayoutDf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    T(spark, dir, "events")
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions("ts")
+
+  private[operators] def rangeSortedEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_range_events_$key"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      rangeLayoutDf(spark, dir).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** q67: the third storage-layout posture demo, completing the trilogy —
+    * q63 directory-prunes a hive-partitioned layout, q64 co-locates a
+    * bucketed one, q67 time-clusters a range-sorted one. A week-window
+    * aggregation over the re-laid-out events: the predicate reaches the
+    * parquet reader (PushedFilters plan-gated), where the layout's tight
+    * per-file/row-group ts min/max turns it into wholesale skipping —
+    * at 100 TB a month-long table answers a one-week query reading ~1/4
+    * of its files instead of all of them. The write side is plan-gated
+    * too (RangePartitioning + Sort). The oracle runs the same window
+    * over the original flat table — identical results prove the layout
+    * is physics, not semantics. */
+  val q67RangeLayout = Q(
+    "q67_range_layout",
+    s"""SELECT event_type, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+       FROM events
+       WHERE epoch_ns(ts) >= $RangeLoNs AND epoch_ns(ts) < $RangeHiNs
+       GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    import Num._
+    spark.read.parquet(rangeSortedEvents(spark, dir))
+      .filter(col("ts") >= RangeLoNs && col("ts") < RangeHiNs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
-    q64BucketedJoin, q65RangeJoin, q66RuntimeFilter)
+    q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout)
 }

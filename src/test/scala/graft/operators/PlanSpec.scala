@@ -262,6 +262,20 @@ class PlanSpec extends SparkSpec {
         "co-locate the filter already)")
   }
 
+  test("q67: range-sorted layout — pushed ts filters on read, range shuffle on write") {
+    val p = plan("q67_range_layout")
+    assert("PushedFilters: \\[.*GreaterThanOrEqual\\(ts".r.findFirstIn(p).nonEmpty &&
+      p.contains("LessThan(ts"),
+      "the window predicate must reach the parquet reader, where the " +
+        "layout's per-file/row-group ts min/max makes it wholesale skipping")
+    val w = Scale.rangeLayoutDf(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(w.contains("rangepartitioning(ts"),
+      "the write side must range-shuffle on ts so files cover disjoint slices")
+    assert("\\(\\d+\\) Sort".r.findFirstIn(w).nonEmpty,
+      "rows must be sorted inside each slice")
+  }
+
   test("t33: token prefix sum is bucket-partitioned; offsets broadcast back") {
     val p = plan("t33_sequence_pack")
     assert("windowspecdefinition\\(b#\\d+L?, h#".r.findFirstIn(p).nonEmpty,
