@@ -229,11 +229,22 @@ object Bench {
       }
       if (selected(decKey) || (n == 10000 && selected(decDistKey))) {
         // materialized once outside the timers: the decode points measure
-        // the decode only, as in prior rounds
-        try {
-          val df = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
+        // the decode only, as in prior rounds. Failure domains are split:
+        // the SHARED setup (df) belongs to every point that needed it, but
+        // the dist twin's OWN setup (repartition+cache) belongs to the
+        // dist key alone — pa_decode_10000 must never be marked failed by
+        // a step it doesn't run (it runs off `df` directly).
+        val df = try {
+          val d = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
             .cache()
-          df.count()
+          d.count()
+          Some(d)
+        } catch { case e: Throwable =>
+          if (selected(decKey)) fail(decKey, e)
+          if (n == 10000 && selected(decDistKey)) fail(decDistKey, e)
+          None
+        }
+        df.foreach { df =>
           // driver-collect API floor (table_to_messages contract) ...
           if (selected(decKey)) points += decKey -> (() => {
             Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg); ()
@@ -244,16 +255,14 @@ object Bench {
           // it outside the timers so the point measures the distributed
           // decode, not an accidental single-task layout
           if (n == 10000 && selected(decDistKey)) {
-            val dfd = df.repartition(cpus.toInt).cache()
-            dfd.count()
-            points += decDistKey -> (() => {
-              Protarrow.toProtoBinary(dfd, md, GraftConfig(), reg).count(); ()
-            })
+            try {
+              val dfd = df.repartition(cpus.toInt).cache()
+              dfd.count()
+              points += decDistKey -> (() => {
+                Protarrow.toProtoBinary(dfd, md, GraftConfig(), reg).count(); ()
+              })
+            } catch { case e: Throwable => fail(decDistKey, e) }
           }
-        } catch { case e: Throwable =>
-          // a setup failure belongs to every point that needed the setup
-          if (selected(decKey)) fail(decKey, e)
-          if (n == 10000 && selected(decDistKey)) fail(decDistKey, e)
         }
       }
     }
@@ -263,13 +272,18 @@ object Bench {
     }
 
     samples.foreach { case (k, ts) => results(k) = ts.min }
-    val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + v }
+    // 4-decimal seconds: full double precision made the ~100-entry line
+    // long enough that the driver's tail capture truncated it mid-stream
+    // (round-5 BENCH artifact was not self-contained); 0.1 ms resolution
+    // loses nothing a benchmark reader uses
+    def r4(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + r4(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
       .mkString("{", ",", "}")
-    val cs = canary.mkString("[", ",", "]")
+    val cs = canary.map(r4).mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,8 +75,10 @@ object Protarrow {
     // driver-side by contract; the distributed path is toProtoBinary.
     // withExecutionId keeps the collect visible to the Spark UI and
     // QueryExecutionListeners, which driving executedPlan directly skips
+    // (ListenerSpec pins the listener callback)
     val reader = Codecs.internalRowReader(md, df.schema, cfg, reg)
-    org.apache.spark.sql.GraftBridge.withExecutionId(df.queryExecution) {
+    org.apache.spark.sql.GraftBridge.withExecutionId(
+        df.queryExecution, "dataFrameToMessages") {
       df.queryExecution.executedPlan.executeCollect()
     }.iterator.map(reader).toVector
   }

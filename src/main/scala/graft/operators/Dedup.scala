@@ -410,6 +410,13 @@ object Dedup {
       prev.unpersist() // next is materialized; the old round's cache is dead
       it += 1
     }
+    labelsToComponents(labels)
+  }
+
+  /** Shared tail of both component algorithms: (id, lbl) labels →
+    * (doc_id, component, n_members, is_keeper). One place, so the two
+    * forms cannot drift in output shape. */
+  private def labelsToComponents(labels: DataFrame): DataFrame = {
     val sz = labels.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_members"))
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
@@ -417,6 +424,87 @@ object Dedup {
       .select(col("doc_id"), col("component"), col("n_members"),
         (col("doc_id") === col("component")).as("is_keeper"))
   }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the
+    * extreme-diameter regime [[connectedComponents]]'s scaladoc names.
+    * HashMin moves the min label ONE hop per round (O(diameter) rounds:
+    * fine on band-clique dup graphs of diameter 2-4, hopeless on a
+    * path); star rounds rewire edges toward neighborhood minima, halving
+    * long paths — O(log n) rounds on a chain, same one-shuffle-per-round
+    * join/agg shape per pass. Each round = one large-star then one
+    * small-star; fixpoint when the canonical edge set stops changing, at
+    * which point edges ARE the component stars (center = component min).
+    *
+    *  - large-star(u): connect every strictly-larger neighbor to
+    *    min(Γ(u) ∪ u). Nodes never drop: for any edge (x,v) with x < v,
+    *    x's emission keeps v incident.
+    *  - small-star(u): connect every smaller neighbor AND u itself to
+    *    that min — the ∪{u} self-emission is what keeps chain interiors
+    *    alive through this pass.
+    */
+  private[operators] def starContractionLabels(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical form (small, large), no self-loops, distinct — the
+    // convergence test is set equality, so edges must stay canonical
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("w"))
+      .select(least(col("u"), col("w")).as("u"), greatest(col("u"), col("w")).as("w"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("w").as("u"), col("u").as("w")))
+    // per-node min of the closed neighborhood, joined back onto the
+    // symmetric edge list: one shuffle for the agg, one for the join
+    def withMin(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(min(col("w")).as("mw"))
+        .select(col("u").as("cu"), least(col("u"), col("mw")).as("m"))
+      s.join(m, col("u") === col("cu"))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = withMin(e)
+      canon(s.filter(col("w") > col("u"))
+        .select(col("w").as("u"), col("m").as("w")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = withMin(e)
+      canon(s.filter(col("w") < col("u"))
+        .select(col("w").as("u"), col("m").as("w"))
+        .union(s.select(col("u"), col("m").as("w"))))
+    }
+
+    // localCheckpoint per round, NOT cache: one star round references its
+    // input ~9× (sym doubles it, withMin joins it against an aggregate of
+    // itself, large+small compound), so the LOGICAL plan grows ~9^rounds
+    // even though caching bounds the physical work — by round 6 the plan
+    // tree is large enough that AQE's per-stage explainString alone burns
+    // minutes. Checkpointing truncates the lineage to the materialized
+    // partitions each round — the standard shape for iterative Spark
+    // algorithms (same reason GraphX/GraphFrames checkpoint in-loop).
+    var edges = canon(pairs.select(col("a_id").as("u"), col("b_id").as("w")))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < CCMaxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // set equality both ways: star rounds can only shrink-or-rewire, but
+      // the symmetric check makes the fixpoint test independent of that
+      changed = next.except(edges).union(edges.except(next)).count()
+      edges = next
+      it += 1
+    }
+    // at fixpoint every canonical edge is (component-min, member); the
+    // min-agg also degrades gracefully if the CCMaxIter backstop fired
+    val labels = edges.select(col("w").as("id"), col("u").as("lbl"))
+      .union(edges.select(col("u").as("id"), col("u").as("lbl")))
+      .groupBy("id").agg(min(col("lbl")).as("lbl"))
+    (labels, it)
+  }
+
+  /** [[connectedComponents]] behind the star-contraction engine — same
+    * input contract, same output shape (spec-pinned bit-equal on the d28
+    * pair graph and exact on a 1024-node shuffled chain). */
+  private[operators] def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    labelsToComponents(starContractionLabels(pairs)._1)
 
   /** MinHash-LSH verified near-dup pairs of capped per-doc sets `sh`
     * (doc_id, th): signatures → 4 band buckets → candidate equi-join →
@@ -707,9 +795,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d35: d34's component semantics behind the star-contraction engine —
+    * the extreme-diameter upgrade d34's scaladoc names, surfaced as its
+    * own oracle entry. The oracle SQL is d34's verbatim: both engines
+    * compute the same fixpoint, so any divergence between HashMin and
+    * star contraction fails the driver's hash compare. */
+  val d35ComponentsStar = Q(
+    "d35_components_star",
+    d34DedupComponents.oracle.get) { (spark, dir) =>
+    val hs0 = shingleHashes(spark, dir).cache()
+    val sh = cappedShingleSets(hs0).cache()
+    connectedComponentsStar(lshVerifiedPairs(sh).select("a_id", "b_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
-    d34DedupComponents)
+    d34DedupComponents, d35ComponentsStar)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

@@ -9,9 +9,10 @@ import Num._
   * [[graft.streaming.StreamOps]] and are spec-tested; these batch twins are
   * what the DuckDB oracle can check).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as epoch-nano
-  * LongType (see [[T]]), DuckDB as TIMESTAMP_NS via `epoch_ns` — both sides
-  * window on the identical integer nanos.
+  * `events.ts` surfaces as epoch-nano LongType whatever the physical
+  * parquet encoding is (see [[T]]'s schema-driven normalization); DuckDB
+  * reads the same column via `epoch_ns` — both sides window on the
+  * identical integer nanos.
   */
 object Events {
 

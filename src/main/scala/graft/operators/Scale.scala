@@ -290,7 +290,13 @@ object Scale {
       dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_range_events_$key"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    // the reuse guard checks the CONTRACT, not just existence: a copy
+    // written under an older loader (ts as raw timestamp) must be
+    // rewritten, or every consumer's long arithmetic breaks at analysis
+    val reusable = new java.io.File(s"$out/_SUCCESS").exists() &&
+      spark.read.parquet(out).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    if (!reusable) {
       rangeLayoutDf(spark, dir).write.mode("overwrite").parquet(out)
     }
     out

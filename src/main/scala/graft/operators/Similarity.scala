@@ -610,7 +610,13 @@ object Similarity {
     * hard-capped ([[SemCellCap]]) by a map-side WindowGroupLimit BEFORE
     * any shuffle, so the pair stage is bounded at cap²/2 per cell even
     * under a mass-duplicated embedding (SkewBench measures exactly that);
-    * the summary is a K-group aggregate. */
+    * the summary is a K-group aggregate.
+    *
+    * Streaming twin: the assignment half runs unchanged on a stream
+    * (map-only expression over the frozen matrix — SemdedupStreamSpec
+    * pins it to this batch clustering); the within-cell pair stage is
+    * batch-only BY CONTRACT (it needs every cell member), so online
+    * ingestion is stream-assign → periodic batch pair sweep. */
   val x96Semdedup = Q(
     "x96_semdedup",
     s"""WITH $semKDuck,

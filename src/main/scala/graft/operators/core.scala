@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
 
 /** One engine query: the Spark implementation plus (optionally) the
   * equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
@@ -27,14 +27,36 @@ object T {
     * pushed into the parquet scan by Catalyst (verify via PushedFilters in
     * `.explain`).
     *
-    * `events.parquet` carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; `nanosAsLong` surfaces it as LongType epoch-nanos (lossless —
-    * Spark's TimestampType is µs, so the typed read would truncate anyway).
-    * Set here so the queries work under any session, including the
-    * driver's. */
+    * CONTRACT: `events.ts` always surfaces as LongType epoch-nanos,
+    * WHATEVER the physical parquet encoding is. The engine's event-time
+    * operators (sessionization, as-of, range join, resample) all do integer
+    * nano arithmetic on it, and the DuckDB oracles read the same column via
+    * `epoch_ns(ts)`. The testdata generator has shipped the column as
+    * TIMESTAMP(NANOS) in some rounds and `timestamp[us]` in others, so the
+    * loader normalizes BY SCHEMA instead of assuming a layout:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it by default; `nanosAsLong`
+    *    surfaces it as epoch-nano LongType directly (lossless — Spark's
+    *    TimestampType is µs, so a typed read would truncate anyway).
+    *  - timestamp[us] (tz-naive → TIMESTAMP_NTZ, or UTC-adjusted →
+    *    TIMESTAMP): projected to `unix_micros(ts) * 1000`. For the naive
+    *    case the session zone is pinned UTC first, so NTZ→LTZ is
+    *    naive-as-UTC — the same reading DuckDB's `epoch_ns` gives the
+    *    oracle. Every engine entry point (Bench/Verify/SkewBench/specs)
+    *    already pins UTC; the set here makes the loader self-sufficient.
+    *  - integral (e.g. engine-written copies of events): passed through.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case Some(TimestampNTZType) =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+      case _ => df
+    }
   }
 
 }

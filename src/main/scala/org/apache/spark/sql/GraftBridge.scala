@@ -28,7 +28,19 @@ object GraftBridge {
   /** Runs `body` under a registered SQL execution id — what Dataset's own
     * withAction does around collect(). Callers that drive executedPlan
     * directly (graft's catalyst-native collect) would otherwise be
-    * invisible to QueryExecutionListeners and the Spark UI. */
-  def withExecutionId[T](qe: execution.QueryExecution)(body: => T): T =
-    execution.SQLExecution.withNewExecutionId(qe)(body)
+    * invisible to QueryExecutionListeners and the Spark UI.
+    *
+    * `name` matters: the execution-end event carries it as
+    * `executionName`, and `ExecutionListenerBus` only forwards the event
+    * to registered QueryExecutionListeners when a name is present — an
+    * unnamed execution is UI-visible but listener-invisible
+    * (ExecutionListenerBus.onOtherEvent's executionName guard). */
+  def withExecutionId[T](qe: execution.QueryExecution, name: String)(body: => T): T =
+    execution.SQLExecution.withNewExecutionId(qe, Some(name))(body)
+
+  /** Drains the async listener bus — lets specs assert on
+    * QueryExecutionListener callbacks deterministically. (`listenerBus`
+    * is `private[spark]`, hence exposed through this bridge.) */
+  def awaitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -43,6 +43,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d35: star contraction is bit-equal to HashMin on the d28 pair graph") {
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val hashMin = asMap(Dedup.d34DedupComponents.fn(spark, sfDir).collect())
+    val star = asMap(Dedup.d35ComponentsStar.fn(spark, sfDir).collect())
+    assert(hashMin.nonEmpty)
+    assert(star === hashMin, "the two component engines must agree exactly")
+  }
+
+  test("star contraction solves a 1024-node shuffled chain in O(log n) rounds") {
+    // THE regime HashMin cannot touch: a path graph moves the min label one
+    // hop per round, so 1024 nodes would need ~1023 rounds (far past the
+    // 20-round backstop). Star contraction halves long paths each round.
+    // Ids are scrambled (multiplicative perm mod a prime) so the chain
+    // order carries no accidental monotonicity the algorithm could exploit.
+    import spark.implicits._
+    val p = 104729L // prime > any id; i -> i*48271 % p is injective
+    val ids = (0 until 1024).map(i => (i.toLong * 48271L) % p)
+    val pairs = ids.sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.starContractionLabels(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectComponent = ids.min
+    assert(got.keySet === ids.toSet, "every chain node must be labeled")
+    assert(got.values.toSet === Set(expectComponent),
+      "one chain = one component rooted at the global min id")
+    assert(rounds <= 15, s"took $rounds rounds — not O(log n) on a 1024-chain")
+    assert(rounds > 1, "fixture must actually exercise multi-round contraction")
+  }
+
   test("d27/d28: the hot-shingle cap changes nothing when no shingle is hot") {
     // at sf0.001 every shingle's document frequency is far below the cap, so
     // the capped pipeline must reproduce the uncapped pair set — the cap is
