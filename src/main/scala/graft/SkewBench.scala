@@ -75,6 +75,10 @@ object SkewBench {
     // ZERO pairs, so the label-propagation graph stays at the organic
     // near-dup pairs), and each HashMin round moves only (id, lbl) longs
     "d34_dedup_components",
+    // d35 runs the same capped pair graph through star contraction — the
+    // checkpoint-per-round variant must hold the bound under the same
+    // hostile input that exercises d34
+    "d35_components_star",
     // q65's hostile input collapses 10k events onto ONE nanosecond — the
     // hottest possible time bin. The matched pairs there are inherent
     // work (every coincident purchase genuinely matches every coincident

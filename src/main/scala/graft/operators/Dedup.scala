@@ -342,8 +342,10 @@ object Dedup {
     * oracle computes the same fixpoint as a recursive transitive-closure
     * CTE — tractable at oracle SF, exactly what the Spark side must NOT
     * do at 100 TB (closure is O(n·paths); HashMin materializes only one
-    * label per node per round). At extreme diameters the known upgrade
-    * is large-star/small-star contraction (same per-round shape). */
+    * label per node per round). At extreme diameters the upgrade is
+    * large-star/small-star contraction — implemented as
+    * [[connectedComponentsStar]] / d35, spec-pinned bit-equal here and
+    * O(log n)-round on a 1024-node chain HashMin cannot finish. */
   val d34DedupComponents = Q(
     "d34_dedup_components",
     s"""WITH RECURSIVE $duckShingles,

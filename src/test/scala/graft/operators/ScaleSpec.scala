@@ -164,8 +164,8 @@ class ScaleSpec extends SparkSpec {
     // min/max, so a one-week window over the one-month table must leave
     // most row groups unread. numOutputRows of the scan counts rows that
     // survived reader-level skipping — the claim is measured, not inferred.
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val dir = {
       val sf01 = "/root/testdata/sf0.1" // judge-named SF for this evidence
       if (new java.io.File(sf01).isDirectory) sf01 else sfDir
@@ -176,11 +176,16 @@ class ScaleSpec extends SparkSpec {
       .filter(col("ts") >= Scale.RangeLoNs && col("ts") < Scale.RangeHiNs)
       .groupBy().count()
     q.collect()
-    val executed = q.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // AQE hides executed stages behind AdaptiveSparkPlanExec.executedPlan
+    // and QueryStageExec.plan — neither is a `children` member, so a plain
+    // plan.collect never reaches the scan
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec => allScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
     }
-    val scans = executed.collect { case f: FileSourceScanExec => f }
+    val scans = allScans(q.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no parquet scan in the executed plan")
     assert(scans.head.dataFilters.nonEmpty, "ts window must reach the scan as a data filter")
     val scanned = scans.map(_.metrics("numOutputRows").value).sum
