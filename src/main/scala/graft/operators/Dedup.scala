@@ -379,18 +379,34 @@ object Dedup {
     * when a round changes nothing (or at [[CCMaxIter]]). Deterministic —
     * min over longs, no tie to break. Returns (doc_id, component,
     * n_members, is_keeper). */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // pre-partition on the probe key ONCE: the cached scan keeps
-    // hashpartitioning(w), so every round's edge⋈label join reuses it
-    // instead of re-shuffling the (static) edge list per round — at
-    // scale the edge list is the big side of every round
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame =
+    labelsToComponents(hashMinLabels(pairs)._1)
+
+  /** The HashMin loop itself, returning (labels, rounds) — rounds exposed
+    * for the same diagnostic reason as [[starContractionLabels]]: the
+    * round count IS the cost model (one label shuffle per round), so specs
+    * and perf investigation can observe it directly. */
+  private[operators] def hashMinLabels(pairs: DataFrame): (DataFrame, Int) = {
+    // pre-partition on the probe key ONCE and localCheckpoint: the
+    // checkpointed RDD KEEPS hashpartitioning(w) (LogicalRDD captures the
+    // physical outputPartitioning), so every round's edge⋈label join
+    // reuses it instead of re-shuffling the (static) edge list — at scale
+    // the edge list is the big side of every round. Checkpoint, not
+    // cache: a cache bounds the physical work but not the DRIVER work —
+    // each round's plan still embeds the full upstream lineage (here the
+    // whole LSH pair pipeline) plus ~3× per round, and analysis/cache
+    // lookup canonicalize that tree on every action, which measured
+    // SECONDS per round on a 254-pair graph. Truncating per round makes
+    // round cost flat. (On a cluster, reliable `checkpoint()` to the
+    // checkpoint dir is the executor-loss-tolerant variant; localCheckpoint
+    // trades that tolerance for zero external storage.)
     val edges = pairs
       .select(col("a_id").as("u"), col("b_id").as("w"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
       .repartition(col("w"))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).cache()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < CCMaxIter) {
@@ -405,14 +421,12 @@ object Dedup {
         .join(prop, col("id") === col("pid"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("old")).count()
-      val prev = labels
       labels = next.select("id", "lbl")
-      prev.unpersist() // next is materialized; the old round's cache is dead
       it += 1
     }
-    labelsToComponents(labels)
+    (labels, it)
   }
 
   /** Shared tail of both component algorithms: (id, lbl) labels →

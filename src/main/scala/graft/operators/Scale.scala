@@ -328,6 +328,96 @@ object Scale {
       .orderBy("event_type")
   }
 
+  /** 16-bit → 32-bit Morton bit spread (the classic magic-mask chain:
+    * 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555). Pure
+    * shift/and/or on longs — every step is a codegen'd built-in. */
+  private def spread16(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) interleave of two 16-bit normalized dimensions. */
+  private[operators] def zOrder(d0: Column, d1: Column): Column =
+    spread16(d0).bitwiseOR(shiftleft(spread16(d1), 1))
+
+  /** The z-ordered layout [[q68ZOrderLayout]] reads: events rewritten
+    * range-partitioned + sorted on the Morton interleave of
+    * (user_id, ts), both normalized to 16 bits against their actual
+    * min/max (integer arithmetic only — the ts step divides BEFORE any
+    * multiply, so nothing overflows at nano resolution). A single-column
+    * range sort (q67) gives perfect skipping on ONE dimension and none on
+    * the other; z-order trades a little of each for skipping on BOTH —
+    * the layout a 100 TB events table wants when queries slice user AND
+    * time. Same contract-checking reuse guard as [[rangeSortedEvents]]. */
+  private[operators] def zOrderedEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_events_$key"
+    val reusable = new java.io.File(s"$out/_SUCCESS").exists() &&
+      spark.read.parquet(out).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    if (!reusable) {
+      val ev = T(spark, dir, "events")
+      val b = ev.agg(min("user_id"), max("user_id"), min("ts"), max("ts")).head()
+      val (minU, maxU, minT, maxT) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val uStep = (maxU - minU) / 65535L + 1L
+      val tStep = (maxT - minT) / 65535L + 1L
+      ev.withColumn("zval", zOrder(
+          expr(s"(user_id - ${minU}L) div ${uStep}L"),
+          expr(s"(ts - ${minT}L) div ${tStep}L")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Query band for [[q68ZOrderLayout]]'s user dimension: the second
+    * quartile of the id range, bounds computed with the same integer
+    * formula in both dialects. */
+  private[operators] def userBand(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val b = T(spark, dir, "events").agg(min("user_id"), max("user_id")).head()
+    val (minU, maxU) = (b.getLong(0), b.getLong(1))
+    (minU + (maxU - minU) / 4, minU + 2 * ((maxU - minU) / 4))
+  }
+
+  /** q68: the FOURTH storage-layout posture — multi-dimensional
+    * clustering. q63 prunes directories, q64 co-locates buckets, q67
+    * skips row groups on one sorted dimension; q68 z-orders TWO
+    * dimensions (user_id, ts) so a query slicing both — a user cohort
+    * inside a time window, the shape of per-user event analytics at
+    * 100 TB — skips on both at once: Morton clustering keeps rows close
+    * in BOTH dimensions physically adjacent, so each file/row-group's
+    * user_id AND ts min/max are simultaneously tight. The oracle runs
+    * the identical slice on the flat table: the layout is physics, not
+    * semantics. ScaleSpec measures the skipping (scan rows ≪ table
+    * rows); PlanSpec gates that both predicates reach the reader. */
+  val q68ZOrderLayout = Q(
+    "q68_zorder_layout",
+    s"""WITH b AS (SELECT MIN(user_id) AS lo,
+                          (MAX(user_id) - MIN(user_id)) // 4 AS q FROM events)
+       SELECT event_type, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+       FROM events, b
+       WHERE user_id >= b.lo + b.q AND user_id < b.lo + 2 * b.q
+         AND epoch_ns(ts) >= $RangeLoNs AND epoch_ns(ts) < $RangeHiNs
+       GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    import Num._
+    val (uLo, uHi) = userBand(spark, dir)
+    spark.read.parquet(zOrderedEvents(spark, dir))
+      .filter(col("user_id") >= uLo && col("user_id") < uHi &&
+        col("ts") >= RangeLoNs && col("ts") < RangeHiNs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
-    q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout)
+    q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout,
+    q68ZOrderLayout)
 }

@@ -377,7 +377,50 @@ object TextOps {
         array_join(slice(col("toks"), col("st"), lit(ChunkSize)), " ")
           .as("chunk_text"))
 
+  /** t34: per-document corpus surprisal — the perplexity-proxy filter a
+    * pretraining pipeline runs with a corpus-level unigram model (docs
+    * whose tokens are all corpus-common are boilerplate; docs of
+    * corpus-rare tokens are gibberish/OOV-heavy; both tails get culled).
+    * Per token the score is floor-quantized Shannon surprisal in bits,
+    * floor(log2 T) − floor(log2 cnt(w)), computed EXACTLY in integers as
+    * `length(bin(T)) − length(bin(cnt))` — a transcendental log here
+    * would be the one place in the engine where Spark's libm and
+    * DuckDB's could drift a ulp and flip a floor; binary-string length
+    * cannot drift. Output: token count, total bits, and the mean bits
+    * ppm (integer-scaled mean surprisal per token).
+    *
+    * Scale shape: one vocab aggregate (map-side partial over tokens),
+    * one token⋈vocab equi-join (vocab is the small side — AQE
+    * broadcasts it at any realistic vocab/corpus ratio), the 1-row
+    * total crossJoin broadcast, then a per-doc aggregate that reuses
+    * the explode's partitioning. No driver loop, no doubles anywhere. */
+  val t34Surprisal = Q(
+    "t34_surprisal",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+       tot AS (SELECT COUNT(*) AS t FROM tok),
+       sc AS (SELECT tok.doc_id,
+                     CAST(LENGTH(bin(tot.t)) - LENGTH(bin(cnt.c)) AS BIGINT) AS bits
+              FROM tok JOIN cnt ON tok.w = cnt.w, tot)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(bits) AS BIGINT) AS sum_bits,
+              SUM(bits) * 1000000 // COUNT(*) AS mean_bits_ppm
+       FROM sc GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
+    val tok = T(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    tok.join(cnt, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("bits",
+        (length(bin(col("t"))) - length(bin(col("c")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits_ppm", expr("sum_bits * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
-    t31PiiRedact, t32ChunkOverlap)
+    t31PiiRedact, t32ChunkOverlap, t34Surprisal)
 }

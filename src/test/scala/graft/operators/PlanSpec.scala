@@ -276,6 +276,27 @@ class PlanSpec extends SparkSpec {
       "rows must be sorted inside each slice")
   }
 
+  test("q68: z-order layout — both dimensions pushed on read, zval range shuffle on write") {
+    val p = plan("q68_zorder_layout")
+    assert("PushedFilters: \\[.*GreaterThanOrEqual\\(user_id".r.findFirstIn(p).nonEmpty,
+      "the user band must reach the parquet reader")
+    assert("GreaterThanOrEqual\\(ts".r.findFirstIn(p).nonEmpty &&
+      p.contains("LessThan(ts"),
+      "the time window must reach the parquet reader alongside the user band")
+  }
+
+  test("t34: surprisal total is a broadcast, never a shuffle of the token stream") {
+    // the 1-row corpus total rides a BroadcastNestedLoopJoin/broadcast
+    // exchange; the vocab join is deliberately NOT pinned to broadcast —
+    // a web-scale whitespace vocab can be billions of rows, so that join
+    // shuffles by contract and AQE upgrades it to broadcast when small
+    val p = plan("t34_surprisal")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row total must broadcast to the token stream")
+    assert(!p.contains("CartesianProduct"),
+      "the total crossJoin must be the broadcast form, not a cartesian")
+  }
+
   test("t33: token prefix sum is bucket-partitioned; offsets broadcast back") {
     val p = plan("t33_sequence_pack")
     assert("windowspecdefinition\\(b#\\d+L?, h#".r.findFirstIn(p).nonEmpty,

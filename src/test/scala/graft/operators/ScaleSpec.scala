@@ -4,6 +4,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import graft.SparkSpec
 
+object ScaleSpec {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  /** AQE hides executed stages behind AdaptiveSparkPlanExec.executedPlan
+    * and QueryStageExec.plan — neither is a `children` member, so a plain
+    * plan.collect never reaches the scan. */
+  def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case s: QueryStageExec => allScans(s.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+}
+
 /** Plan-level gates for the scale techniques: salted joins preserve
   * results; bucketed tables co-locate joins (no shuffle on either side);
   * broadcast joins have no shuffle at all. */
@@ -164,8 +178,6 @@ class ScaleSpec extends SparkSpec {
     // min/max, so a one-week window over the one-month table must leave
     // most row groups unread. numOutputRows of the scan counts rows that
     // survived reader-level skipping — the claim is measured, not inferred.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val dir = {
       val sf01 = "/root/testdata/sf0.1" // judge-named SF for this evidence
       if (new java.io.File(sf01).isDirectory) sf01 else sfDir
@@ -176,22 +188,41 @@ class ScaleSpec extends SparkSpec {
       .filter(col("ts") >= Scale.RangeLoNs && col("ts") < Scale.RangeHiNs)
       .groupBy().count()
     q.collect()
-    // AQE hides executed stages behind AdaptiveSparkPlanExec.executedPlan
-    // and QueryStageExec.plan — neither is a `children` member, so a plain
-    // plan.collect never reaches the scan
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case s: QueryStageExec => allScans(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(allScans)
-    }
-    val scans = allScans(q.queryExecution.executedPlan)
+    val scans = ScaleSpec.allScans(q.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no parquet scan in the executed plan")
     assert(scans.head.dataFilters.nonEmpty, "ts window must reach the scan as a data filter")
     val scanned = scans.map(_.metrics("numOutputRows").value).sum
     assert(scanned < total * 0.4,
       s"scan surfaced $scanned of $total rows — the range layout is not skipping row groups")
     assert(scanned > 0, "the week window must not be empty")
+  }
+
+  test("q68 z-order layout skips on BOTH dimensions: cohort+week scan reads < 40%") {
+    // the 2-dim claim measured: a user-quartile × one-week slice over the
+    // z-ordered copy must leave most row groups unread — simultaneously
+    // tight user_id AND ts min/max per row group is exactly what Morton
+    // clustering buys that a single-column sort cannot
+    val dir = {
+      val sf01 = "/root/testdata/sf0.1"
+      if (new java.io.File(sf01).isDirectory) sf01 else sfDir
+    }
+    val layout = Scale.zOrderedEvents(spark, dir)
+    val total = spark.read.parquet(layout).count()
+    val (uLo, uHi) = Scale.userBand(spark, dir)
+    val q = spark.read.parquet(layout)
+      .filter(col("user_id") >= uLo && col("user_id") < uHi &&
+        col("ts") >= Scale.RangeLoNs && col("ts") < Scale.RangeHiNs)
+      .groupBy().count()
+    q.collect()
+    val scans = ScaleSpec.allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan in the executed plan")
+    val pushed = scans.head.dataFilters.map(_.toString).mkString(" ")
+    assert(pushed.contains("user_id") && pushed.contains("ts"),
+      s"both dimensions must reach the scan as data filters, got: $pushed")
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    assert(scanned < total * 0.4,
+      s"scan surfaced $scanned of $total rows — z-order is not skipping row groups")
+    assert(scanned > 0, "the slice must not be empty")
   }
 
   test("broadcast dimension join plans no shuffle for the fact side") {
