@@ -272,10 +272,12 @@ object Bench {
     }
 
     samples.foreach { case (k, ts) => results(k) = ts.min }
-    // 4-decimal seconds: full double precision made the ~100-entry line
-    // long enough that the driver's tail capture truncated it mid-stream
-    // (round-5 BENCH artifact was not self-contained); 0.1 ms resolution
-    // loses nothing a benchmark reader uses
+    // Layout for the driver's 2000-char TAIL capture: the per-query map
+    // (~3 KB at 100+ entries even at 4-decimal seconds) cannot fully fit,
+    // so it goes FIRST and the summary the round record needs — metric,
+    // total, canaries, ERRORS, sf — goes LAST, guaranteed inside the
+    // tail window. (Round-5's artifact had the opposite order and
+    // preserved neither summary nor errors.) Still one JSON line.
     def r4(v: Double): String = "%.4f".format(v)
     val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + r4(v) }
       .mkString("{", ",", "}")
@@ -283,7 +285,7 @@ object Bench {
       .mkString("{", ",", "}")
     val cs = canary.map(r4).mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
