@@ -67,15 +67,31 @@ object Scale {
       .orderBy("o_orderpriority")
   }
 
+  /** Cache key for a derived /tmp layout: the source dir PLUS a
+    * fingerprint of the source parquet's file stats (name, size, mtime).
+    * Keying by dir alone survives a testdata REGENERATION — the round-5
+    * failure mode at the type level, but a same-schema regeneration would
+    * be worse: the cached layout would silently serve STALE ROWS and the
+    * oracle (which reads the live table) would hash-mismatch. A content
+    * fingerprint makes regenerated sources land on a fresh layout path. */
+  private[operators] def sourceKey(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val stats: Seq[(String, Long, Long)] =
+      if (f.isDirectory)
+        f.listFiles().map(p => (p.getName, p.length, p.lastModified)).sortBy(_._1).toSeq
+      else Seq((f.getName, f.length, f.lastModified))
+    java.lang.Integer.toHexString((dir, table, stats).hashCode)
+  }
+
   /** Hive-partitioned rewrite of `orders` (…/o_year=YYYY/part-*.parquet),
-    * written once per source dir and reused — the layout a 100 TB fact
-    * table actually ships in. Idempotent: keyed by the source dir, gated
-    * on the _SUCCESS marker; a torn write (no marker) is rewritten. Same
-    * rows as the driver's orders table, only re-laid-out. */
+    * written once per source-dir CONTENT and reused — the layout a 100 TB
+    * fact table actually ships in. Idempotent: keyed by [[sourceKey]],
+    * gated on the _SUCCESS marker; a torn write (no marker) is
+    * rewritten. Same rows as the driver's orders table, only
+    * re-laid-out. */
   private[operators] def partitionedOrders(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$key"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${sourceKey(dir, "orders")}"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       T(spark, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
@@ -288,8 +304,7 @@ object Scale {
 
   private[operators] def rangeSortedEvents(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_range_events_$key"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_range_events_${sourceKey(dir, "events")}"
     // the reuse guard checks the CONTRACT, not just existence: a copy
     // written under an older loader (ts as raw timestamp) must be
     // rewritten, or every consumer's long arithmetic breaks at analysis
@@ -353,8 +368,7 @@ object Scale {
     * time. Same contract-checking reuse guard as [[rangeSortedEvents]]. */
   private[operators] def zOrderedEvents(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_events_$key"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_events_${sourceKey(dir, "events")}"
     val reusable = new java.io.File(s"$out/_SUCCESS").exists() &&
       spark.read.parquet(out).schema("ts").dataType ==
         org.apache.spark.sql.types.LongType
