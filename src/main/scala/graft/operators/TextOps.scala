@@ -410,6 +410,19 @@ object TextOps {
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
     val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = tok.agg(count(lit(1)).as("t"))
+    surprisalScore(tok, cnt, tot).orderBy("doc_id")
+  }
+
+  /** The t34 scoring transform against a FROZEN model — (w, c) vocab and
+    * 1-row (t) total — shared by the batch query and the streaming twin:
+    * the model sides are static/broadcast, the token stream is the only
+    * moving part, so the same code scores an ingest stream incrementally
+    * (SurprisalStreamSpec pins stream == batch). Mirrors the x96
+    * contract: model-building (vocab counts / centroids) is batch,
+    * model-APPLICATION streams. */
+  private[graft] def surprisalScore(tok: org.apache.spark.sql.DataFrame,
+      cnt: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     tok.join(cnt, "w")
       .crossJoin(broadcast(tot))
       .withColumn("bits",
@@ -417,8 +430,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
       .withColumn("mean_bits_ppm", expr("sum_bits * 1000000 div n_tokens"))
-      .orderBy("doc_id")
-  }
 
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
