@@ -79,6 +79,18 @@ object SkewBench {
     // checkpoint-per-round variant must hold the bound under the same
     // hostile input that exercises d34
     "d35_components_star",
+    // t34's hostile input makes the dup doc's tokens corpus-hot (df-style
+    // skew on the vocab join key — the Zipf head every real corpus has).
+    // The token⋈vocab join survives because the vocab side is the SMALL
+    // side (AQE broadcasts it here; at billion-token vocab scale the
+    // shuffle join's hot w key is split by AQE skew-join, and the per-doc
+    // aggregate re-keys by doc_id immediately after)
+    "t34_surprisal",
+    // q68's hostile input piles 10k events onto one (user, nanosecond)
+    // point — one hot z-value. The layout write absorbs it (one range
+    // partition holds the pile; the sort is local), and the query is a
+    // scan + aggregate whose partials absorb the pile map-side
+    "q68_zorder_layout",
     // q65's hostile input collapses 10k events onto ONE nanosecond — the
     // hottest possible time bin. The matched pairs there are inherent
     // work (every coincident purchase genuinely matches every coincident
