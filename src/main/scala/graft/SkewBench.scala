@@ -79,6 +79,11 @@ object SkewBench {
     // checkpoint-per-round variant must hold the bound under the same
     // hostile input that exercises d34
     "d35_components_star",
+    // d36's hostile input is the strongest gram-df case: the 10k identical
+    // docs give EVERY one of their 8-grams df ≥ 10k — all capped out, so
+    // the dup cluster contributes zero span pairs (d26 owns mass dups by
+    // the pipeline contract) and the span join stays at organic matches
+    "d36_duplicate_spans",
     // t34's hostile input makes the dup doc's tokens corpus-hot (df-style
     // skew on the vocab join key — the Zipf head every real corpus has).
     // The token⋈vocab join survives because the vocab side is the SMALL

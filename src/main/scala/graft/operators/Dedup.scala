@@ -811,6 +811,90 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d36 tuning: gram width (tokens) for span detection, the document-
+    * frequency cap that keeps boilerplate grams out of the pair join (same
+    * contract as [[MaxShingleDf]]), and the minimum reported span. */
+  private[operators] val SpanGram = 8
+  private[operators] val SpanGramDfCap = 64
+  private[operators] val SpanMinTokens = 12
+
+  /** d36: exact duplicated-SPAN detection — the span-granular form of
+    * exact-substring dedup (Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better"): find maximal runs of ≥
+    * [[SpanMinTokens]] tokens shared verbatim between two documents, with
+    * positions, so a pipeline can strip the repeated boilerplate while
+    * keeping both documents. Doc-level dedup (d26-d28) cannot see these —
+    * two 5k-token pages sharing a 200-token licence header are not
+    * near-dups.
+    *
+    * Algorithm (pure relational, both engines run it verbatim): token
+    * [[SpanGram]]-grams with positions → document-frequency cap (grams in
+    * > [[SpanGramDfCap]] docs are corpus boilerplate; the cap bounds the
+    * gram join exactly like d27's shingle cap) → occurrence equi-join on
+    * the gram STRING (cross-engine identity for free, a < b) → matches on
+    * one diagonal (pa − pb) with consecutive positions collapse to one
+    * span via the rownumber-island trick → spans ≥ [[SpanMinTokens]].
+    *
+    * Scale shape: explode fan-out ≈ tokens/doc (linear); the join is an
+    * inverted-index join on gram, never doc×doc, with per-gram membership
+    * df-capped; islands/spans are one window + one aggregate keyed by the
+    * (a,b) pair. Intra-doc repetition can still multiply occurrences of a
+    * df-passing gram (m×n matches when BOTH docs repeat it) — genuine
+    * output, same quadratic-output-by-contract caveat as d30. */
+  val d36DuplicateSpans = Q(
+    "d36_duplicate_spans",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        grams AS (SELECT doc_id, i AS pos,
+                         array_to_string(tk[i:i+${SpanGram - 1}], ' ') AS g
+                  FROM toks, UNNEST(generate_series(1, len(tk) - ${SpanGram - 1})) AS t(i)),
+        hot AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
+                               FROM grams GROUP BY g) WHERE df > $SpanGramDfCap),
+        occ AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+        p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.pos AS pa, y.pos AS pb
+              FROM occ x JOIN occ y ON x.g = y.g AND x.doc_id < y.doc_id),
+        isl AS (SELECT a_id, b_id, pa, pb, pa - pb AS diag,
+                       pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, pa - pb
+                         ORDER BY pa) AS isl
+                FROM p),
+        spans AS (SELECT a_id, b_id,
+                         CAST(MIN(pa) AS BIGINT) AS a_start,
+                         CAST(MIN(pb) AS BIGINT) AS b_start,
+                         CAST(MAX(pa) - MIN(pa) + $SpanGram AS BIGINT) AS span_tokens
+                  FROM isl GROUP BY a_id, b_id, diag, isl)
+        SELECT * FROM spans WHERE span_tokens >= $SpanMinTokens
+        ORDER BY a_id, b_id, a_start, b_start""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val grams = T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts
+      // DOWN (DuckDB's generate_series is empty) — short docs must not
+      // reach it
+      .filter(size(col("tk")) >= SpanGram)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - (SpanGram - 1))).as("pos"),
+        col("tk"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("tk"), col("pos"), lit(SpanGram)), " ").as("g"))
+    val hot = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > SpanGramDfCap)
+      .select("g")
+    val occ = grams.join(hot, Seq("g"), "left_anti")
+    val p = occ.select(col("g"), col("doc_id").as("a_id"), col("pos").as("pa"))
+      .join(occ.select(col("g").as("g2"), col("doc_id").as("b_id"), col("pos").as("pb")),
+        col("g") === col("g2") && col("a_id") < col("b_id"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
+    p.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("a_id", "b_id", "diag", "isl")
+      .agg(min(col("pa")).cast("long").as("a_start"),
+        min(col("pb")).cast("long").as("b_start"),
+        (max(col("pa")) - min(col("pa")) + SpanGram).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= SpanMinTokens)
+      .select("a_id", "b_id", "a_start", "b_start", "span_tokens")
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+  }
+
   /** d35: d34's component semantics behind the star-contraction engine —
     * the extreme-diameter upgrade d34's scaladoc names, surfaced as its
     * own oracle entry. The oracle SQL is d34's verbatim: both engines
@@ -827,7 +911,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
-    d34DedupComponents, d35ComponentsStar)
+    d34DedupComponents, d35ComponentsStar, d36DuplicateSpans)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL
