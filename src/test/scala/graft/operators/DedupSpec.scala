@@ -73,6 +73,40 @@ class DedupSpec extends SparkSpec {
     assert(rounds > 1, "fixture must actually exercise multi-round contraction")
   }
 
+  test("d36: spans equal a plain-Scala gram-match merge over the corpus") {
+    // independent recomputation (the oracle checks Spark vs DuckDB; this
+    // checks the ALGORITHM against a direct in-memory implementation)
+    val g = Dedup.SpanGram
+    val docs = T(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') as tk")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq).toMap
+    val occ = scala.collection.mutable.Map[String, Vector[(Long, Int)]]()
+    for ((id, tk) <- docs; i <- 1 to tk.length - g + 1) {
+      val gram = tk.slice(i - 1, i - 1 + g).mkString(" ")
+      occ(gram) = occ.getOrElse(gram, Vector.empty) :+ ((id, i))
+    }
+    val matches = for {
+      (_, os) <- occ.toSeq
+      if os.map(_._1).distinct.size <= Dedup.SpanGramDfCap
+      (a, pa) <- os; (b, pb) <- os if a < b
+    } yield ((a, b, pa.toLong - pb), (pa, pb))
+    val expect = matches.groupBy(_._1).toSeq.flatMap { case ((a, b, _), ms) =>
+      // consecutive pa runs on one diagonal = one span
+      val ps = ms.map(_._2).sortBy(_._1)
+      val runs = ps.foldLeft(Vector.empty[Vector[(Int, Int)]]) { (acc, p) =>
+        if (acc.nonEmpty && acc.last.last._1 + 1 == p._1) acc.init :+ (acc.last :+ p)
+        else acc :+ Vector(p)
+      }
+      runs.map(r => (a, b, r.head._1.toLong, r.head._2.toLong,
+        (r.last._1 - r.head._1 + g).toLong))
+    }.filter(_._5 >= Dedup.SpanMinTokens).toSet
+    val got = Dedup.d36DuplicateSpans.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(expect.nonEmpty, "fixture must contain shared spans")
+    assert(got === expect)
+  }
+
   test("d27/d28: the hot-shingle cap changes nothing when no shingle is hot") {
     // at sf0.001 every shingle's document frequency is far below the cap, so
     // the capped pipeline must reproduce the uncapped pair set — the cap is
