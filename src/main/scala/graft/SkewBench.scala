@@ -102,7 +102,27 @@ object SkewBench {
     // point; the per-anchor SUM must see each match), but the plan stays
     // an equi-join on bin whose partial aggregation absorbs the pair
     // stream map-side — no nested loop, no driver involvement
-    "q65_range_join")
+    "q65_range_join",
+    // d37's hostile input puts 2,000 of the 10k dup docs in the arriving
+    // batch and 8,000 in the corpus — every shingle of the cluster has
+    // corpus df ≥ 8k ≫ MaxShingleDf, so the broadcast hot-profile caps
+    // them ALL out of both the corpus index and the batch bands: the
+    // cluster contributes zero candidates (d26 owns mass dups by the
+    // pipeline contract) and the incremental probe stays at organic
+    // matches — the cap defends the ingest path exactly like the batch one
+    "d37_incremental_dedup",
+    // q69's hostile input is the flash-crowd nanosecond: ~2k view and ~2k
+    // error windows all open at ONE instant, so every cross pair overlaps
+    // — the OUTPUT is inherently quadratic there (all pairs genuinely
+    // match, like d30's contract), but the plan stays a bin equi-join:
+    // the hot bin is one key whose matched pairs stream straight out of
+    // the join without any wide distinct (home-bin rule) or driver state
+    "q69_interval_join",
+    // q70 is keyed per-user with O(1) window state — the flash-crowd
+    // instant lands many EVENTS on one timestamp but never widens any
+    // user's partition; the funnel's one user_id shuffle is unaffected
+    // by time skew (the orthogonal-axis control in this gauntlet)
+    "q70_funnel")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -909,9 +909,166 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // d37: incremental batch-vs-corpus near-dedup (continuous ingestion)
+  // ---------------------------------------------------------------------
+
+  /** Batch membership for [[d37IncrementalDedup]]: every 5th doc_id is
+    * "newly arriving", the rest is the standing corpus. Deterministic and
+    * SF-independent, so the oracle can mirror the split exactly. */
+  private val d37BatchMod = 5
+
+  /** Band key with the band index embedded — a SINGLE join column, so the
+    * candidate join's key matches the corpus index's bucketing exactly
+    * (a composite (b, bkey) key would need hashpartitioning(b, bkey),
+    * which bucketing on bkey alone cannot satisfy). */
+  private val d37BkeySpark =
+    "concat(cast(b as string), ':', cast(m[b*3] as string), ',', " +
+      "cast(m[b*3+1] as string), ',', cast(m[b*3+2] as string))"
+
+  /** The precomputed corpus-side near-dup index for [[d37IncrementalDedup]]:
+    *  - `hot` (parquet): the corpus's hot-shingle profile (df >
+    *    [[MaxShingleDf]]) — tiny by construction, broadcast to cap every
+    *    future batch with the CORPUS's document frequencies (a batch
+    *    cannot know corpus-wide df any other way; same contract as the
+    *    streaming tier's hotShingles guard);
+    *  - `sets` (8-bucket table on doc_id): capped per-doc shingle sets,
+    *    the verification side;
+    *  - `bands` (8-bucket table on bkey, sorted): the LSH band index the
+    *    per-batch candidate join probes.
+    * Written ONCE per source-dir content ([[Scale.sourceKey]]) — at 100 TB
+    * this index is maintained incrementally (admitted docs append their
+    * bands/sets), never recomputed; the rebuild here stands in for the
+    * initial bootstrap. */
+  private[operators] def d37CorpusIndex(
+      spark: SparkSession, dir: String): (String, String, String) = {
+    val key = Scale.sourceKey(dir, "documents")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val hotPath = s"$tmp/graft_d37_hot_$key"
+    val setsT = s"graft_d37_sets_$key"
+    val bandsT = s"graft_d37_bands_$key"
+    if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)
+      || !new java.io.File(s"$hotPath/_SUCCESS").exists()) {
+      val corpus = T(spark, dir, "documents")
+        .filter(col("doc_id") % d37BatchMod =!= 0).select("doc_id", "text")
+      val hs = shingleHashesFrom(corpus).cache()
+      hs.select(explode(col("th")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf).select("h")
+        .write.mode("overwrite").parquet(hotPath)
+      val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
+        .join(broadcast(spark.read.parquet(hotPath)), Seq("h"), "left_anti")
+      ex.groupBy("doc_id").agg(collect_list(col("h")).as("th"))
+        .write.mode("overwrite").bucketBy(8, "doc_id")
+        .option("path", s"$tmp/graft_d37_sets_$key").saveAsTable(setsT)
+      spark.table(setsT).withColumn("m", expr(sigSpark))
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
+        .selectExpr("doc_id", s"$d37BkeySpark as bkey")
+        .write.mode("overwrite").bucketBy(8, "bkey").sortBy("bkey")
+        .option("path", s"$tmp/graft_d37_bands_$key").saveAsTable(bandsT)
+      hs.unpersist()
+    }
+    (hotPath, setsT, bandsT)
+  }
+
+  /** d37: INCREMENTAL near-dedup — admit or reject a batch of newly
+    * arriving documents against a standing corpus WITHOUT touching the
+    * corpus's text. The continuous-ingestion shape every production
+    * training-data pipeline runs: the corpus's LSH index
+    * ([[d37CorpusIndex]]) is precomputed and bucketed, so per-batch cost
+    * is ∝ batch size — batch bands probe the bucketed band index with
+    * ZERO corpus-side shuffle (the index scan is pre-bucketed on the
+    * single bkey join column; PlanSpec gates it), batch docs are capped
+    * by the corpus's broadcast hot-shingle profile, and only
+    * band-colliding candidates fetch corpus shingle sets (bucketed on
+    * doc_id) for exact-Jaccard verification at ≥ 0.5.
+    *
+    * Within-batch duplicates reject greedily against earlier batch docs
+    * (a_id < b_id) — the batch band self-join is batch-sized, not
+    * corpus-sized. Output: every batch doc with its verdict (admitted =
+    * no match in corpus ∪ earlier batch), the match count, and the
+    * smallest matching partner. The oracle recomputes the identical
+    * fixpoint from scratch — same hash, same cap, same bands — proving
+    * the incremental decomposition returns exactly what a full-corpus
+    * rerun would. */
+  val d37IncrementalDedup = Q(
+    "d37_incremental_dedup",
+    s"""WITH $duckShingles,
+        $duckHashedShingles,
+        cex AS (SELECT doc_id, unnest(th) AS h FROM hs0 WHERE doc_id % $d37BatchMod <> 0),
+        hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM cex GROUP BY h)
+                WHERE df > $MaxShingleDf),
+        ex2 AS (SELECT e.doc_id, e.h
+                FROM (SELECT doc_id, unnest(th) AS h FROM hs0) e
+                WHERE e.h NOT IN (SELECT h FROM hot)),
+        sh2 AS (SELECT doc_id, list(h) AS th FROM ex2 GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sigDuck AS m FROM sh2),
+        band AS (SELECT doc_id, CAST(b AS VARCHAR) || ':' || m[b*3+1]::VARCHAR
+                   || ',' || m[b*3+2]::VARCHAR || ',' || m[b*3+3]::VARCHAR AS bkey
+                 FROM sig, range(0, 4) r(b)),
+        cand AS (SELECT DISTINCT n.doc_id AS b_id, o.doc_id AS a_id
+                 FROM band n JOIN band o ON n.bkey = o.bkey
+                 WHERE n.doc_id % $d37BatchMod = 0
+                   AND (o.doc_id % $d37BatchMod <> 0 OR o.doc_id < n.doc_id)),
+        v AS (SELECT b_id, a_id,
+                     CAST(len(list_intersect(sb.th, sa.th)) AS BIGINT) AS n_common,
+                     CAST(len(sb.th) AS BIGINT) AS n_b,
+                     CAST(len(sa.th) AS BIGINT) AS n_a
+              FROM cand JOIN sh2 sb ON b_id = sb.doc_id
+                        JOIN sh2 sa ON a_id = sa.doc_id),
+        m AS (SELECT b_id, COUNT(*) AS n_matches, MIN(a_id) AS first_match
+              FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+              GROUP BY b_id)
+        SELECT d.doc_id,
+               CAST(CASE WHEN m.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+               COALESCE(m.n_matches, 0) AS n_matches, m.first_match
+        FROM (SELECT doc_id FROM documents WHERE doc_id % $d37BatchMod = 0) d
+        LEFT JOIN m ON d.doc_id = m.b_id
+        ORDER BY d.doc_id""") { (spark, dir) =>
+    val (hotPath, setsT, bandsT) = d37CorpusIndex(spark, dir)
+    val batch = T(spark, dir, "documents")
+      .filter(col("doc_id") % d37BatchMod === 0)
+    val bex = shingleHashesFrom(batch.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("th")).as("h"))
+      .join(broadcast(spark.read.parquet(hotPath)), Seq("h"), "left_anti")
+    val bsets = bex.groupBy("doc_id").agg(collect_list(col("h")).as("th")).cache()
+    val bband = bsets.withColumn("m", expr(sigSpark))
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
+      .selectExpr("doc_id", s"$d37BkeySpark as bkey").cache()
+    val candCorpus = bband.select(col("bkey"), col("doc_id").as("b_id"))
+      .join(spark.table(bandsT).hint("merge")
+        .select(col("bkey"), col("doc_id").as("a_id")), "bkey")
+      .select("b_id", "a_id")
+    val candBatch = bband.select(col("bkey"), col("doc_id").as("b_id"))
+      .join(bband.select(col("bkey"), col("doc_id").as("a_id")), "bkey")
+      .filter(col("a_id") < col("b_id"))
+      .select("b_id", "a_id")
+    val cand = candCorpus.unionByName(candBatch).distinct()
+    val setsAll = spark.table(setsT).unionByName(bsets)
+    val matches = cand
+      .join(setsAll.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
+      .join(setsAll.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
+      .withColumn("n_common", size(array_intersect(col("th_a"), col("th_b"))).cast("long"))
+      .withColumn("n_a", size(col("th_a")).cast("long"))
+      .withColumn("n_b", size(col("th_b")).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("b_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("a_id")).as("first_match"))
+    batch.select(col("doc_id"))
+      .join(matches.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_matches").isNull, 1L).otherwise(0L).as("admitted"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_match"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
-    d34DedupComponents, d35ComponentsStar, d36DuplicateSpans)
+    d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
+    d37IncrementalDedup)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

@@ -123,5 +123,68 @@ object Events {
       .orderBy("user_id", "day")
   }
 
-  val all: Seq[Q] = Seq(q51EventWindows, q52Sessionization, q57ResampleFfill)
+  /** Conversion window for [[q70Funnel]]: 7 days in nanos. */
+  private val FunnelWindowNs = 604800000000000L
+
+  /** Funnel analysis: per user, the first 'view', the first 'click' after
+    * that view, and the first 'purchase' after that click — all within 7
+    * days of the view. The product-analytics sequence query (view →
+    * click → purchase), and the shape behind multi-step training-data
+    * provenance chains (crawled → filtered → selected).
+    *
+    * Shape: each funnel stage is a conditional MIN over the user's
+    * partition, where the condition references the previous stage's
+    * result — three Window operators over the SAME
+    * `partitionBy(user_id)`, so Spark shuffles ONCE and pipelines all
+    * three passes over the sorted runs (PlanSpec gates the single
+    * exchange); the closing per-user collapse is a distinct on values
+    * constant within the partition, which reuses that distribution too.
+    * Per-user state is O(1) — full-partition MIN frames, no
+    * quadratic-in-events anything — so 1000 executors split users
+    * evenly at any event volume; a celebrity-user partition is one hot
+    * key among 32 (AQE handles it like any other skew).
+    *
+    * Stage semantics are strict ordering (click strictly after view,
+    * purchase strictly after click, both within view+7d) with NULL
+    * propagation: no view → user excluded; no qualifying click →
+    * click_ts and purchase_ts NULL (a purchase without a preceding
+    * click does NOT count — that's the funnel contract). */
+  val q70Funnel = Q(
+    "q70_funnel",
+    s"""WITH x AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsn END)
+                         OVER (PARTITION BY user_id) AS view_ts FROM x),
+        w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tsn > view_ts
+                                   AND tsn <= view_ts + $FunnelWindowNs THEN tsn END)
+                         OVER (PARTITION BY user_id) AS click_ts FROM w1),
+        w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tsn > click_ts
+                                   AND tsn <= view_ts + $FunnelWindowNs THEN tsn END)
+                         OVER (PARTITION BY user_id) AS purchase_ts FROM w2)
+        SELECT DISTINCT user_id, view_ts, click_ts, purchase_ts,
+               CAST(1 + (CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stage
+        FROM w3 WHERE view_ts IS NOT NULL ORDER BY user_id""") { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+    T(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "ts as tsn")
+      .withColumn("view_ts",
+        min(when(col("event_type") === "view", col("tsn"))).over(byUser))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" && col("tsn") > col("view_ts")
+          && col("tsn") <= col("view_ts") + FunnelWindowNs, col("tsn"))).over(byUser))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" && col("tsn") > col("click_ts")
+          && col("tsn") <= col("view_ts") + FunnelWindowNs, col("tsn"))).over(byUser))
+      .filter(col("view_ts").isNotNull)
+      .select("user_id", "view_ts", "click_ts", "purchase_ts")
+      .distinct()
+      .withColumn("stage",
+        (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+          + when(col("purchase_ts").isNotNull, 1).otherwise(0)).cast("long"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel)
 }

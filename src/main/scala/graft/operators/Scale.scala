@@ -225,6 +225,64 @@ object Scale {
       .orderBy("a_id")
   }
 
+  /** Interval lengths for [[q69IntervalJoin]]: each 'view' opens a
+    * 10-minute window, each 'error' a 7-minute window. Both are ≤
+    * [[RangeBinNs]], so each interval overlaps at most 2 bins. */
+  private val ViewIntervalNs = 600000000000L
+  private val ErrorIntervalNs = 420000000000L
+
+  /** Binned interval-OVERLAP join — the interval×interval extension of
+    * [[q65RangeJoin]]'s point-in-interval shape. Both relations are
+    * intervals here, so both sides explode into the (≤2) bins they
+    * cover and the pair (a, b) is claimed by exactly ONE bin — the bin
+    * of the overlap's start, `greatest(a.s, b.s) div W` — via a
+    * residual predicate. That home-bin rule replaces the DISTINCT a
+    * naive explode-both-sides join would need (dedup-by-construction:
+    * no wide distinct over the matched pairs, which at 100 TB would be
+    * a second full shuffle of the output). The join itself is a hash
+    * equi-join on the bin (PlanSpec gates no nested loop); the residual
+    * `a.s <= b.e AND b.s <= a.e` runs post-match. Output size is
+    * physics: all overlapping pairs is inherently ∝ (per-bin density)²,
+    * so a hot bin (flash crowd) is a hot KEY — AQE skew split and q26's
+    * salting compose, and SkewBench's q65 line already measures the
+    * identical bin distribution under a 10k-event pile-up.
+    *
+    * q69: every (view-window, error-window) pair that overlaps in time
+    * with the overlap duration — "which errors were on screen during a
+    * view session". The oracle runs the naive BETWEEN theta join;
+    * identical rows prove the binning+home-bin rule is physics, not
+    * semantics. */
+  val q69IntervalJoin = Q(
+    "q69_interval_join",
+    s"""WITH a AS (SELECT event_id AS a_id, epoch_ns(ts) AS s,
+                          epoch_ns(ts) + $ViewIntervalNs AS e
+                   FROM events WHERE event_type = 'view'),
+        b AS (SELECT event_id AS b_id, epoch_ns(ts) AS s,
+                     epoch_ns(ts) + $ErrorIntervalNs AS e
+              FROM events WHERE event_type = 'error')
+        SELECT a_id, b_id,
+               least(a.e, b.e) - greatest(a.s, b.s) AS overlap_ns
+        FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val ev = T(spark, dir, "events").selectExpr("event_id", "ts as tsn", "event_type")
+    def intervals(etype: String, lenNs: Long, idAs: String) = ev
+      .filter(col("event_type") === etype)
+      .select(col("event_id").as(idAs), col("tsn").as(s"${idAs}_s"),
+        (col("tsn") + lenNs).as(s"${idAs}_e"))
+      .withColumn("bin", explode(
+        expr(s"sequence(${idAs}_s div $RangeBinNs, ${idAs}_e div $RangeBinNs)")))
+    val a = intervals("view", ViewIntervalNs, "a_id")
+    val b = intervals("error", ErrorIntervalNs, "b_id")
+    a.join(b,
+        a("bin") === b("bin") &&
+          col("a_id_s") <= col("b_id_e") && col("b_id_s") <= col("a_id_e") &&
+          a("bin") === expr(s"greatest(a_id_s, b_id_s) div $RangeBinNs"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_id_e"), col("b_id_e"))
+          - greatest(col("a_id_s"), col("b_id_s"))).as("overlap_ns"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Runtime bloom-filter join pruning (semi-join reduction) — the third
     * structural scale upgrade next to bucketing (q64) and salting (q26).
     * When a join's build side is made small by a SELECTIVE predicate, the
@@ -433,5 +491,5 @@ object Scale {
 
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
     q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout,
-    q68ZOrderLayout)
+    q68ZOrderLayout, q69IntervalJoin)
 }

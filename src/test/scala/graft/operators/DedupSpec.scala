@@ -152,4 +152,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.blocksFor(Dedup.TargetBlockRows * 100) === 100)
     assert(Dedup.blocksFor(Dedup.TargetBlockRows * 100 + 1) === 101)
   }
+
+  test("d37: every batch doc verdicted once; within-batch rejects are greedy-ordered") {
+    import org.apache.spark.sql.functions.col
+    val out = Dedup.d37IncrementalDedup.fn(spark, sfDir).collect()
+    val batchIds = T(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.length === batchIds.size, "exactly one verdict per batch doc")
+    assert(out.map(_.getLong(0)).toSet === batchIds)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val admitted = r.getLong(1) == 1L
+      val nMatches = r.getLong(2)
+      val firstMatch = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      if (admitted) assert(nMatches === 0L && firstMatch.isEmpty,
+        s"doc $id: admitted docs carry no match evidence")
+      else {
+        assert(nMatches > 0L && firstMatch.nonEmpty,
+          s"doc $id: rejected docs must name a matching partner")
+        // a batch-side partner must have arrived earlier (greedy admission);
+        // corpus partners carry no ordering constraint
+        firstMatch.filter(_ % 5 == 0).foreach(fm =>
+          assert(fm < id, s"doc $id: batch partner $fm must precede it"))
+      }
+    }
+    assert(out.exists(_.getLong(1) == 0L),
+      "fixture must reject at least one batch doc or the test is vacuous")
+  }
 }

@@ -232,6 +232,27 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges")
   }
 
+  test("q69 interval join: binned both sides to an equi-join, never a nested loop") {
+    val p = plan("q69_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "the overlap predicate must be a residual on the home-bin equi-join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "bin keys must drive a hash/merge equi-join")
+  }
+
+  test("q70 funnel: one user_id shuffle feeds all three window passes AND the distinct") {
+    val p = plan("q70_funnel")
+    // FormattedMode details exchanges as "(n) Exchange\nArguments:
+    // hashpartitioning(…)" — count the partitioning argument, not the
+    // simple-mode "Exchange hashpartitioning" one-liner
+    val hashEx = "Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"the three conditional-min windows and the per-user collapse must " +
+        s"reuse one user_id exchange, got $hashEx:\n${p.take(1500)}")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 3,
+      "all three funnel stages must be window passes over the same partitioning")
+  }
+
   test("q65 range join: binned to an equi-join, never a nested loop") {
     val p = plan("q65_range_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

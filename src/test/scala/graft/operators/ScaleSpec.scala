@@ -133,6 +133,58 @@ class ScaleSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture must produce at least one populated window")
   }
 
+  test("q69 binned interval join == naive overlap theta join") {
+    // the oracle proves this vs DuckDB; this pins the Spark-side theta
+    // form too, so the home-bin dedup rule (each overlapping pair claimed
+    // by exactly ONE bin — no DISTINCT) can't drift under refactor
+    val ev = T(spark, sfDir, "events")
+      .selectExpr("event_id", "ts as tsn", "event_type")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("a_id"), col("tsn").as("a_s"),
+        (col("tsn") + 600000000000L).as("a_e"))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("b_id"), col("tsn").as("b_s"),
+        (col("tsn") + 420000000000L).as("b_e"))
+    val naive = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = Scale.q69IntervalJoin.fn(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length === binned.toSet.size,
+      "home-bin rule must emit each overlapping pair exactly once")
+    assert(binned.toSet === naive)
+    assert(naive.nonEmpty, "fixture must produce at least one overlap")
+  }
+
+  test("d37: corpus band index probed bucketed — zero corpus-side shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case s: QueryStageExec => p +: nodes(s.plan)
+      case o => p +: o.children.flatMap(nodes)
+    }
+    def bandsScans(p: SparkPlan) = ScaleSpec.allScans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft_d37_bands")))
+    val root = Dedup.d37IncrementalDedup.fn(spark, sfDir)
+      .queryExecution.executedPlan
+    val smjs = nodes(root).collect { case j: SortMergeJoinExec => j }
+    // the probe join: a sort-merge join with the band-index scan DIRECTLY
+    // under one side and no shuffle anywhere in that subtree — the
+    // incremental contract (per-batch cost ∝ batch size) in plan form
+    val probeSides = smjs.flatMap(_.children).filter(c => bandsScans(c).nonEmpty)
+    assert(probeSides.nonEmpty,
+      "candidate join must be a sort-merge join against the band index")
+    val cleanSide = probeSides.find(c =>
+      nodes(c).collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    assert(cleanSide.nonEmpty,
+      "the corpus band index must feed the join WITHOUT re-shuffling")
+    assert(bandsScans(cleanSide.get).forall(_.bucketedScan),
+      "the band index scan must be a bucketed scan (bucket-aligned probe)")
+  }
+
   test("x99 bucketed global index == single-task global row_number") {
     import org.apache.spark.sql.expressions.Window
     val naive = T(spark, sfDir, "documents")
