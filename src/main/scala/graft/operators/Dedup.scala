@@ -940,7 +940,7 @@ object Dedup {
     * this index is maintained incrementally (admitted docs append their
     * bands/sets), never recomputed; the rebuild here stands in for the
     * initial bootstrap. */
-  private[operators] def d37CorpusIndex(
+  private[graft] def d37CorpusIndex(
       spark: SparkSession, dir: String): (String, String, String) = {
     val key = Scale.sourceKey(dir, "documents")
     val tmp = System.getProperty("java.io.tmpdir")
@@ -993,6 +993,68 @@ object Dedup {
     * rerun would. */
   val d37IncrementalDedup = Q(
     "d37_incremental_dedup",
+    d37OracleSql) { (spark, dir) =>
+    val (hotPath, setsT, bandsT) = d37CorpusIndex(spark, dir)
+    val batch = T(spark, dir, "documents")
+      .filter(col("doc_id") % d37BatchMod === 0)
+    val (verdicts, _, _) = incrementalAdmit(batch,
+      spark.table(setsT), spark.table(bandsT).hint("merge"),
+      spark.read.parquet(hotPath))
+    verdicts.orderBy("doc_id")
+  }
+
+  /** ONE incremental-admission round — the shared kernel of batch d37 and
+    * the streaming ingest twin ([[graft.streaming.StreamOps.IngestAdmission]]),
+    * so the two tiers cannot drift. Verdicts every `batch` (doc_id, text)
+    * doc against an existing index (`indexSets`: doc_id→capped shingle
+    * set; `indexBands`: bkey→doc_id — the caller supplies any join hint)
+    * plus the batch's OWN earlier docs (a_id < b_id), capping the batch
+    * by the broadcast `hotDf` corpus profile. Returns (verdicts,
+    * batchSets, batchBands); an index-maintaining caller appends the
+    * latter two so the next round sees this round's docs — admitted or
+    * not, matching the greedy contract (later docs reject against ALL
+    * earlier arrivals). batchSets/batchBands are cached here (three
+    * consumers each); the caller unpersists when done. */
+  private[graft] def incrementalAdmit(batch: DataFrame,
+      indexSets: DataFrame, indexBands: DataFrame, hotDf: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bex = shingleHashesFrom(batch.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("th")).as("h"))
+      .join(broadcast(hotDf), Seq("h"), "left_anti")
+    val bsets = bex.groupBy("doc_id").agg(collect_list(col("h")).as("th")).cache()
+    val bband = bsets.withColumn("m", expr(sigSpark))
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
+      .selectExpr("doc_id", s"$d37BkeySpark as bkey").cache()
+    val candIndex = bband.select(col("bkey"), col("doc_id").as("b_id"))
+      .join(indexBands.select(col("bkey"), col("doc_id").as("a_id")), "bkey")
+      .select("b_id", "a_id")
+    val candBatch = bband.select(col("bkey"), col("doc_id").as("b_id"))
+      .join(bband.select(col("bkey"), col("doc_id").as("a_id")), "bkey")
+      .filter(col("a_id") < col("b_id"))
+      .select("b_id", "a_id")
+    val cand = candIndex.unionByName(candBatch).distinct()
+    val setsAll = indexSets.unionByName(bsets)
+    val matches = cand
+      .join(setsAll.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
+      .join(setsAll.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
+      .withColumn("n_common", size(array_intersect(col("th_a"), col("th_b"))).cast("long"))
+      .withColumn("n_a", size(col("th_a")).cast("long"))
+      .withColumn("n_b", size(col("th_b")).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("b_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("a_id")).as("first_match"))
+    val verdicts = batch.select(col("doc_id"))
+      .join(matches.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_matches").isNull, 1L).otherwise(0L).as("admitted"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_match"))
+    (verdicts, bsets, bband)
+  }
+
+  private def d37OracleSql: String =
     s"""WITH $duckShingles,
         $duckHashedShingles,
         cex AS (SELECT doc_id, unnest(th) AS h FROM hs0 WHERE doc_id % $d37BatchMod <> 0),
@@ -1024,46 +1086,7 @@ object Dedup {
                COALESCE(m.n_matches, 0) AS n_matches, m.first_match
         FROM (SELECT doc_id FROM documents WHERE doc_id % $d37BatchMod = 0) d
         LEFT JOIN m ON d.doc_id = m.b_id
-        ORDER BY d.doc_id""") { (spark, dir) =>
-    val (hotPath, setsT, bandsT) = d37CorpusIndex(spark, dir)
-    val batch = T(spark, dir, "documents")
-      .filter(col("doc_id") % d37BatchMod === 0)
-    val bex = shingleHashesFrom(batch.select("doc_id", "text"))
-      .select(col("doc_id"), explode(col("th")).as("h"))
-      .join(broadcast(spark.read.parquet(hotPath)), Seq("h"), "left_anti")
-    val bsets = bex.groupBy("doc_id").agg(collect_list(col("h")).as("th")).cache()
-    val bband = bsets.withColumn("m", expr(sigSpark))
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("m"))
-      .selectExpr("doc_id", s"$d37BkeySpark as bkey").cache()
-    val candCorpus = bband.select(col("bkey"), col("doc_id").as("b_id"))
-      .join(spark.table(bandsT).hint("merge")
-        .select(col("bkey"), col("doc_id").as("a_id")), "bkey")
-      .select("b_id", "a_id")
-    val candBatch = bband.select(col("bkey"), col("doc_id").as("b_id"))
-      .join(bband.select(col("bkey"), col("doc_id").as("a_id")), "bkey")
-      .filter(col("a_id") < col("b_id"))
-      .select("b_id", "a_id")
-    val cand = candCorpus.unionByName(candBatch).distinct()
-    val setsAll = spark.table(setsT).unionByName(bsets)
-    val matches = cand
-      .join(setsAll.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
-      .join(setsAll.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
-      .withColumn("n_common", size(array_intersect(col("th_a"), col("th_b"))).cast("long"))
-      .withColumn("n_a", size(col("th_a")).cast("long"))
-      .withColumn("n_b", size(col("th_b")).cast("long"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= 0.5)
-      .groupBy("b_id")
-      .agg(count(lit(1)).as("n_matches"), min(col("a_id")).as("first_match"))
-    batch.select(col("doc_id"))
-      .join(matches.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("n_matches").isNull, 1L).otherwise(0L).as("admitted"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("first_match"))
-      .orderBy("doc_id")
-  }
+        ORDER BY d.doc_id"""
 
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,

@@ -354,4 +354,42 @@ object StreamOps {
           col("p_id") =!= col("a_id"))
       .select("a_id", "p_id", "value")
   }
+
+  /** d37's streaming twin: incremental near-dup ADMISSION at ingest,
+    * as a `foreachBatch` handler. Each micro-batch of (doc_id, text)
+    * rows runs the SAME kernel as batch d37
+    * ([[graft.operators.Dedup.incrementalAdmit]]) against the
+    * accumulated index — the precomputed corpus sets/bands plus every
+    * doc processed so far — then appends this batch's sets/bands so the
+    * next micro-batch rejects against them too. Docs are appended
+    * admitted or NOT: the greedy contract is "later arrivals reject
+    * against all earlier arrivals", exactly batch d37's a_id < b_id
+    * rule, so when micro-batches deliver in doc_id order the
+    * accumulated verdicts are row-identical to one batch run
+    * (StreamingSpec pins it). Verdict rows go to `sink` per batch.
+    *
+    * State posture: the in-memory accumulation is `localCheckpoint`ed
+    * each round (the README checkpoint-per-round rule — the plan would
+    * otherwise deepen every batch), and the per-batch probe cost is
+    * ∝ batch size because the index side is never reshuffled by growth
+    * (the kernel's join shuffles the SMALL new-docs side). In
+    * production the accumulated frames are the index TABLES (append
+    * admitted bands/sets to the bucketed layout d37CorpusIndex
+    * bootstraps); the in-memory form here is the spec-scale stand-in
+    * with the identical dataflow. */
+  final class IngestAdmission(
+      corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
+      sink: DataFrame => Unit) extends ((DataFrame, Long) => Unit) {
+    private var sets = corpusSets
+    private var bands = corpusBands
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val (verdicts, bsets, bbands) =
+        graft.operators.Dedup.incrementalAdmit(batch, sets, bands, hotDf)
+      sink(verdicts)
+      sets = sets.unionByName(bsets).localCheckpoint()
+      bands = bands.unionByName(bbands).localCheckpoint()
+      bsets.unpersist()
+      bbands.unpersist()
+    }
+  }
 }

@@ -522,4 +522,52 @@ class StreamingSpec extends SparkSpec {
         DynamicMessage(md, Map(1 -> "y", 2 -> 2))))
     } finally q.stop()
   }
+
+  test("streaming ingest admission equals batch d37 across micro-batches") {
+    // the foreachBatch twin runs the SAME incrementalAdmit kernel per
+    // micro-batch against the accumulated index; with arrival in doc_id
+    // order (arrival order IS admission order — the batch tier models
+    // arrival by doc_id) the union of per-batch verdicts must be
+    // row-identical to one batch d37 run
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batchExpected = graft.operators.Dedup.d37IncrementalDedup
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    val (hotPath, setsT, bandsT) =
+      graft.operators.Dedup.d37CorpusIndex(spark, sfDir)
+    val docs = graft.operators.T(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val handler = new StreamOps.IngestAdmission(
+      spark.table(setsT), spark.table(bandsT),
+      spark.read.parquet(hotPath),
+      v => verdicts ++= v.collect())
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream.foreachBatch(handler).start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      stream.addData(h1.toSeq)
+      q.processAllAvailable()
+      stream.addData(h2.toSeq)
+      q.processAllAvailable()
+      val streamed = verdicts
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSet
+      assert(streamed === batchExpected)
+      // positive controls: the equality must cover real rejects, and at
+      // least one must straddle the micro-batch boundary (an h2 doc
+      // rejected against an h1 arrival or the corpus)
+      assert(batchExpected.exists(_._2 == 0L), "fixture must reject")
+      val h2Ids = h2.map(_._1).toSet
+      assert(streamed.exists(v => h2Ids(v._1) && v._2 == 0L),
+        "a second-micro-batch doc must reject against earlier state")
+    } finally q.stop()
+  }
 }
