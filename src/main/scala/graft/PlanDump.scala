@@ -18,7 +18,8 @@ object PlanDump {
     "q65_range_join", "x99_global_index", "t33_sequence_pack",
     "q66_runtime_filter", "q67_range_layout", "d35_components_star",
     "q68_zorder_layout", "t34_surprisal", "d36_duplicate_spans",
-    "d37_incremental_dedup", "q69_interval_join", "q70_funnel")
+    "d37_incremental_dedup", "q69_interval_join", "q70_funnel",
+    "s38_pq_knn")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -122,7 +122,13 @@ object SkewBench {
     // instant lands many EVENTS on one timestamp but never widens any
     // user's partition; the funnel's one user_id shuffle is unaffected
     // by time skew (the orthogonal-axis control in this gauntlet)
-    "q70_funnel")
+    "q70_funnel",
+    // s38's hostile input gives the 10k duplicated vectors IDENTICAL
+    // codes — the hottest possible code, but codes are never a join
+    // key: the ADC stage is a query-broadcast scan whose per-query
+    // output is capped at PqRerank candidates regardless of how many
+    // vectors share a code, and the re-rank touches only those
+    "s38_pq_knn")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -769,7 +769,137 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // Product quantization: M=8 subspaces × 8 dims, K=16 codewords per
+  // subspace (codebook = the int8 sub-slices of vec_id < 16, the same
+  // deterministic-seed convention as s34's centroids; full codebook
+  // TRAINING is x95's Lloyd machinery applied per subspace — the seeding
+  // here keeps the oracle exact). 8 codes of 4 bits each = 4 bytes per
+  // vector vs 256 bytes float32: a 64× compression of the corpus.
+  private val PqM = 8
+  private val PqSubDim = 8 // = Dim / PqM
+  private val PqK = 16
+
+  /** Candidates the ADC stage forwards per query to the exact re-rank
+    * (a constant — 2% of the corpus at sf0.1, shrinking relatively as N
+    * grows; recall@5 at this SF: 0.94 vs 0.58 with top-25). */
+  private val PqRerank = 100
+
+  /** s38: product-quantized KNN — ADC candidate pruning + exact re-rank,
+    * the third tier of the ANN compression story (float s32 → int8 s37 →
+    * PQ s38) and the production PQ shape. Vectors are s37-quantized to
+    * the int8 grid, split into [[PqM]] subspaces, and each subspace is
+    * replaced by the id of its nearest codeword (integer L2, exact).
+    * Stage 1 (ADC, asymmetric distance computation): a query is scored
+    * against CODES, not vectors — the per-subspace dots
+    * query-slice·codeword sum to an exact bigint score, so the corpus
+    * scan touches only the 4-byte codes and the broadcast 128-entry
+    * codebook: at 100 TB the raw embedding column is never read in the
+    * scoring scan (64× less bytes), and the stage composes with the
+    * IVF/LSH candidate generators (s33/s34/s36) unchanged. Stage 2:
+    * only the [[PqRerank]] ADC-best candidates per query fetch their
+    * quantized vectors for an exact cosine re-rank (s37's integer
+    * formula) — a per-query-constant number of point lookups. Both
+    * stages are integer-exact until the final normalize, so the oracle
+    * compares raw doubles; RecallSpec audits end-to-end recall@5
+    * against the float ranking — the accuracy cost of the compression,
+    * measured not assumed. */
+  val s38PqKnn = Q(
+    "s38_pq_knn",
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qz AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 127.0 /
+                 greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)) AS BIGINT)) AS qv
+               FROM e0),
+        subs AS (SELECT vec_id, s, qv[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS sub
+                 FROM qz, range(0, $PqM) r(s)),
+        cb AS (SELECT s, vec_id AS c, sub AS cw FROM subs WHERE vec_id < $PqK),
+        asg AS (SELECT subs.vec_id, subs.s, cb.c,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, $PqSubDim + 1),
+                           i -> (sub[i] - cw[i]) * (sub[i] - cw[i]))),
+                         (a, t) -> a + t) AS dist
+                FROM subs JOIN cb ON subs.s = cb.s),
+        codes AS (SELECT vec_id AS n_id, s, c
+                  FROM (SELECT vec_id, s, c, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id, s ORDER BY dist, c) AS rnk FROM asg)
+                  WHERE rnk = 1),
+        qsub AS (SELECT vec_id AS q_id, s, sub FROM subs WHERE vec_id < 10),
+        parts AS (SELECT q.q_id, codes.n_id,
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, $PqSubDim + 1),
+                             i -> q.sub[i] * cb.cw[i])), (a, t) -> a + t) AS ds
+                  FROM qsub q JOIN codes ON q.s = codes.s
+                              JOIN cb ON cb.s = codes.s AND cb.c = codes.c),
+        sc AS (SELECT q_id, n_id, SUM(ds) AS score
+               FROM parts WHERE n_id <> q_id GROUP BY q_id, n_id),
+        cand AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk FROM sc)
+                 WHERE rnk <= $PqRerank),
+        e AS (SELECT vec_id, qv, sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(qv, x -> x * x)), (a, t) -> a + t) AS DOUBLE)) AS nrm
+              FROM qz),
+        rr AS (SELECT c.q_id, c.n_id,
+                      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, ${PqM * PqSubDim + 1}),
+                          i -> q.qv[i] * n.qv[i])), (a, t) -> a + t) AS DOUBLE)
+                        / (q.nrm * n.nrm) AS qcos
+               FROM cand c JOIN e q ON c.q_id = q.vec_id
+                           JOIN e n ON c.n_id = n.vec_id),
+        fin AS (SELECT q_id, n_id, qcos, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk FROM rr)
+        SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, qcos
+        FROM fin WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val qz = T(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> cast(round(x * 127.0 / " +
+          "greatest(array_max(transform(v, y -> abs(y))), cast(1e-12 as double))) as bigint))")
+        .as("qv"))
+    val subs = qz
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("s"), col("qv"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(qv, s * $PqSubDim + 1, $PqSubDim)").as("sub"))
+      .cache()
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("c"), col("sub").as("cw"))
+    val wAsg = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("c"))
+    val codes = subs.join(broadcast(cb), "s")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (a, t) -> a + t)"))
+      .withColumn("rnk", row_number().over(wAsg))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id").as("n_id"), col("s"), col("c"))
+    val qsub = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val cand = broadcast(qsub).join(codes, "s")
+      .join(broadcast(cb), Seq("s", "c"))
+      .withColumn("ds", expr(
+        "aggregate(zip_with(qsub, cw, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("ds")).as("score"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= PqRerank)
+      .select("q_id", "n_id")
+    val e = qz.withColumn("nrm", sqrt(expr(
+      "aggregate(transform(qv, x -> x * x), cast(0 as bigint), (a, t) -> a + t)")
+      .cast("double")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("qv").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("qv").as("vn"), col("nrm").as("nn")), "n_id")
+      .withColumn("qcos", expr(
+        "aggregate(zip_with(vq, vn, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "rnk", "qcos")
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
-    x98ClusterReps, s37QuantizedKnn)
+    x98ClusterReps, s37QuantizedKnn, s38PqKnn)
 }
