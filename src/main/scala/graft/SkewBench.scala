@@ -128,7 +128,13 @@ object SkewBench {
     // key: the ADC stage is a query-broadcast scan whose per-query
     // output is capped at PqRerank candidates regardless of how many
     // vectors share a code, and the re-rank touches only those
-    "s38_pq_knn")
+    "s38_pq_knn",
+    // x100's hostile input piles ~20% of lineitem onto one l_orderkey —
+    // but the incremental merge never keys on the order key: both the
+    // delta partials and the state merge group by l_returnflag (5
+    // groups, map-side partials absorb the pile) and the distinct-pairs
+    // union keys on (flag, suppkey), untouched by the hot order
+    "x100_incremental_agg")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

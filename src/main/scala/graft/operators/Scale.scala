@@ -489,7 +489,78 @@ object Scale {
       .orderBy("event_type")
   }
 
+  /** Persisted per-group partial-aggregate state over the HISTORY slice
+    * of lineitem (l_orderkey % 10 != 0), for [[x100IncrementalAgg]]:
+    *  - scalar partials per l_returnflag: count, DECIMAL quantity sum,
+    *    min/max — each exactly mergeable with any future partial;
+    *  - the distinct (l_returnflag, l_suppkey) pairs — the exact-
+    *    mergeable form of COUNT(DISTINCT): bounded by flags×suppliers,
+    *    tiny relative to the fact table, and a delta merges by union +
+    *    distinct without ever revisiting history rows.
+    * Written once per source content ([[sourceKey]]). At 100 TB the
+    * history/delta split is arrival-date PARTITIONS (the modulo split
+    * here is the deterministic stand-in the oracle can mirror) and this
+    * state is the materialized rollup a pipeline maintains per
+    * partition-add. */
+  private[operators] def x100HistoryState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val key = sourceKey(dir, "lineitem")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val scalarsP = s"$tmp/graft_x100_scalars_$key"
+    val pairsP = s"$tmp/graft_x100_pairs_$key"
+    if (!new java.io.File(s"$scalarsP/_SUCCESS").exists()
+      || !new java.io.File(s"$pairsP/_SUCCESS").exists()) {
+      val hist = T(spark, dir, "lineitem").filter(col("l_orderkey") % 10 =!= 0)
+      hist.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(Num.dec(col("l_quantity"))).as("qty"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+        .write.mode("overwrite").parquet(scalarsP)
+      hist.select("l_returnflag", "l_suppkey").distinct()
+        .write.mode("overwrite").parquet(pairsP)
+    }
+    (scalarsP, pairsP)
+  }
+
+  /** x100: INCREMENTAL aggregate maintenance — merge a new delta into
+    * persisted partial states instead of rescanning history. The
+    * materialized-rollup pattern every 100 TB pipeline runs on
+    * partition arrival: count/sum/min/max merge as scalars, DECIMAL
+    * sums merge exactly (order-independent), and COUNT(DISTINCT) merges
+    * via the persisted distinct-pairs table (union + distinct + count —
+    * exact, and the state is dimension-sized, not fact-sized). The
+    * whole query touches the delta rows plus two state tables; history
+    * is never re-read. The oracle recomputes the identical aggregate
+    * from the FULL table in one pass — byte-equal results prove the
+    * incremental decomposition. (The approximate-mergeable variant —
+    * DataSketches HLL partials through hll_union_agg — is spec-pinned
+    * in ScaleSpec equal to the single-pass sketch; its estimate can't
+    * be oracle-hashed because DuckDB's approx sketch differs.) */
+  val x100IncrementalAgg = Q(
+    "x100_incremental_agg",
+    """SELECT l_returnflag, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS qty,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
+    val (scalarsP, pairsP) = x100HistoryState(spark, dir)
+    val delta = T(spark, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+    val dScal = delta.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"), sum(Num.dec(col("l_quantity"))).as("qty"),
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    val scal = spark.read.parquet(scalarsP).unionByName(dScal)
+      .groupBy("l_returnflag").agg(
+        sum(col("n")).as("n"), sum(col("qty")).cast("double").as("qty"),
+        min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty"))
+    val supp = spark.read.parquet(pairsP)
+      .unionByName(delta.select("l_returnflag", "l_suppkey").distinct())
+      .distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_suppliers"))
+    scal.join(supp, "l_returnflag")
+      .select("l_returnflag", "n", "qty", "min_qty", "max_qty", "n_suppliers")
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
     q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout,
-    q68ZOrderLayout, q69IntervalJoin)
+    q68ZOrderLayout, q69IntervalJoin, x100IncrementalAgg)
 }

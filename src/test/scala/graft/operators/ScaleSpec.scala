@@ -185,6 +185,35 @@ class ScaleSpec extends SparkSpec {
       "the band index scan must be a bucketed scan (bucket-aligned probe)")
   }
 
+  test("x100: HLL sketch partials merge to the single-pass estimate (and exact, here)") {
+    // the approximate-mergeable tier of incremental aggregation: per-side
+    // DataSketches HLL partials union into the same estimate one pass
+    // over the full table produces — the sketch-maintenance pattern for
+    // cardinalities where the exact pairs table stops being "tiny"
+    val li = T(spark, sfDir, "lineitem")
+    val hist = li.filter(col("l_orderkey") % 10 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 10 === 0)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = toMap(
+      hist.groupBy("l_returnflag").agg(expr("hll_sketch_agg(l_suppkey)").as("sk"))
+        .unionByName(delta.groupBy("l_returnflag")
+          .agg(expr("hll_sketch_agg(l_suppkey)").as("sk")))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .collect())
+    val single = toMap(
+      li.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))").as("est"))
+        .collect())
+    assert(merged === single, "merged partial sketches must equal the one-pass sketch")
+    // at this supplier cardinality the sketch is still exact (sparse mode)
+    val exact = toMap(
+      li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n")).collect())
+    assert(merged === exact, "estimate must be exact at fixture cardinality")
+  }
+
   test("x99 bucketed global index == single-task global row_number") {
     import org.apache.spark.sql.expressions.Window
     val naive = T(spark, sfDir, "documents")
