@@ -784,6 +784,53 @@ object Similarity {
     * grows; recall@5 at this SF: 0.94 vs 0.58 with top-25). */
   private val PqRerank = 100
 
+  /** (vec_id, qv): the s37 int8 grid as bigints — every downstream PQ
+    * step is exact integer arithmetic on these. */
+  private[graft] def pqQuantized(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> cast(round(x * 127.0 / " +
+          "greatest(array_max(transform(v, y -> abs(y))), cast(1e-12 as double))) as bigint))")
+        .as("qv"))
+
+  /** (vec_id, s, sub): each vector split into its [[PqM]] sub-vectors. */
+  private[graft] def pqSubs(qz: DataFrame): DataFrame = qz
+    .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("s"), col("qv"))
+    .select(col("vec_id"), col("s"),
+      expr(s"slice(qv, s * $PqSubDim + 1, $PqSubDim)").as("sub"))
+
+  /** The codebook frame (s, c, cw): sub-vectors of vec_id < [[PqK]]. */
+  private[graft] def pqCodebookFrame(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("c"), col("sub").as("cw"))
+
+  /** Driver-side codebook matrix in ascending (s, c) order — codeword
+    * index == source vec_id, so the expression's code ids coincide with
+    * the join form's `c` column. */
+  private[graft] def pqBooks(cb: DataFrame): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val rows = cb.select(col("s"), col("c"), col("cw")).collect()
+    (0 until PqM).map { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getLong(1))
+        .map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** The explode-join + window form of PQ encode — what the DuckDB
+    * oracle runs in SQL; kept as the spec baseline the codegen'd
+    * [[graft.functions.CodebookArgmin]] path is pinned bit-equal to. */
+  private[graft] def pqCodesJoinForm(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val wAsg = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("c"))
+    subs.join(broadcast(cb), "s")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (a, t) -> a + t)"))
+      .withColumn("rnk", row_number().over(wAsg))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id").as("n_id"), col("s"), col("c"))
+  }
+
   /** s38: product-quantized KNN — ADC candidate pruning + exact re-rank,
     * the third tier of the ANN compression story (float s32 → int8 s37 →
     * PQ s38) and the production PQ shape. Vectors are s37-quantized to
@@ -848,27 +895,17 @@ object Similarity {
                   PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk FROM rr)
         SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, qcos
         FROM fin WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
-    val qz = T(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), expr(
-        "transform(v, x -> cast(round(x * 127.0 / " +
-          "greatest(array_max(transform(v, y -> abs(y))), cast(1e-12 as double))) as bigint))")
-        .as("qv"))
-    val subs = qz
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("s"), col("qv"))
-      .select(col("vec_id"), col("s"),
-        expr(s"slice(qv, s * $PqSubDim + 1, $PqSubDim)").as("sub"))
-      .cache()
-    val cb = subs.filter(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("c"), col("sub").as("cw"))
-    val wAsg = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("c"))
-    val codes = subs.join(broadcast(cb), "s")
-      .withColumn("dist", expr(
-        "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as bigint), (a, t) -> a + t)"))
-      .withColumn("rnk", row_number().over(wAsg))
-      .filter(col("rnk") === 1)
+    val qz = pqQuantized(spark, dir)
+    val subs = pqSubs(qz).cache()
+    val cb = pqCodebookFrame(subs)
+    // encode is MAP-ONLY: the 8×16 codebook collects driver-side (the
+    // K·Dim-matrix pattern x95 already uses) and rides into the codegen'd
+    // codebook_argmin as one reference object — no 16-way explode-join,
+    // no per-(vector, subspace) window shuffle. FunctionsSpec pins these
+    // codes bit-equal to the join+window form the oracle runs in SQL.
+    val codes = subs
+      .withColumn("c",
+        graft.functions.CodebookArgmin(col("sub"), col("s"), pqBooks(cb)))
       .select(col("vec_id").as("n_id"), col("s"), col("c"))
     val qsub = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))

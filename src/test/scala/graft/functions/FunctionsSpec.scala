@@ -112,6 +112,26 @@ class FunctionsSpec extends SparkSpec {
     assert(nativePred === sqlPred)
   }
 
+  test("codebook_argmin codes are bit-equal to the explode-join + window form") {
+    import graft.operators.Similarity
+    val qz = Similarity.pqQuantized(spark, "/root/testdata/sf0.001")
+    val subs = Similarity.pqSubs(qz).cache()
+    val cb = Similarity.pqCodebookFrame(subs)
+    val books = Similarity.pqBooks(cb)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val joinForm = toMap(Similarity.pqCodesJoinForm(subs, cb))
+    val exprForm = toMap(subs
+      .withColumn("c", CodebookArgmin(col("sub"), col("s"), books))
+      .select(col("vec_id").as("n_id"), col("s"), col("c")))
+    assert(joinForm.nonEmpty && exprForm === joinForm,
+      "the codegen'd assignment must reproduce the (dist ASC, c ASC) " +
+        "tie-break of the join+window form exactly")
+    // positive control: ties exist (codebook members assign to themselves
+    // at distance 0; any corpus collisions must break to the lowest c)
+    assert(exprForm.values.toSet.size > 1)
+  }
+
   test("writeProtoJsonl ↔ readProtoJsonl round trip") {
     val reg = Schemas.registry
     val md = Schemas.msg("ExampleMessage")

@@ -253,6 +253,16 @@ class PlanSpec extends SparkSpec {
       "all three funnel stages must be window passes over the same partitioning")
   }
 
+  test("s38: PQ encode is map-only codebook_argmin — no assignment join or window") {
+    val p = analyzed("s38_pq_knn")
+    assert(p.contains("codebook_argmin"),
+      "encode must run through the codegen'd expression, not a join")
+    // the only windows in the plan are the ADC top-R and final top-5
+    // ranks; the per-(vector, subspace) assignment window must be gone
+    val windows = "row_number".r.findAllIn(p).size
+    assert(windows <= 2, s"expected only the two ranking windows, got $windows")
+  }
+
   test("q65 range join: binned to an equi-join, never a nested loop") {
     val p = plan("q65_range_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
