@@ -19,7 +19,8 @@ object PlanDump {
     "q66_runtime_filter", "q67_range_layout", "d35_components_star",
     "q68_zorder_layout", "t34_surprisal", "d36_duplicate_spans",
     "d37_incremental_dedup", "q69_interval_join", "q70_funnel",
-    "s38_pq_knn", "x100_incremental_agg")
+    "s38_pq_knn", "x100_incremental_agg", "q71_sliding_windows",
+    "q72_upsert_merge")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

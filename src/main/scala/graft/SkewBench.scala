@@ -134,7 +134,12 @@ object SkewBench {
     // delta partials and the state merge group by l_returnflag (5
     // groups, map-side partials absorb the pile) and the distinct-pairs
     // union keys on (flag, suppkey), untouched by the hot order
-    "x100_incremental_agg")
+    "x100_incremental_agg",
+    // q71's hostile input is the flash-crowd nanosecond again: the
+    // pile-up concentrates FOUR sliding-window keys instead of one
+    // tumbling key, and the 4x explode is absorbed by map-side partials
+    // before the shuffle ever sees it (PlanSpec gates the partial agg)
+    "q71_sliding_windows")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -185,6 +185,42 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sliding-window geometry for [[q71SlidingWindows]]: 1-hour windows
+    * hopping every 15 minutes — each event lands in exactly 4 windows. */
+  private val SlideNs = 900000000000L
+  private val WinSlides = 4L // window length = WinSlides * SlideNs
+
+  /** Hopping (sliding) windows: 1-hour windows every 15 minutes — the
+    * overlapping-window twin of [[q51EventWindows]]'s tumbling agg and
+    * the batch form of streaming `window(ts, "1 hour", "15 minutes")`.
+    * Each event explodes into its fixed [[WinSlides]] covering windows
+    * (map-only, bounded 4× row amplification), then one hash aggregation
+    * on (window, event_type) — partials absorb the fan-out map-side, so
+    * the shuffle carries group states, not exploded events. A flash-crowd
+    * instant concentrates 4 window keys, not one — strictly better skew
+    * spread than the tumbling case, same hot-key remedies. Window id is
+    * the slide slot of the window START (w*SlideNs .. +1h). */
+  val q71SlidingWindows = Q(
+    "q71_sliding_windows",
+    s"""WITH x AS (SELECT epoch_ns(ts) // $SlideNs AS slot, event_type, value,
+                          user_id FROM events),
+        w AS (SELECT slot - off AS w, event_type, value, user_id
+              FROM x, range(0, $WinSlides) r(off))
+        SELECT w, event_type, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM w GROUP BY w, event_type ORDER BY w, event_type""") { (spark, dir) =>
+    T(spark, dir, "events")
+      .selectExpr(s"ts div $SlideNs as slot", "event_type", "value", "user_id")
+      .withColumn("off", explode(expr(s"sequence(0, ${WinSlides - 1})")))
+      .withColumn("w", col("slot") - col("off"))
+      .groupBy("w", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("w", "event_type")
+  }
+
   val all: Seq[Q] =
-    Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel)
+    Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel,
+      q71SlidingWindows)
 }

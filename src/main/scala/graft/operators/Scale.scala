@@ -560,7 +560,58 @@ object Scale {
       .orderBy("l_returnflag")
   }
 
+  /** q72: CDC upsert/delete MERGE — apply a (small) change batch to a
+    * (huge) base table: updated rows replace, tombstones delete,
+    * untouched rows pass through. The Delta-style MERGE shape without a
+    * table format, written so THE BASE NEVER SHUFFLES: changed keys are
+    * tiny relative to the base (the CDC premise), so untouched rows
+    * survive a BROADCAST anti-join — a map-side filter over the base
+    * scan — and the resolved changes union in afterwards. No window over
+    * the base, no exchange keyed on the merge key (PlanSpec gates both);
+    * at 100 TB this is the difference between rewriting the table and
+    * streaming it through unmoved. Change resolution (latest version
+    * per key) happens on the CHANGES side alone — here one version, the
+    * general multi-version case is a window over the change batch only.
+    * The change batch is synthesized deterministically from orders
+    * (keys %7 = 0 get o_totalprice + 1000; keys %11 = 0 excluding those
+    * are tombstoned) so the oracle can mirror it exactly; results prove
+    * the merge algebra, not the change feed. */
+  val q72UpsertMerge = Q(
+    "q72_upsert_merge",
+    """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+       upd AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice,
+                      FALSE AS del
+               FROM base WHERE o_orderkey % 7 = 0),
+       dele AS (SELECT o_orderkey, o_orderpriority, o_totalprice, TRUE AS del
+                FROM base WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0),
+       changes AS (SELECT * FROM upd UNION ALL SELECT * FROM dele),
+       untouched AS (SELECT b.* FROM base b
+                     WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes)),
+       merged AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM untouched
+                  UNION ALL
+                  SELECT o_orderkey, o_orderpriority, o_totalprice FROM changes
+                  WHERE NOT del)
+       SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total
+       FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (spark, dir) =>
+    import Num._
+    val base = T(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val upd = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
+      .withColumn("del", lit(false))
+    val dele = base.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
+      .withColumn("del", lit(true))
+    val changes = upd.unionByName(dele)
+    val merged = base
+      .join(broadcast(changes.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes.filter(!col("del")).drop("del"))
+    merged.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
     q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout,
-    q68ZOrderLayout, q69IntervalJoin, x100IncrementalAgg)
+    q68ZOrderLayout, q69IntervalJoin, x100IncrementalAgg, q72UpsertMerge)
 }

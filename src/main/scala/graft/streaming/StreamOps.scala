@@ -47,6 +47,19 @@ object StreamOps {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Sliding (hopping) window counts — the streaming twin of
+    * [[graft.operators.Events.q71SlidingWindows]]: each event enters
+    * window-length/slide overlapping window states; the watermark bounds
+    * how many remain open. StreamingSpec pins the emitted counts equal
+    * to the batch explode+aggregate form on the same fixture. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+      window_ : String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours", valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
   /** Session windows (gap-based), the streaming twin of
     * [[graft.operators.Events.q52Sessionization]]. */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,

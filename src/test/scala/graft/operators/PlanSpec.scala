@@ -263,6 +263,22 @@ class PlanSpec extends SparkSpec {
     assert(windows <= 2, s"expected only the two ranking windows, got $windows")
   }
 
+  test("q71 sliding windows: fan-out absorbed by map-side partials before the shuffle") {
+    val p = plan("q71_sliding_windows")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "the 4x window explode must be aggregated map-side, not shuffled raw")
+    assert(p.contains("Generate"), "events must explode into covering windows")
+  }
+
+  test("q72 upsert merge: base passes through a broadcast anti-join, never re-keyed") {
+    val p = plan("q72_upsert_merge")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
+      "untouched base rows must survive via broadcast anti-join (map-side)")
+    assert(!"hashpartitioning\\(o_orderkey".r.findFirstIn(p).isDefined,
+      "the merge must never shuffle the base on the merge key")
+  }
+
   test("q65 range join: binned to an equi-join, never a nested loop") {
     val p = plan("q65_range_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -56,6 +56,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: streamed counts equal the batch explode+aggregate form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val base = Timestamp.valueOf("2024-01-01 00:10:00").getTime
+    val data = (0 until 12).map(i =>
+      (new Timestamp(base + i * 20 * 60 * 1000L), s"k${i % 2}", i.toDouble))
+    stream.addData(data)
+
+    val events = stream.toDS().toDF("ts", "key", "value")
+    val q = StreamOps.slidingCounts(events, "ts", "key")
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_counts")
+        .select(col("window.start").cast("long"), col("key"), col("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      // batch q71 shape on the same rows: slot = floor(epochSec/900),
+      // window w covers slots w..w+3 → event in windows slot-3..slot
+      val slide = 900L
+      val batch = data
+        .flatMap { case (ts, k, _) =>
+          val slot = ts.getTime / 1000 / slide
+          (0L until 4L).map(off => ((slot - off) * slide, k))
+        }
+        .groupBy(identity).map { case (wk, g) => wk -> g.size.toLong }
+      assert(streamed === batch,
+        "streaming window(ts, 1h, 15m) must partition events exactly like the batch explode")
+      // every event appears in exactly 4 windows
+      assert(streamed.values.sum === data.length * 4L)
+    } finally q.stop()
+  }
+
   test("session windows (30-min gap)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
