@@ -139,7 +139,14 @@ object SkewBench {
     // pile-up concentrates FOUR sliding-window keys instead of one
     // tumbling key, and the 4x explode is absorbed by map-side partials
     // before the shuffle ever sees it (PlanSpec gates the partial agg)
-    "q71_sliding_windows")
+    "q71_sliding_windows",
+    // t35 under the 10k-dup doc: every bigram of the cluster has
+    // count ≥ 10k — the Zipf-head worst case for BOTH model joins
+    // (bigram table and context table). Same posture as t34: the model
+    // sides are the small sides (broadcast here; AQE skew-split at
+    // billion-bigram model scale) and the per-doc aggregate re-keys by
+    // doc_id immediately after
+    "t35_bigram_surprisal")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -431,7 +431,57 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
       .withColumn("mean_bits_ppm", expr("sum_bits * 1000000 div n_tokens"))
 
+  /** t35: bigram CONDITIONAL surprisal — the next model tier above
+    * [[t34Surprisal]]'s unigram scoring, the same floor-quantized
+    * integer log2 so both engines are bit-exact with no transcendental
+    * drift. Per in-document bigram (p, w):
+    * bits = ⌊log2 c(p·)⌋ − ⌊log2 c(p,w)⌋ ≈ −log2 P̂(w | p) with
+    * P̂(w|p) = c(p,w)/c(p·) and c(p·) counting p's occurrences AS a
+    * predecessor (the proper conditional normalizer). Low mean bits =
+    * locally predictable text (boilerplate/templates); high = unusual
+    * transitions — the bigram perplexity-proxy quality filter.
+    *
+    * Shape: positioned bigram explode (map-only), two hash-keyed counts
+    * (bigram table and context table — the Zipf head is the hot key,
+    * handled exactly like t34's vocab join: small model side broadcasts
+    * here, AQE skew-split at corpus-scale model size), one per-doc
+    * aggregate. Docs with < 2 tokens have no bigrams and drop out — by
+    * contract, same in both dialects. */
+  val t35BigramSurprisal = Q(
+    "t35_bigram_surprisal",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> {'p': t[i], 'w': t[i+1]})) AS b FROM tok),
+       bg AS (SELECT doc_id, b.p AS p, b.w AS w FROM bg0),
+       ctx AS (SELECT p, COUNT(*) AS cp FROM bg GROUP BY p),
+       bgc AS (SELECT p, w, COUNT(*) AS cb FROM bg GROUP BY p, w),
+       sc AS (SELECT bg.doc_id,
+                     CAST(LENGTH(bin(ctx.cp)) - LENGTH(bin(bgc.cb)) AS BIGINT) AS bits
+              FROM bg JOIN bgc ON bg.p = bgc.p AND bg.w = bgc.w
+                      JOIN ctx ON bg.p = ctx.p)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              CAST(SUM(bits) AS BIGINT) AS sum_bits,
+              SUM(bits) * 1000000 // COUNT(*) AS mean_bits_ppm
+       FROM sc GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
+    val bg = T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2) // the duck range(1, len) is empty there too
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> named_struct('p', t[i], 'w', t[i+1]))")).as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.w").as("w"))
+    val ctx = bg.groupBy("p").agg(count(lit(1)).as("cp"))
+    val bgc = bg.groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    bg.join(bgc, Seq("p", "w")).join(ctx, "p")
+      .withColumn("bits",
+        (length(bin(col("cp"))) - length(bin(col("cb")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits_ppm", expr("sum_bits * 1000000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
-    t31PiiRedact, t32ChunkOverlap, t34Surprisal)
+    t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal)
 }
