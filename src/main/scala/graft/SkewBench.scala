@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   *  - `lineitem`: ~20 % of rows remapped to ONE order key; q26's salted
   *    join must spread that key over saltFactor reducers.
   *
-  * d30/d31 are excluded by contract, not leniency: their OUTPUT is
+  * d30/d31/m44 are excluded by contract, not leniency: their OUTPUT is
   * quadratic in duplicate multiplicity (every dup pair is a result row —
-  * 10k dups = 50M correct answer rows), so "skew-safe" is not a property
-  * they can have on a mass-duplicated input; the pipeline answer is d26
-  * first (which x90 demonstrates under this very workload).
+  * 10k dups = 50M correct answer rows; m44's 10k identical blobs share
+  * one phash), so "skew-safe" is not a property they can have on a
+  * mass-duplicated input; the pipeline answer is d26 first (which x90
+  * demonstrates under this very workload).
   *
   * Prints one JSON line; exits 1 if any query exceeds the wall bound.
   */

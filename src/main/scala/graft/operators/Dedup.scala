@@ -548,22 +548,26 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  // 32-bit SimHash: per bit, majority vote of token-hash bits (token
-  // multiset, order-insensitive).
-  private def simhashSpark =
+  // 32-bit SimHash: per bit, majority vote of gram-hash bits (gram
+  // multiset, order-insensitive). The vote formulas are shared with the
+  // char-gram media variant ([[Multimodal.m44MediaNeardup]]) so the two
+  // tiers cannot drift — only the gram source differs.
+  private[operators] def simhashSpark =
     "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + " +
       "(case when 2 * size(filter(th, h -> (shiftright(h, b) & 1) = 1)) > size(th) " +
       "then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
-  private val duckSimhash =
-    s"""th AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> ${H.d("x")}) AS th
-               FROM documents),
-        sim AS (SELECT doc_id,
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** DuckDB dialect of [[simhashSpark]]'s vote over a list column `th`. */
+  private[operators] val duckSimVote =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(range(0, 32), b ->
                     CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
                          THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
                          ELSE CAST(0 AS BIGINT) END)),
-                  (acc, x) -> acc + x) AS simhash FROM th)"""
+                  (acc, x) -> acc + x)"""
+  private val duckSimhash =
+    s"""th AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> ${H.d("x")}) AS th
+               FROM documents),
+        sim AS (SELECT doc_id, $duckSimVote AS simhash FROM th)"""
 
   /** Per-document 32-bit SimHash fingerprint + its 8 diagnostic chunks
     * (4 bits each). NOTE: [[d30SimhashPairs]] does NOT consume these —

@@ -73,5 +73,57 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan)
+  /** m44: media near-dup — perceptual-hash-style duplicate detection over
+    * the opaque media BYTES, the dedup tier of the multimodal story (the
+    * image/video dedup every multimodal training pipeline runs; doc-level
+    * text dedup never sees it). The stub "pHash" is a 32-bit SimHash over
+    * the byte 4-gram multiset of the blob (here the utf-8 stub bytes —
+    * with a real codec the gram source becomes decoded pixel blocks, one
+    * line in the kernel, plan unchanged); pairs at hamming ≤ 3 via the
+    * same 8-bit-chunk pigeonhole join as [[Dedup.d30SimhashPairs]] — a
+    * chunk-equality HASH join, never doc×doc. Vote formulas are shared
+    * with d29/d30 ([[Dedup.simhashSpark]]/[[Dedup.duckSimVote]]) so the
+    * tiers cannot drift. Blobs under 4 bytes have no grams and drop out
+    * by contract (identically in both dialects). */
+  val m44MediaNeardup = Q(
+    "m44_media_neardup",
+    s"""WITH th0 AS (SELECT doc_id, list_transform(range(1, length(text) - 2),
+                       i -> ${H.d("substring(text, CAST(i AS INTEGER), 4)")}) AS th
+                     FROM documents WHERE length(text) >= 4),
+        sim AS (SELECT doc_id, ${Dedup.duckSimVote} AS phash FROM th0),
+        chunk AS (SELECT doc_id, phash, c,
+                         (phash >> CAST(c*8 AS INTEGER)) & 255 AS cv
+                  FROM sim, range(0, 4) r(c)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, a.phash AS ph_a,
+                                 b.doc_id AS b_id, b.phash AS ph_b
+                 FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv
+                                          AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+        SELECT a_id, b_id, ph_a, ph_b,
+               CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        FROM cand ORDER BY a_id, b_id""") { (spark, dir) =>
+    // cache before the chunk fan-out for the same reason as d30: the
+    // interpreted vote expression must evaluate once per doc, not 16x
+    val sim = T(spark, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, length(text) - 3), " +
+          s"i -> ${graft.operators.H.s("substring(text, i, 4)")}) as th")
+      .selectExpr("doc_id", s"${Dedup.simhashSpark} as phash")
+      .cache()
+    val chunk = sim
+      .select(col("doc_id"), col("phash"), explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("cv", expr("shiftright(phash, c*8) & 255"))
+    chunk.select(col("c"), col("cv"), col("doc_id").as("a_id"), col("phash").as("ph_a"))
+      .join(chunk.select(col("c").as("c2"), col("cv").as("cv2"),
+        col("doc_id").as("b_id"), col("phash").as("ph_b")),
+        col("c") === col("c2") && col("cv") === col("cv2") && col("a_id") < col("b_id"))
+      .filter(expr("bit_count(ph_a ^ ph_b) <= 3"))
+      .select("a_id", "b_id", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup)
 }
