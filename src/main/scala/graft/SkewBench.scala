@@ -147,7 +147,11 @@ object SkewBench {
     // sides are the small sides (broadcast here; AQE skew-split at
     // billion-bigram model scale) and the per-doc aggregate re-keys by
     // doc_id immediately after
-    "t35_bigram_surprisal")
+    "t35_bigram_surprisal",
+    // x101 inherits d28's skew posture wholesale (cap → bands → verify;
+    // the 10k-dup cluster's shingles cap out, so its pairs never form)
+    // plus two split-lookup joins keyed on doc_id — nothing hot
+    "x101_split_leakage")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -427,7 +427,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x101: split LEAKAGE audit — near-dup pairs that STRADDLE the
+    * train/val/test boundary. x92 guards against an EXTERNAL benchmark
+    * leaking into the corpus; this guards the corpus against itself: a
+    * test doc whose near-duplicate sits in train inflates every eval
+    * number, and no doc-level split (t27 hashes doc_id, so dup clusters
+    * scatter across splits by construction) prevents it. Composition of
+    * two oracle-checked formulas — t27's split assignment and d28's
+    * capped MinHash-LSH verified pairs — filtered to split_a ≠ split_b;
+    * the remedy (re-split by duplicate CLUSTER, d34's components, not by
+    * doc) follows directly from this report. Scale inherits d28's
+    * posture (cap → bands → verify, sub-quadratic); the split join adds
+    * two broadcast-size lookups. */
+  val x101SplitLeakage = Q(
+    "x101_split_leakage",
+    s"""WITH ${Dedup.duckShingles},
+        ${Dedup.duckCappedSets},
+        ${Dedup.duckLshPairCtes},
+        pairs AS (SELECT a_id, b_id,
+                         CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+                  FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        sp AS (SELECT doc_id,
+                      CASE WHEN ${H.d("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+                           WHEN ${H.d("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents)
+        SELECT a_id, b_id, sa.split AS split_a, sb.split AS split_b, jaccard
+        FROM pairs JOIN sp sa ON a_id = sa.doc_id JOIN sp sb ON b_id = sb.doc_id
+        WHERE sa.split <> sb.split
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val hs0 = Dedup.shingleHashes(spark, dir).cache()
+    val sh = Dedup.cappedShingleSets(hs0).cache()
+    val sp = T(spark, dir, "documents")
+      .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+      .select("doc_id", "split")
+    Dedup.lshVerifiedPairs(sh)
+      .select("a_id", "b_id", "jaccard")
+      .join(sp.select(col("doc_id").as("a_id"), col("split").as("split_a")), "a_id")
+      .join(sp.select(col("doc_id").as("b_id"), col("split").as("split_b")), "b_id")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("a_id", "b_id", "split_a", "split_b", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
-    x99GlobalIndex, t33SequencePack)
+    x99GlobalIndex, t33SequencePack, x101SplitLeakage)
 }
