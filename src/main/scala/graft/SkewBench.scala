@@ -151,7 +151,13 @@ object SkewBench {
     // x101 inherits d28's skew posture wholesale (cap → bands → verify;
     // the 10k-dup cluster's shingles cap out, so its pairs never form)
     // plus two split-lookup joins keyed on doc_id — nothing hot
-    "x101_split_leakage")
+    "x101_split_leakage",
+    // d38 under the 10k-dup cluster: the dups share identical prefix AND
+    // suffix, so BOTH their blocking keys carry 10k members — the
+    // EditMaxBlock cap drops those blocks before the self-join (exact
+    // dups are d26's job) and the Levenshtein verify only ever runs on
+    // organic block-colliding candidates
+    "d38_editdist_dedup")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

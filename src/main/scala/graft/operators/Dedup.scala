@@ -1092,10 +1092,84 @@ object Dedup {
         LEFT JOIN m ON d.doc_id = m.b_id
         ORDER BY d.doc_id"""
 
+  /** d38 knobs: blocking-key length, block-size cap (the hot-block analog
+    * of [[MaxShingleDf]] — mass-identical prefixes are d26's job), and
+    * the edit-distance acceptance threshold. */
+  private val EditBlockLen = 40
+  private val EditMaxBlock = 64
+  private val EditMaxDist = 10
+
+  /** d38: blocked EDIT-DISTANCE dedup — the record-linkage classic, the
+    * character-level family none of the set-similarity tiers (d27/d28
+    * shingles, d29/d30 SimHash) covers: detect pairs within
+    * [[EditMaxDist]] Levenshtein edits of each other. All-pairs
+    * Levenshtein is O(N²·L²) — dead twice over — so candidates come from
+    * BLOCKING: two keys per doc, the first and last [[EditBlockLen]]
+    * characters. A pair at distance ≤ K differs in at most K positions,
+    * so with K < EditBlockLen an edit run inside the prefix leaves the
+    * suffix identical and vice versa — a pair can only evade BOTH blocks
+    * if edits hit both ends, the documented residual miss (three-key
+    * middle blocking closes it at +50% key cost). Blocks over
+    * [[EditMaxBlock]] members are dropped before the self-join (the
+    * hot-block cap: a 10k-identical-prefix cluster is exact-dup
+    * territory, d26's job — the cap is what keeps the join
+    * sub-quadratic), then ONLY block-colliding candidates pay the exact
+    * Levenshtein verify — Spark-side with the threshold early-exit form,
+    * values on kept rows identical to the oracle's unbounded
+    * levenshtein(). Docs shorter than EditBlockLen sit below the edit
+    * resolution and are excluded by contract (identically in both
+    * dialects). */
+  val d38EditdistDedup = Q(
+    "d38_editdist_dedup",
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+                   WHERE length(text) >= $EditBlockLen),
+        k AS (SELECT doc_id, 0 AS side, md5(substring(text, 1, $EditBlockLen)) AS bk FROM d
+              UNION ALL
+              SELECT doc_id, 1, md5(substring(text, len - ${EditBlockLen - 1}, $EditBlockLen))
+              FROM d),
+        sz AS (SELECT side, bk, COUNT(*) AS n FROM k GROUP BY side, bk),
+        k2 AS (SELECT k.* FROM k JOIN sz ON k.side = sz.side AND k.bk = sz.bk
+               WHERE sz.n <= $EditMaxBlock),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM k2 a JOIN k2 b ON a.side = b.side AND a.bk = b.bk
+                                    AND a.doc_id < b.doc_id),
+        v AS (SELECT a_id, b_id, levenshtein(da.text, db.text) AS lev
+              FROM cand JOIN d da ON a_id = da.doc_id JOIN d db ON b_id = db.doc_id)
+        SELECT a_id, b_id, CAST(lev AS BIGINT) AS lev
+        FROM v WHERE lev <= $EditMaxDist ORDER BY a_id, b_id""") { (spark, dir) =>
+    val d = T(spark, dir, "documents")
+      .filter(length(col("text")) >= EditBlockLen)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .cache()
+    val k = d.select(col("doc_id"), lit(0).as("side"),
+        md5(substring(col("text"), 1, EditBlockLen).cast("binary")).as("bk"))
+      .unionByName(d.select(col("doc_id"), lit(1).as("side"),
+        md5(expr(s"substring(text, len - ${EditBlockLen - 1}, $EditBlockLen)")
+          .cast("binary")).as("bk")))
+    val sz = k.groupBy("side", "bk").agg(count(lit(1)).as("n"))
+    val k2 = k.join(sz.filter(col("n") <= EditMaxBlock), Seq("side", "bk"))
+      .select("doc_id", "side", "bk")
+    val cand = k2.select(col("side"), col("bk"), col("doc_id").as("a_id"))
+      .join(k2.select(col("side").as("s2"), col("bk").as("bk2"),
+        col("doc_id").as("b_id")),
+        col("side") === col("s2") && col("bk") === col("bk2")
+          && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      // threshold form: early-exits above EditMaxDist (returns -1 there);
+      // kept rows carry the identical distance the oracle computes
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), EditMaxDist).cast("long"))
+      .filter(col("lev") >= 0 && col("lev") <= EditMaxDist)
+      .select("a_id", "b_id", "lev")
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
-    d37IncrementalDedup)
+    d37IncrementalDedup, d38EditdistDedup)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL
