@@ -21,7 +21,8 @@ object PlanDump {
     "d37_incremental_dedup", "q69_interval_join", "q70_funnel",
     "s38_pq_knn", "x100_incremental_agg", "q71_sliding_windows",
     "q72_upsert_merge", "t35_bigram_surprisal", "m44_media_neardup",
-    "x101_split_leakage", "d38_editdist_dedup")
+    "x101_split_leakage", "d38_editdist_dedup", "s39_filtered_ann",
+    "x102_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -157,7 +157,15 @@ object SkewBench {
     // EditMaxBlock cap drops those blocks before the self-join (exact
     // dups are d26's job) and the Levenshtein verify only ever runs on
     // organic block-colliding candidates
-    "d38_editdist_dedup")
+    "d38_editdist_dedup",
+    // s39 under the 10k-dup embedding: the dups pile into one (cell,
+    // label) slice, but like s34 the candidate set is bounded by the
+    // QUERY side (10 probes x slice), never slice x slice
+    "s39_filtered_ann",
+    // x102 under the 10k-dup doc source: one hot source only changes
+    // that source's count and threshold — admission stays a map-only
+    // hash comparison against the broadcast rate table
+    "x102_temperature_mix")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

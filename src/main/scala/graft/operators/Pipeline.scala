@@ -472,7 +472,52 @@ object Pipeline {
       .orderBy("a_id", "b_id")
   }
 
+  /** x102: TEMPERATURE-weighted source mixing (τ = 0.5) — the fourth
+    * standard dataset mix next to balanced (x91), token-budget (x94),
+    * and stratified (x97): target proportions ∝ n_s^τ, flattening the
+    * source distribution toward rare sources without the hard equality
+    * of x91. Per-doc admission is a deterministic hash threshold
+    * `H(doc_id) % 1e6 < floor(sqrt(n_min/n_s)·1e6)` — admitted counts
+    * land at √(n_min·n_s) ∝ n_s^0.5, the smallest source keeps
+    * everything, and because division, sqrt, multiply and floor are each
+    * correctly rounded IEEE ops, the threshold is bit-identical across
+    * engines (the one float appearance; everything else is integers).
+    * Admission is monotone in the threshold, so growing a source only
+    * ADDS docs — re-runs are incremental, never reshuffling past
+    * selections (the same property x97 documents). Map-only apart from
+    * the source-count aggregate; the rate table is source-cardinality
+    * sized and broadcasts. */
+  val x102TemperatureMix = Q(
+    "x102_temperature_mix",
+    s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        mn AS (SELECT MIN(n) AS n_min FROM cnt),
+        rate AS (SELECT source, n,
+                        CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * 1000000) AS BIGINT) AS thr
+                 FROM cnt, mn),
+        adm AS (SELECT d.source, d.doc_id FROM documents d
+                JOIN rate ON d.source = rate.source
+                WHERE ${H.d("CAST(d.doc_id AS VARCHAR)")} % 1000000 < rate.thr)
+        SELECT r.source, r.n, r.thr, COUNT(a.doc_id) AS n_admitted
+        FROM rate r LEFT JOIN adm a ON r.source = a.source
+        GROUP BY r.source, r.n, r.thr ORDER BY r.source""") { (spark, dir) =>
+    val docs = T(spark, dir, "documents").select("source", "doc_id")
+    val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val nMin = cnt.agg(min(col("n")).as("n_min"))
+    val rate = cnt.crossJoin(broadcast(nMin))
+      .withColumn("thr",
+        floor(sqrt(col("n_min").cast("double") / col("n")) * 1000000).cast("long"))
+      .select("source", "n", "thr")
+    val adm = docs.join(broadcast(rate), "source")
+      .filter(expr(s"${H.s("cast(doc_id as string)")} % 1000000") < col("thr"))
+      .select("source", "doc_id")
+    rate.join(adm.groupBy("source").agg(count(lit(1)).as("n_admitted")),
+        Seq("source"), "left")
+      .select(col("source"), col("n"), col("thr"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
-    x99GlobalIndex, t33SequencePack, x101SplitLeakage)
+    x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix)
 }

@@ -271,6 +271,62 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** s39: FILTERED ANN — metadata-constrained vector search, the
+    * vector-DB feature every retrieval pipeline needs (search only the
+    * caller's tenant/language/licence slice). Same IVF machinery as
+    * [[s34AnnIvf]] (2-cell probe over the broadcast centroid
+    * assignment), with the label-equality predicate applied to the
+    * candidate set BEFORE scoring: the filter composes with the cell
+    * equi-join as one more join key — pre-filtering, not post-filtering
+    * a top-k (post-filtering returns < k results whenever the filter is
+    * selective; the pre-filter form ranks WITHIN the slice, the correct
+    * contract). At 100 TB the cell index is label-agnostic and the
+    * filter rides the candidate join — or, for hard tenant isolation,
+    * the index is partitioned BY label (q63's layout) and the filter
+    * becomes partition pruning; both end in the same plan shape. */
+  val s39FilteredAnn = Q(
+    "s39_filtered_ann",
+    s"""WITH $duckVecs,
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        $duckIvfAssign,
+        asg AS (SELECT a.vec_id, a.c_id AS cell, l.label
+                FROM asg0 a JOIN lbl l ON a.vec_id = l.vec_id WHERE a.rnk = 1),
+        probe AS (SELECT a.vec_id AS q_id, a.c_id AS cell, l.label
+                  FROM asg0 a JOIN lbl l ON a.vec_id = l.vec_id
+                  WHERE a.rnk <= 2 AND a.vec_id < 10),
+        cand AS (SELECT p.q_id, a.vec_id AS n_id, p.cell, p.label
+                 FROM probe p JOIN asg a ON p.cell = a.cell AND p.label = a.label
+                                        AND a.vec_id <> p.q_id),
+        sc AS (SELECT c.q_id, c.n_id, c.cell, c.label,
+                      ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+               FROM cand c JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id),
+        r AS (SELECT q_id, n_id, cell, label, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+              FROM sc)
+        SELECT q_id, n_id, cell, CAST(label AS BIGINT) AS label,
+               CAST(rnk AS BIGINT) AS rnk, cos
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val e = vecs(spark, dir)
+    val lbl = T(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val asg0 = ivfAssign0(spark, dir)
+    val asg = asg0.filter(col("rnk") === 1).join(lbl, "vec_id")
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"), col("label"))
+    val probe = asg0.filter(col("rnk") <= 2 && col("vec_id") < 10).join(lbl, "vec_id")
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"), col("label"))
+    val cand = probe.join(asg, Seq("cell", "label"))
+      .filter(col("n_id") =!= col("q_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")), "n_id")
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("n_id"), col("cell"),
+        col("label").cast("long").as("label"), col("rnk"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label embedding statistics: counts and exact centroid preview
     * (first 4 centroid dimensions as exact DECIMAL means surfaced as
     * doubles — order-independent, so partitioning-invariant). */
@@ -938,5 +994,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
-    x98ClusterReps, s37QuantizedKnn, s38PqKnn)
+    x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn)
 }
