@@ -85,6 +85,57 @@ object Multimodal {
     * with d29/d30 ([[Dedup.simhashSpark]]/[[Dedup.duckSimVote]]) so the
     * tiers cannot drift. Blobs under 4 bytes have no grams and drop out
     * by contract (identically in both dialects). */
+  /** JVM kernel for [[m44MediaNeardup]]'s phash: one pass per blob —
+    * slide the 4-byte window, hash each gram ([[H.jvm]], the same first-
+    * 4-md5-bytes derivation as `H.s`/`H.d`), vote the 32 bits
+    * incrementally, emit the majority phash. The SURVEY §7.3 tier (d)
+    * escape, same precedent as `Dedup.shingleHashKernel`: ~2.3M
+    * interpreted substring+md5+conv expression evaluations at sf0.1
+    * become one tight loop (bench 5.8 → sub-second). DedupSpec pins the
+    * kernel bit-equal to the expression form (which the oracle mirrors
+    * in SQL). Contract: gram positions count Java chars — identical to
+    * the SQL dialects on the corpus (ASCII stub bytes); a real binary
+    * codec feeds raw bytes here and the question disappears. */
+  private[operators] def phashKernel(
+      it: Iterator[(Long, String)]): Iterator[(Long, Long)] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    it.map { case (id, text) =>
+      val votes = new Array[Int](32)
+      var n = 0
+      var i = 0
+      val L = text.length
+      while (i + 4 <= L) {
+        val h = H.jvm(text.substring(i, i + 4), md5)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+        n += 1
+        i += 1
+      }
+      var ph = 0L
+      var b = 0
+      while (b < 32) {
+        if (2 * votes(b) > n) ph |= (1L << b)
+        b += 1
+      }
+      (id, ph)
+    }
+  }
+
+  /** The interpreted-expression form of the phash — the formula the
+    * DuckDB oracle mirrors; kept as the spec baseline [[phashKernel]] is
+    * pinned bit-equal to. */
+  private[operators] def phashExprForm(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .filter(length(col("text")) >= 4)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, length(text) - 3), " +
+          s"i -> ${H.s("substring(text, i, 4)")}) as th")
+      .selectExpr("doc_id", s"${Dedup.simhashSpark} as phash")
+
   val m44MediaNeardup = Q(
     "m44_media_neardup",
     s"""WITH th0 AS (SELECT doc_id, list_transform(range(1, length(text) - 2),
@@ -102,14 +153,15 @@ object Multimodal {
         SELECT a_id, b_id, ph_a, ph_b,
                CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
         FROM cand ORDER BY a_id, b_id""") { (spark, dir) =>
-    // cache before the chunk fan-out for the same reason as d30: the
-    // interpreted vote expression must evaluate once per doc, not 16x
+    // JVM kernel (bit-equal to the expression form, DedupSpec-pinned);
+    // cache before the chunk fan-out so the pass runs once per doc
+    val spark2 = spark
+    import spark2.implicits._
     val sim = T(spark, dir, "documents")
       .filter(length(col("text")) >= 4)
-      .selectExpr("doc_id",
-        s"transform(sequence(1, length(text) - 3), " +
-          s"i -> ${graft.operators.H.s("substring(text, i, 4)")}) as th")
-      .selectExpr("doc_id", s"${Dedup.simhashSpark} as phash")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(phashKernel)
+      .toDF("doc_id", "phash")
       .cache()
     val chunk = sim
       .select(col("doc_id"), col("phash"), explode(expr("sequence(0, 3)")).as("c"))

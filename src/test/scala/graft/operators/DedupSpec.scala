@@ -153,6 +153,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.blocksFor(Dedup.TargetBlockRows * 100 + 1) === 101)
   }
 
+  test("m44: phash kernel is bit-equal to the interpreted expression form") {
+    import org.apache.spark.sql.functions.{col, length}
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = T(spark, sfDir, "documents").select("doc_id", "text")
+    val exprForm = Multimodal.phashExprForm(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = docs.filter(length(col("text")) >= 4)
+      .as[(Long, String)].mapPartitions(Multimodal.phashKernel)
+      .collect().toMap
+    assert(exprForm.nonEmpty && kernel === exprForm,
+      "the JVM sliding-window vote must reproduce the SQL-expression phash exactly")
+  }
+
   test("d37: every batch doc verdicted once; within-batch rejects are greedy-ordered") {
     import org.apache.spark.sql.functions.col
     val out = Dedup.d37IncrementalDedup.fn(spark, sfDir).collect()
