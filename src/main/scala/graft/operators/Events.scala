@@ -220,7 +220,49 @@ object Events {
       .orderBy("w", "event_type")
   }
 
+  /** Dedup window for [[q73WindowedDedup]]: 10 minutes in nanos. */
+  private[graft] val DedupWinNs = 600000000000L
+
+  /** Time-windowed dedup: within each 10-minute tumbling window keep the
+    * FIRST event per (user_id, event_type) — the at-least-once-delivery /
+    * double-fire suppression every event pipeline runs at ingest, with a
+    * per-kept-row count of what it suppressed. Deterministic pick:
+    * (tsn, event_id) ascending, never an unordered `first()`.
+    *
+    * Shape: ONE shuffle on (user, type, window) feeding both window
+    * functions (same partitioning; the rank's sort also serves the
+    * count). Window population is bounded by one user-type's traffic in
+    * 10 minutes, so partitions stay even at any corpus size; a
+    * flash-crowd user-type is one hot key among millions (AQE skew
+    * handling, same posture as q51). The streaming twin is
+    * [[graft.streaming.StreamOps.windowedFirstEvent]] — a watermarked
+    * window aggregation whose per-window min_by state is O(1) per open
+    * window (StreamingSpec pins it equal to this batch form). */
+  val q73WindowedDedup = Q(
+    "q73_windowed_dedup",
+    s"""WITH x AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn,
+                          epoch_ns(ts) // $DedupWinNs AS w FROM events),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type, w
+                       ORDER BY tsn, event_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY user_id, event_type, w) AS n_in_win
+              FROM x)
+        SELECT event_id, user_id, event_type, w, tsn,
+               CAST(n_in_win - 1 AS BIGINT) AS n_dups
+        FROM r WHERE rnk = 1 ORDER BY user_id, event_type, w""") { (spark, dir) =>
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"), col("w"))
+    T(spark, dir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "ts as tsn",
+        s"ts div $DedupWinNs as w")
+      .withColumn("rnk",
+        row_number().over(byKey.orderBy(col("tsn"), col("event_id"))))
+      .withColumn("n_dups", count(lit(1)).over(byKey) - 1)
+      .filter(col("rnk") === 1)
+      .select("event_id", "user_id", "event_type", "w", "tsn", "n_dups")
+      .orderBy("user_id", "event_type", "w")
+  }
+
   val all: Seq[Q] =
     Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel,
-      q71SlidingWindows)
+      q71SlidingWindows, q73WindowedDedup)
 }

@@ -176,6 +176,72 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
+  /** Frame geometry for [[m45AudioFrames]]: 256 samples per frame, and a
+    * frame whose energy is below [[SilenceE]] counts as silence (the VAD
+    * trim threshold). */
+  private val FrameLen = 256
+  private val SilenceE = 60000L
+
+  /** m45: audio-frame FEATURES — the audio tier of the multimodal story.
+    * The blob's bytes are read as a PCM-like sample stream (stub: each
+    * char code − 64, signed; a real audio codec decodes samples here and
+    * nothing downstream changes), framed into fixed [[FrameLen]]-sample
+    * windows (last frame ragged), and each frame yields the two classic
+    * features every audio-curation pipeline computes first: ENERGY
+    * (Σ s², the silence/VAD signal) and ZERO-CROSSING count (the
+    * voiced/unvoiced + noise heuristic). Per blob: frame count, total /
+    * max frame energy, silent-frame count (energy < [[SilenceE]]) and
+    * total crossings — the features that drive silence trimming, clip
+    * filtering, and duration-balanced sampling at corpus scale.
+    *
+    * All integer arithmetic (exact cross-engine), and map-only: nested
+    * codegen'd HOFs per row, no explode, no shuffle, no driver
+    * collection — embarrassingly parallel at any corpus size, the same
+    * posture as m41-m43. */
+  val m45AudioFrames = Q(
+    "m45_audio_frames", {
+      val wD = s"list_slice(s, f*$FrameLen+1, f*$FrameLen+$FrameLen)"
+      s"""WITH ch AS (SELECT doc_id, list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, CAST(i AS INTEGER), 1)) - 64) AS s
+                      FROM documents WHERE length(text) >= 1),
+          fx AS (SELECT doc_id, len(s) AS n_samples,
+                        list_transform(range(0, (len(s) + ${FrameLen - 1}) // $FrameLen),
+                          f -> list_sum(list_transform($wD, x -> x * x))) AS fe,
+                        list_transform(range(0, (len(s) + ${FrameLen - 1}) // $FrameLen),
+                          f -> CASE WHEN len($wD) < 2 THEN 0
+                                    ELSE list_sum(list_transform(range(1, len($wD)),
+                                           i -> CASE WHEN $wD[i] * $wD[i+1] < 0
+                                                     THEN 1 ELSE 0 END)) END) AS fz
+                 FROM ch)
+          SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+                 CAST(len(fe) AS BIGINT) AS n_frames,
+                 CAST(list_sum(fe) AS BIGINT) AS total_energy,
+                 CAST(list_max(fe) AS BIGINT) AS max_frame_energy,
+                 CAST(len(list_filter(fe, e -> e < $SilenceE)) AS BIGINT) AS n_silent,
+                 CAST(list_sum(fz) AS BIGINT) AS n_zero_cross
+          FROM fx ORDER BY doc_id"""
+    }) { (spark, dir) =>
+    val wS = s"slice(s, f*$FrameLen+1, $FrameLen)"
+    T(spark, dir, "documents")
+      .filter(length(col("text")) >= 1)
+      .selectExpr("doc_id",
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) - 64) as s")
+      .selectExpr("doc_id", "cast(size(s) as bigint) as n_samples",
+        s"transform(sequence(0, (size(s) + ${FrameLen - 1}) div $FrameLen - 1), " +
+          s"f -> aggregate($wS, 0L, (a, x) -> a + x * x)) as fe",
+        s"transform(sequence(0, (size(s) + ${FrameLen - 1}) div $FrameLen - 1), " +
+          s"f -> IF(size($wS) < 2, 0L, aggregate(sequence(1, size($wS) - 1), 0L, " +
+          s"(a, i) -> a + IF(element_at($wS, i) * element_at($wS, i + 1) < 0, 1L, 0L)))) as fz")
+      .selectExpr("doc_id", "n_samples",
+        "cast(size(fe) as bigint) as n_frames",
+        "aggregate(fe, 0L, (a, e) -> a + e) as total_energy",
+        "array_max(fe) as max_frame_energy",
+        s"cast(size(filter(fe, e -> e < ${SilenceE}L)) as bigint) as n_silent",
+        "aggregate(fz, 0L, (a, z) -> a + z) as n_zero_cross")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup)
+    Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup,
+      m45AudioFrames)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline compositions: deterministic splits and the
@@ -347,11 +348,21 @@ object Pipeline {
         SELECT doc_id, h,
                ROW_NUMBER() OVER (ORDER BY h, doc_id) AS global_idx
         FROM d ORDER BY doc_id""") { (spark, dir) =>
+    globalIndexFrame(spark, dir)
+      .select("doc_id", "h", "global_idx")
+      .orderBy("doc_id")
+  }
+
+  /** The bucket-parallel global index itself (doc_id, n_chars, h,
+    * global_idx) — x99's algorithm, shared with [[x104ShardManifest]] so
+    * the export index and the shard manifests derive from ONE plan. */
+  private[operators] def globalIndexFrame(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nBuckets = 32
     val width = (1L << 32) / nBuckets
     val d = T(spark, dir, "documents")
-      .select(col("doc_id"), expr(H.s("text")).as("h"))
+      .select(col("doc_id"), col("n_chars"), expr(H.s("text")).as("h"))
       .withColumn("b", expr(s"h div $width"))
       .cache() // consumed by both the per-bucket rank and the offsets
     val wIn = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
@@ -364,9 +375,8 @@ object Pipeline {
       .select("b", "off")
     d.withColumn("rn", row_number().over(wIn))
       .join(broadcast(off), Seq("b"))
-      .select(col("doc_id"), col("h"),
+      .select(col("doc_id"), col("n_chars"), col("h"),
         (col("off") + col("rn")).as("global_idx"))
-      .orderBy("doc_id")
   }
 
   /** Tokens per packed training sequence for [[t33SequencePack]]. */
@@ -517,7 +527,114 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** x103: leakage-SAFE group-aware split — the remedy x101's audit
+    * points at. t27 hashes the doc_id, so the members of a near-dup
+    * cluster scatter across train/val/test by construction and x101
+    * reports the straddling pairs. Here the unit of assignment is the
+    * duplicate CLUSTER: every doc hashes its cluster REPRESENTATIVE
+    * (d34's component label for docs in any verified near-dup pair, the
+    * doc's own id for singletons — the component label IS a doc_id, the
+    * cluster min, so singleton and member hash the same key space), and
+    * t27's bucket rule is applied to that. Near-dup pairs land in one
+    * bucket together — the x101 audit over THIS assignment is empty by
+    * construction (spec-pinned, SplitSpec). Scale: the component list is
+    * pair-participant sized (≪ corpus — only docs in verified near-dup
+    * pairs), so the left join is a hash join against a small build side;
+    * everything else is t27's map-only hash bucketing. Output is t27's
+    * per-(lang, split) shape so the redistribution is directly
+    * comparable. */
+  val x103ClusterSplit = Q(
+    "x103_cluster_split",
+    s"""WITH RECURSIVE ${Dedup.duckShingles},
+        ${Dedup.duckCappedSets},
+        ${Dedup.duckLshPairCtes},
+        pairs AS (SELECT a_id, b_id FROM v
+                  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        rep AS (SELECT d.doc_id, d.lang,
+                       COALESCE(c.component, d.doc_id) AS rep
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        sp AS (SELECT lang,
+                      CASE WHEN ${H.d("CAST(rep AS VARCHAR)")} % 10 < 8 THEN 'train'
+                           WHEN ${H.d("CAST(rep AS VARCHAR)")} % 10 = 8 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM rep)
+        SELECT lang, split, COUNT(*) AS n
+        FROM sp GROUP BY 1, 2 ORDER BY lang, split""") { (spark, dir) =>
+    val hs0 = Dedup.shingleHashes(spark, dir).cache()
+    val sh = Dedup.cappedShingleSets(hs0).cache()
+    val comp = Dedup
+      .connectedComponents(Dedup.lshVerifiedPairs(sh).select("a_id", "b_id"))
+      .select(col("doc_id"), col("component"))
+    clusterSplitAssign(T(spark, dir, "documents").select("doc_id", "lang"), comp)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
+  /** Shard size for [[x104ShardManifest]] — small so oracle SF exercises
+    * many shards; at 100 TB this is ~256k docs/shard and the manifest is
+    * corpus/256k rows. */
+  private val ShardSize = 64L
+
+  /** x104: deterministic SHARD MANIFEST for export — the final step of
+    * the training-data story: the deterministically-shuffled corpus
+    * (x99's global index) is cut into fixed-size shards
+    * (`(idx-1) div ShardSize` — contiguous in the shuffle order, so a
+    * reader streams shard files sequentially), and each shard gets a
+    * manifest row: doc count, index range, an order-independent XOR
+    * checksum over the content hashes, and total payload size. The
+    * manifest is what makes a 100 TB export VERIFIABLE — a re-run (or a
+    * resumed partial run) must reproduce identical manifest rows, any
+    * divergence names the exact shard, and the checksum catches a
+    * corrupted/substituted shard without re-reading payloads.
+    *
+    * Scale: derives from x99's bucket-parallel index (no single-task
+    * sort), then ONE hash aggregation on shard id; XOR and SUM are both
+    * mergeable, so partials combine map-side. Manifest output is
+    * corpus/ShardSize rows — tiny. */
+  val x104ShardManifest = Q(
+    "x104_shard_manifest",
+    s"""WITH d AS (SELECT doc_id, n_chars, ${H.d("text")} AS h FROM documents),
+        g AS (SELECT doc_id, n_chars, h,
+                     ROW_NUMBER() OVER (ORDER BY h, doc_id) AS gi FROM d)
+        SELECT (gi - 1) // $ShardSize AS shard,
+               COUNT(*) AS n_docs,
+               MIN(gi) AS min_idx, MAX(gi) AS max_idx,
+               bit_xor(h) AS checksum,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM g GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
+    globalIndexFrame(spark, dir)
+      .withColumn("shard", expr(s"(global_idx - 1) div $ShardSize"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("global_idx")).as("min_idx"),
+        max(col("global_idx")).as("max_idx"),
+        expr("bit_xor(h)").as("checksum"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy("shard")
+  }
+
+  /** The x103 assignment itself (doc_id, …, split) — shared with the
+    * SplitSpec straddle audit so the spec audits the exact production
+    * formula, not a re-derivation. */
+  private[operators] def clusterSplitAssign(
+      docs: DataFrame, comp: DataFrame): DataFrame =
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+      .withColumn("b", expr(s"${H.s("cast(rep as string)")} % 10"))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+      .drop("component", "b")
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
-    x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix)
+    x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
+    x103ClusterSplit, x104ShardManifest)
 }

@@ -318,7 +318,76 @@ object Relational2 {
          ORDER BY o_orderkey""")
   }
 
+  /** q74: statistical aggregate pack — variance, stddev, covariance,
+    * Pearson correlation per group, computed EXACTLY cross-engine. The
+    * built-in `var_pop`/`corr` stream doubles in engine-specific order
+    * (Welford-style updates), so their results differ between Spark and
+    * DuckDB in the last ulps — unhashable. Instead the moments are exact
+    * DECIMAL sums (n, Σx, Σy, Σx², Σy², Σxy — order-independent like
+    * every `Num.dsum`), each cast to double (correctly rounded on both
+    * engines, the VARCHAR route on DuckDB per the [[Num]] trap note),
+    * and the statistics derive from those six doubles via the IDENTICAL
+    * expression tree on both sides — every step a correctly-rounded
+    * IEEE op on identical inputs, so the outputs are bit-equal.
+    *
+    * Scale: this is the textbook mergeable-moments shape — one pass,
+    * map-side partial sums, six numbers per group crossing the shuffle;
+    * the same six partials power any incremental/streaming variant
+    * (x100's pattern). */
+  val q74StatMoments = Q(
+    "q74_stat_moments", {
+      def d2d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+      s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+             ${d2d("SUM(CAST(l_quantity AS DECIMAL(12,4)))")} AS sx,
+             ${d2d("SUM(CAST(l_extendedprice AS DECIMAL(12,4)))")} AS sy,
+             -- DECIMAL(19,4) operands force DuckDB's int128 multiply path
+             -- (a 12,4×12,4 product overflows its int64 plan); the values
+             -- are the same rationals the Spark side sums at (12,4)×(12,4)
+             ${d2d("SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)))")} AS sxx,
+             ${d2d("SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)))")} AS syy,
+             ${d2d("SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)))")} AS sxy
+             FROM lineitem GROUP BY l_returnflag),
+          s AS (SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy FROM m)
+          SELECT l_returnflag, n,
+                 sx / nd AS mean_qty,
+                 sxx / nd - (sx / nd) * (sx / nd) AS var_qty,
+                 sqrt(sxx / nd - (sx / nd) * (sx / nd)) AS std_qty,
+                 sy / nd AS mean_price,
+                 sxy / nd - (sx / nd) * (sy / nd) AS covar_qp,
+                 (sxy / nd - (sx / nd) * (sy / nd))
+                   / (sqrt(sxx / nd - (sx / nd) * (sx / nd))
+                      * sqrt(syy / nd - (sy / nd) * (sy / nd))) AS corr_qp
+          FROM s ORDER BY l_returnflag"""
+    }) { (spark, dir) =>
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    T(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .withColumn("nd", col("n").cast("double"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("nd")).as("mean_qty"),
+        (col("sxx") / col("nd") - (col("sx") / col("nd")) * (col("sx") / col("nd")))
+          .as("var_qty"),
+        sqrt(col("sxx") / col("nd")
+          - (col("sx") / col("nd")) * (col("sx") / col("nd"))).as("std_qty"),
+        (col("sy") / col("nd")).as("mean_price"),
+        (col("sxy") / col("nd") - (col("sx") / col("nd")) * (col("sy") / col("nd")))
+          .as("covar_qp"),
+        ((col("sxy") / col("nd") - (col("sx") / col("nd")) * (col("sy") / col("nd")))
+          / (sqrt(col("sxx") / col("nd")
+              - (col("sx") / col("nd")) * (col("sx") / col("nd")))
+            * sqrt(col("syy") / col("nd")
+              - (col("sy") / col("nd")) * (col("sy") / col("nd"))))).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
-    q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank)
+    q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
+    q74StatMoments)
 }

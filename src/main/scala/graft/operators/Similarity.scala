@@ -992,7 +992,50 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** s40: KNN-GRAPH construction — top-3 neighbors for EVERY corpus
+    * vector (not a small query set), the all-corpus neighbor graph
+    * behind graph-based clustering, label propagation over embeddings,
+    * and d34-style semantic dup components. Candidates are the
+    * multi-probe LSH rule shared with d33/s36 ([[probeMasks]] — own
+    * bucket + 6 Hamming-1 probes), taken in BOTH directions (q probes
+    * into n's bucket), ranked per vector by exact cosine.
+    *
+    * Scale: this is d33's bucket equi-join shape with a per-vector
+    * top-k on top — candidates per vector are bounded by its 7 probe
+    * buckets' populations (hyperplane buckets are balanced by
+    * construction; a degenerate hot bucket is the s33 caveat and would
+    * get a bucket cap like d28's MaxShingleDf), and the rank ≤ 3 filter
+    * is a map-side WindowGroupLimit before the final shuffle. Output is
+    * N·3 rows — linear in the corpus, never the N² brute-force graph. */
+  val s40KnnGraph = Q(
+    "s40_knn_graph",
+    s"""WITH $duckVecs, $duckW,
+        bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
+        pr AS (SELECT vec_id AS q_id, v, nrm, ${probeUnnestDuck("bucket")} AS pb
+               FROM bk),
+        cand AS (SELECT a.q_id, b.vec_id AS n_id,
+                        ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                 FROM pr a JOIN bk b ON a.pb = b.bucket AND a.q_id <> b.vec_id),
+        r AS (SELECT q_id, n_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS rnk FROM cand)
+        SELECT q_id, n_id, cos, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val bk = bucketedVecs(spark, dir)
+    val a = bk.select(col("vec_id").as("q_id"), col("v").as("va"),
+      col("nrm").as("na"), probeBuckets(col("bucket")).as("pb"))
+    val b = bk.select(col("vec_id").as("n_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    a.join(b, col("pb") === col("bb") && col("q_id") =!= col("n_id"))
+      .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id", "cos", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
-    x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn)
+    x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph)
 }

@@ -481,7 +481,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t36: n-gram NOVELTY — per document, the fraction of its distinct
+    * 3-gram shingles that are corpus-unique (document frequency 1). Low
+    * novelty = boilerplate/template text sharing most of its phrasing
+    * with other documents (the signal behind boilerplate stripping and
+    * template-site downweighting); high novelty = original prose. The
+    * complement of t34's surprisal (which scores against a UNIGRAM
+    * model): novelty sees phrase-level repetition across documents.
+    * Integer-exact rational (`n_novel·1e6 div n_shingles`) so both
+    * engines rank identically — the t26 rule.
+    *
+    * Reuses the dedup stack's shingle→hash derivation verbatim
+    * ([[Dedup.shingleHashesFrom]] / [[Dedup.duckHashedShingles]]) so
+    * "shingle" means the same thing in dedup and novelty. Scale: unlike
+    * the dedup self-joins this needs NO hot-shingle cap — the df count
+    * is a partial-aggregated groupBy and the df join's output equals the
+    * index size (no pair blow-up); a stop shingle is one hot bigint key
+    * among millions (AQE). One shuffle for df, one for the join, one for
+    * the per-doc regroup. */
+  val t36NgramNovelty = Q(
+    "t36_ngram_novelty",
+    s"""WITH ${Dedup.duckShingles},
+        ${Dedup.duckHashedShingles},
+        ex AS (SELECT doc_id, unnest(th) AS h FROM hs0),
+        dfreq AS (SELECT h, COUNT(*) AS df FROM ex GROUP BY h),
+        per AS (SELECT ex.doc_id, COUNT(*) AS n_shingles,
+                       SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_novel
+                FROM ex JOIN dfreq ON ex.h = dfreq.h GROUP BY ex.doc_id)
+        SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+               CAST(n_novel * 1000000 // n_shingles AS BIGINT) AS novelty_ppm
+        FROM per ORDER BY doc_id""") { (spark, dir) =>
+    val hs = Dedup.shingleHashes(spark, dir).cache()
+    val ex = hs.select(col("doc_id"), explode(col("th")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
-    t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal)
+    t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
+    t36NgramNovelty)
 }

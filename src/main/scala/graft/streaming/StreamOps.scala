@@ -331,6 +331,33 @@ object StreamOps {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.chunkRows(docs)
 
+  /** Windowed first-event dedup — the streaming twin of
+    * [[graft.operators.Events.q73WindowedDedup]]: within each 10-minute
+    * tumbling window keep the first (ts, event_id) event per
+    * (user_id, event_type) and count what it suppressed. A watermarked
+    * window AGGREGATION, not arbitrary state: per open window the state
+    * is one min_by candidate + one count (O(1)), evicted when the
+    * watermark closes the window — so this twin, unlike
+    * [[dedupFirstSeen]]'s bounded-horizon approximation, is EXACTLY the
+    * batch semantics once windows finalize (append mode emits only
+    * closed windows). StreamingSpec pins the emitted rows equal to the
+    * batch form on the same fixture.
+    *
+    * `events` columns: event_id long, ts timestamp, user_id long,
+    * event_type string. */
+  def windowedFirstEvent(events: DataFrame, window_ : String = "10 minutes",
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), window_), col("user_id"), col("event_type"))
+      .agg(
+        min_by(struct(col("event_id"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("first"),
+        (count(lit(1)) - 1).as("n_dups"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("window"), col("first.ts").as("first_ts"),
+        col("n_dups"))
+
   /** Stream-stream attribution join — q65's streaming twin: for each
     * 'purchase' anchor, emit every other event landing within
     * `windowSec` after it, as both sides ARRIVE. The batch design maps

@@ -604,4 +604,49 @@ class StreamingSpec extends SparkSpec {
         "a second-micro-batch doc must reject against earlier state")
     } finally q.stop()
   }
+
+  test("windowed first-event dedup: streamed rows equal the batch q73 form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val base = Timestamp.valueOf("2024-01-01 00:00:30").getTime
+    // (event_id, offset-sec, user, type): bursts inside one 10-min window
+    // plus singletons and a next-window re-fire; second micro-batch adds a
+    // duplicate into a window the first batch already opened
+    val all = Seq(
+      (1L, 0L, 10L, "click"), (2L, 60L, 10L, "click"), (3L, 120L, 10L, "click"),
+      (4L, 700L, 10L, "click"), (5L, 30L, 10L, "view"), (6L, 45L, 20L, "click"),
+      (7L, 650L, 20L, "click"), (8L, 655L, 20L, "click"), (9L, 90L, 10L, "click"))
+      .map { case (id, sec, u, t) => (id, new Timestamp(base + sec * 1000L), u, t) }
+
+    val events = stream.toDS().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamOps.windowedFirstEvent(events)
+      .writeStream.format("memory").queryName("win_dedup")
+      .outputMode("complete").start()
+    try {
+      stream.addData(all.take(8))
+      q.processAllAvailable()
+      stream.addData(all.drop(8)) // id 9 joins the (10, click) burst window
+      q.processAllAvailable()
+      val streamed = spark.table("win_dedup")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("window.start").cast("long"), col("n_dups")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // batch q73 semantics recomputed in plain Scala on the same rows
+      val expected = all
+        .groupBy { case (_, ts, u, t) => (u, t, ts.getTime / 1000 / 600) }
+        .map { case ((u, t, w), g) =>
+          val first = g.minBy { case (id, ts, _, _) => (ts.getTime, id) }
+          (first._1, u, t, w * 600, g.size - 1L)
+        }.toSet
+      assert(streamed === expected,
+        "streaming windowed min_by dedup must equal the batch row_number form")
+      // the cross-batch duplicate (id 9) must have been suppressed, and its
+      // window's n_dups must count it
+      assert(!streamed.exists(_._1 == 9L))
+      assert(streamed.exists(r => r._1 == 1L && r._5 == 3L),
+        "the (10, click) first window must count 3 suppressed duplicates incl. the cross-batch one")
+    } finally q.stop()
+  }
 }
