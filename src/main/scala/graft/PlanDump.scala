@@ -22,7 +22,10 @@ object PlanDump {
     "s38_pq_knn", "x100_incremental_agg", "q71_sliding_windows",
     "q72_upsert_merge", "t35_bigram_surprisal", "m44_media_neardup",
     "x101_split_leakage", "d38_editdist_dedup", "s39_filtered_ann",
-    "x102_temperature_mix")
+    "x102_temperature_mix", "q73_windowed_dedup", "t36_ngram_novelty",
+    "q74_stat_moments", "s40_knn_graph", "m45_audio_frames",
+    "x103_cluster_split", "x104_shard_manifest", "q75_multiset_ops",
+    "q76_share_of_total", "d39_best_keeper")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

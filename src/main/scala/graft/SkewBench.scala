@@ -165,7 +165,43 @@ object SkewBench {
     // x102 under the 10k-dup doc source: one hot source only changes
     // that source's count and threshold — admission stays a map-only
     // hash comparison against the broadcast rate table
-    "x102_temperature_mix")
+    "x102_temperature_mix",
+    // q73's hostile input is the flash-crowd (user, nanosecond) pile:
+    // all 10k events share one (user, type, window) key, so ONE window
+    // partition holds the pile — both window functions are a single
+    // linear pass over that sorted run (rank + count), one task, no
+    // pair blow-up; every other key is untouched
+    "q73_windowed_dedup",
+    // t36 under the 10k-dup cluster: every one of its shingles has
+    // df ≥ 10k — hot BIGINT join keys. Unlike the dedup self-joins this
+    // needs no cap: the df count absorbs the pile map-side, and the
+    // ex⋈df join's output equals the index size (each hot h matches ONE
+    // df row — replication, never pairs)
+    "t36_ngram_novelty",
+    // q74 under the hot l_orderkey pile: the moments never key on the
+    // order key — six decimal partials per l_returnflag (5 groups)
+    // absorb the pile map-side, x100's posture exactly
+    "q74_stat_moments",
+    // x103 inherits d28's cap (the dup cluster forms zero pairs → zero
+    // components) plus d34's label-propagation bound; the assignment
+    // join keys on doc_id against the pair-participant-sized component
+    // list — nothing hot. s40 is excluded like d30/d31/d33: the 10k-dup
+    // embedding collapses one LSH bucket, and s40's candidate stage is
+    // quadratic in bucket population by contract (the KNN graph is
+    // built over a DEDUPED corpus — d26/d31 own mass duplicates
+    // upstream, the scaladoc names the bucket-cap upgrade)
+    "x103_cluster_split",
+    // x104 under the 10k-dup doc: identical texts share one content
+    // hash, so one x99 BUCKET gains the pile — its per-bucket
+    // row_number is a single linear sorted run (one task), offsets stay
+    // B rows, and the manifest aggregation's XOR/SUM partials absorb
+    // everything map-side
+    "x104_shard_manifest",
+    // d39 inherits d34's bound (capped pair graph → bounded components)
+    // and adds a token count over cluster MEMBERS only plus a rank-1
+    // window per component — the 10k-dup cluster contributes zero
+    // components, so the argmax only ever sees organic clusters
+    "d39_best_keeper")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

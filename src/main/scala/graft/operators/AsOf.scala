@@ -77,5 +77,58 @@ object AsOf {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q55AsofAttribution, q56AsofJoin)
+  /** Match window for [[q77AsofTolerance]]: 7 days in seconds. */
+  private val TolSec = 604800L
+
+  /** q77: as-of join WITH TOLERANCE — q56's match, but a stale match
+    * (latest event more than 7 days before the order) is rejected: the
+    * feature-store contract ("the feature value as of serving time,
+    * unless it's too old to trust") and the attribution-window contract
+    * in one knob. Spark runs the union+window algorithm carrying BOTH
+    * the last event id and its time over the same (key, time, tag)
+    * partitioning — still ONE shuffle, two `last` frames over one sorted
+    * run — with the gap bound applied after the carry; the DuckDB oracle
+    * runs its native ASOF LEFT JOIN and bounds the gap afterwards.
+    * Independent algorithms, identical answers, including the NULL for
+    * beyond-tolerance matches (which a post-filtered join would DROP —
+    * the left row must survive with a null feature, not vanish). */
+  val q77AsofTolerance = Q(
+    "q77_asof_tolerance",
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec,
+                         MAX(event_id) AS event_id
+                  FROM events GROUP BY 1, 2),
+        o AS (SELECT o_orderkey, o_custkey,
+                     epoch_ns(o_orderdate) // 1000000000 AS osec
+              FROM orders)
+        SELECT o.o_orderkey, o.o_custkey,
+               CASE WHEN e.tsec IS NOT NULL AND o.osec - e.tsec <= $TolSec
+                    THEN e.event_id END AS asof_event
+        FROM o ASOF LEFT JOIN e
+          ON o.o_custkey = e.user_id AND o.osec >= e.tsec
+        ORDER BY o_orderkey""") { (spark, dir) =>
+    val e = T(spark, dir, "events")
+      .selectExpr("user_id as k", "ts div 1000000000 as t", "event_id")
+      .groupBy("k", "t").agg(max(col("event_id")).as("event_id"))
+      .select(col("k"), col("t"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"))
+    val o = T(spark, dir, "orders")
+      .selectExpr("o_custkey as k", "unix_timestamp(o_orderdate) as t",
+        "o_orderkey")
+      .select(col("k"), col("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("asof_event0", last(col("event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_t",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("asof_event",
+        when(col("asof_t").isNotNull && col("t") - col("asof_t") <= TolSec,
+          col("asof_event0")))
+      .select(col("o_orderkey"), col("k").as("o_custkey"), col("asof_event"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q55AsofAttribution, q56AsofJoin, q77AsofTolerance)
 }

@@ -1166,10 +1166,67 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d39: BEST-COPY keeper selection — one keeper per near-dup cluster
+    * chosen by CONTENT QUALITY, not by id. d34 keeps the min doc_id (the
+    * arbitrary-but-deterministic convention); real curation keeps the
+    * best copy: the cluster member with the most tokens (the least
+    * truncated/boilerplate-stripped variant), doc_id ascending as the
+    * tie-break. Composes two oracle-checked formulas — d34's components
+    * and t21's whitespace token count — via one per-cluster argmax.
+    *
+    * Scale: the token count is map-only over cluster MEMBERS (pair
+    * participants, ≪ corpus); the argmax is a rank-1 window per
+    * component — map-side WindowGroupLimit, and component sizes are
+    * bounded by the d28 cap upstream (the 10k-dup cluster never forms).
+    * Output is one row per cluster. */
+  val d39BestKeeper = Q(
+    "d39_best_keeper",
+    s"""WITH RECURSIVE $duckShingles,
+        $duckCappedSets,
+        $duckLshPairCtes,
+        pairs AS (SELECT a_id, b_id FROM v
+                  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        m AS (SELECT c.doc_id, c.component,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+              FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+        r AS (SELECT component, doc_id, n_tokens,
+                     COUNT(*) OVER (PARTITION BY component) AS n_members,
+                     ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY n_tokens DESC, doc_id) AS rnk
+              FROM m)
+        SELECT component, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rnk = 1 ORDER BY component""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hs0 = shingleHashes(spark, dir).cache()
+    val sh = cappedShingleSets(hs0).cache()
+    val comp = connectedComponents(lshVerifiedPairs(sh).select("a_id", "b_id"))
+      .select("doc_id", "component")
+    val toks = T(spark, dir, "documents")
+      .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+    val byComp = Window.partitionBy(col("component"))
+    comp.join(toks, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("rnk", row_number().over(
+        byComp.orderBy(col("n_tokens").desc, col("doc_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("component"), col("doc_id").as("keeper_id"),
+        col("n_tokens").as("keeper_tokens"), col("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
-    d37IncrementalDedup, d38EditdistDedup)
+    d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

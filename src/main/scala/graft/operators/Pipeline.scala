@@ -621,6 +621,66 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Hash-shard width for [[x105ManifestDiff]]: 64 content shards. */
+  private val HashShardW = (1L << 32) / 64
+
+  /** x105: incremental manifest DIFF over content-keyed shards — the
+    * resumable-export counterpart to [[x104ShardManifest]]. x104's shards
+    * are RANK-keyed (contiguous in the export order): perfect for a
+    * one-shot export, but inserting one document shifts every index
+    * after it, so a corpus delta invalidates ~all downstream shards.
+    * Here the shard key is the CONTENT hash band (`h div W` — stable
+    * under insertion), so a delta touches only the shards its documents
+    * hash into. The operator manifests corpus v1 (docs whose id-hash
+    * bucket ≠ 7, ~95%) and v2 (all docs — v1 plus the simulated
+    * arrivals), full-outer-joins the two manifest sets on shard, and
+    * emits ONLY the differing shards — exactly the re-export workset.
+    * Any count/XOR/byte difference flags the shard; an added doc always
+    * flips the count, so cancellation cannot hide a change.
+    *
+    * Scale: two mergeable aggregations over one cached scan + a
+    * manifest-sized (64-row here, corpus/2²⁶ in general) full-outer
+    * join. The diff output is proportional to the DELTA's shard
+    * footprint, not the corpus — the whole point. */
+  val x105ManifestDiff = Q(
+    "x105_manifest_diff",
+    s"""WITH d AS (SELECT doc_id, n_chars, ${H.d("text")} AS h,
+                          ${H.d("CAST(doc_id AS VARCHAR)")} % 20 AS b
+                   FROM documents),
+        m2 AS (SELECT h // $HashShardW AS shard, COUNT(*) AS n,
+                      bit_xor(h) AS x, SUM(n_chars) AS c
+               FROM d GROUP BY 1),
+        m1 AS (SELECT h // $HashShardW AS shard, COUNT(*) AS n,
+                      bit_xor(h) AS x, SUM(n_chars) AS c
+               FROM d WHERE b <> 7 GROUP BY 1)
+        SELECT COALESCE(m1.shard, m2.shard) AS shard,
+               m1.n AS n_v1, m2.n AS n_v2, m1.x AS xor_v1, m2.x AS xor_v2
+        FROM m1 FULL JOIN m2 ON m1.shard = m2.shard
+        WHERE m1.n IS DISTINCT FROM m2.n OR m1.x IS DISTINCT FROM m2.x
+           OR m1.c IS DISTINCT FROM m2.c
+        ORDER BY shard""") { (spark, dir) =>
+    val d = T(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), expr(H.s("text")).as("h"),
+        expr(s"${H.s("cast(doc_id as string)")} % 20").as("b"))
+      .cache()
+    def manifest(src: DataFrame): DataFrame = src
+      .groupBy(expr(s"h div $HashShardW").as("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("n_chars")).as("c"))
+    val m1 = manifest(d.filter(col("b") =!= 7))
+      .select(col("shard"), col("n").as("n_v1"), col("x").as("xor_v1"),
+        col("c").as("c_v1"))
+    val m2 = manifest(d)
+      .select(col("shard").as("shard2"), col("n").as("n_v2"),
+        col("x").as("xor_v2"), col("c").as("c_v2"))
+    m1.join(m2, col("shard") === col("shard2"), "full_outer")
+      .filter(!(col("n_v1") <=> col("n_v2")) || !(col("xor_v1") <=> col("xor_v2"))
+        || !(col("c_v1") <=> col("c_v2")))
+      .select(coalesce(col("shard"), col("shard2")).as("shard"),
+        col("n_v1"), col("n_v2"), col("xor_v1"), col("xor_v2"))
+      .orderBy("shard")
+  }
+
   /** The x103 assignment itself (doc_id, …, split) — shared with the
     * SplitSpec straddle audit so the spec audits the exact production
     * formula, not a re-derivation. */
@@ -636,5 +696,5 @@ object Pipeline {
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
-    x103ClusterSplit, x104ShardManifest)
+    x103ClusterSplit, x104ShardManifest, x105ManifestDiff)
 }

@@ -386,8 +386,79 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  /** q75: multiset set operations — INTERSECT ALL / EXCEPT ALL, the
+    * duplicate-preserving tier q10's DISTINCT set ops don't cover
+    * (multiplicities: min for intersect, difference for except). Spark's
+    * `intersectAll`/`exceptAll` plan as aggregate+join on (value,
+    * count) — one shuffle each, partials absorb duplicates map-side, no
+    * row-level anti-join blowup. */
+  val q75MultisetOps = Q(
+    "q75_multiset_ops",
+    """SELECT 'except_all' AS tag, k FROM
+         (SELECT c_nationkey AS k FROM customer
+          EXCEPT ALL SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'inter_all' AS tag, k FROM
+         (SELECT c_nationkey AS k FROM customer
+          INTERSECT ALL SELECT s_nationkey FROM supplier)
+       ORDER BY tag, k""") { (spark, dir) =>
+    val ck = T(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val sk = T(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    val exceptA = ck.exceptAll(sk).select(lit("except_all").as("tag"), col("k"))
+    val interA = ck.intersectAll(sk).select(lit("inter_all").as("tag"), col("k"))
+    exceptA.unionByName(interA).orderBy(col("tag"), col("k"))
+  }
+
+  /** q76: percent-of-total (ratio_to_report) — each nation's share of its
+    * region's order revenue, plus the within-region revenue rank. The
+    * share is derived from EXACT decimal totals (order-independent sums;
+    * the window SUM over decimals is exact too), each cast to double
+    * correctly rounded on both engines (VARCHAR route on DuckDB per the
+    * [[Num]] trap), then ONE division — bit-equal cross-engine.
+    *
+    * Scale: the windows run over the AGGREGATED per-nation rows (25
+    * rows), never the fact stream — aggregate-then-window is the
+    * ratio-to-report shape at any scale; the orders⋈customer join is the
+    * only fact-sized work. */
+  val q76ShareOfTotal = Q(
+    "q76_share_of_total",
+    """WITH nt AS (SELECT c_nationkey AS nk,
+                          SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS t
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   GROUP BY 1),
+       j AS (SELECT n_regionkey AS rk, n_name, nk, t
+             FROM nt JOIN nation ON nk = n_nationkey),
+       w AS (SELECT rk, n_name, nk,
+                    CAST(CAST(t AS VARCHAR) AS DOUBLE) AS nation_total,
+                    CAST(CAST(SUM(t) OVER (PARTITION BY rk) AS VARCHAR) AS DOUBLE)
+                      AS region_total,
+                    ROW_NUMBER() OVER (PARTITION BY rk ORDER BY t DESC, nk) AS rnk
+             FROM j)
+       SELECT rk, nk, n_name, nation_total, region_total,
+              nation_total / region_total AS share,
+              CAST(rnk AS BIGINT) AS rnk
+       FROM w ORDER BY rk, rnk""") { (spark, dir) =>
+    val nt = T(spark, dir, "orders")
+      .join(T(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(dec(col("o_totalprice"))).as("t"))
+    val j = nt.join(T(spark, dir, "nation"), col("nk") === col("n_nationkey"))
+      .select(col("n_regionkey").as("rk"), col("n_name"), col("nk"), col("t"))
+    val byRegion = Window.partitionBy(col("rk"))
+    val w = j
+      .withColumn("nation_total", col("t").cast("double"))
+      .withColumn("region_total", sum(col("t")).over(byRegion).cast("double"))
+      .withColumn("rnk",
+        row_number().over(byRegion.orderBy(col("t").desc, col("nk"))).cast("long"))
+    w.select(col("rk"), col("nk"), col("n_name"), col("nation_total"),
+        col("region_total"),
+        (col("nation_total") / col("region_total")).as("share"), col("rnk"))
+      .orderBy("rk", "rnk")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
-    q74StatMoments)
+    q74StatMoments, q75MultisetOps, q76ShareOfTotal)
 }

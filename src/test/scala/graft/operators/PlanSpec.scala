@@ -352,4 +352,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "per-bucket token-total offsets must broadcast to the corpus side")
   }
+
+  test("q73: one (user, type, window) exchange feeds both window functions") {
+    val p = plan("q73_windowed_dedup")
+    val hashEx = "Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"the rank and the in-window count must reuse one exchange, got $hashEx")
+  }
+
+  test("s40: per-vector top-3 is a map-side WindowGroupLimit over the bucket join") {
+    val p = plan("s40_knn_graph")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= 3 must trigger InferWindowGroupLimit")
+    assert(p.contains("Partial"),
+      "each task must forward at most 3 candidates per vector to the rank shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "candidates must come from the bucket equi-join, never all-pairs")
+  }
+
+  test("t36: df join is an equi-join on the hashed shingle; counts are partial+final") {
+    val p = plan("t36_ngram_novelty")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "the df count must absorb hot shingles map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("m45: audio framing is map-only — no join, no hash exchange") {
+    val p = plan("m45_audio_frames")
+    assert(!p.contains("Join"), "per-blob framing must not join anything")
+    assert(!p.contains("Arguments: hashpartitioning("),
+      "the only exchange is the final presentation sort")
+  }
+
+  test("x104: manifest derives from the bucket-partitioned index; XOR/SUM partial") {
+    val p = plan("x104_shard_manifest")
+    assert("windowspecdefinition\\(b#\\d+L?, h#".r.findFirstIn(p).nonEmpty,
+      "the shard cut must ride x99's bucket-partitioned rank, " +
+        "never a partitionBy-less global window")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket prefix offsets must broadcast to the corpus side")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      "manifest XOR/SUM must combine map-side before the shard shuffle")
+  }
 }
