@@ -25,7 +25,8 @@ object PlanDump {
     "x102_temperature_mix", "q73_windowed_dedup", "t36_ngram_novelty",
     "q74_stat_moments", "s40_knn_graph", "m45_audio_frames",
     "x103_cluster_split", "x104_shard_manifest", "q75_multiset_ops",
-    "q76_share_of_total", "d39_best_keeper")
+    "q76_share_of_total", "d39_best_keeper", "q77_asof_tolerance",
+    "x105_manifest_diff")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -201,7 +201,17 @@ object SkewBench {
     // and adds a token count over cluster MEMBERS only plus a rank-1
     // window per component — the 10k-dup cluster contributes zero
     // components, so the argmax only ever sees organic clusters
-    "d39_best_keeper")
+    "d39_best_keeper",
+    // q77 is q56's union+window as-of under the same event-side skew:
+    // per-key window state is two carried values (id + time), so the
+    // flash-crowd user partition is one linear sorted run; the
+    // tolerance bound is a map-side projection after the carry
+    "q77_asof_tolerance",
+    // x105 under the 10k-dup doc: identical texts share one content
+    // hash, so ONE hash shard gains the pile on both manifest sides —
+    // absorbed by the mergeable COUNT/XOR/SUM partials map-side; the
+    // full-outer diff join only ever sees the 64-row manifests
+    "x105_manifest_diff")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
