@@ -26,7 +26,8 @@ object PlanDump {
     "q74_stat_moments", "s40_knn_graph", "m45_audio_frames",
     "x103_cluster_split", "x104_shard_manifest", "q75_multiset_ops",
     "q76_share_of_total", "d39_best_keeper", "q77_asof_tolerance",
-    "x105_manifest_diff")
+    "x105_manifest_diff", "q78_cohort_retention", "q79_gap_detection",
+    "q80_scd2_history", "q81_winsorized_agg", "t37_bm25")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

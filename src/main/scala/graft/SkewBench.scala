@@ -211,7 +211,29 @@ object SkewBench {
     // hash, so ONE hash shard gains the pile on both manifest sides —
     // absorbed by the mergeable COUNT/XOR/SUM partials map-side; the
     // full-outer diff join only ever sees the 64-row manifests
-    "x105_manifest_diff")
+    "x105_manifest_diff",
+    // q78 under the flash-crowd nanosecond: the 10k-event pile collapses
+    // to ONE (user, week) pair in the keys-only partial aggregate before
+    // the shuffle ever sees it; the cohort regroup runs over user-weeks,
+    // never events
+    "q78_cohort_retention",
+    // q79 under the same pile: all 10k events share one user's window
+    // partition — the lag is a single linear sorted run with O(1) state,
+    // and coincident events (gap 0) emit nothing
+    "q79_gap_detection",
+    // q80 under the pile: the flash-crowd user's change log is one sorted
+    // run for BOTH windows (lag-collapse + lead-close share the
+    // partitioning); coincident equal props collapse to one version
+    "q80_scd2_history",
+    // q81 under the hot l_orderkey pile: thresholds never key on the
+    // order key — the (flag, cents) histogram is domain-bounded and its
+    // partials absorb the pile map-side; the clamp join broadcasts 3 rows
+    "q81_winsorized_agg",
+    // t37 under the 10k-dup doc: the dup text's query-term tfs repeat
+    // 10k× but every key is doc_id or one of 3 terms — the tf groupBy
+    // partials absorb per-doc, df/st stay 3-row/1-row broadcasts, and
+    // the top-10 is a per-partition heap (TakeOrdered), driver sees 10
+    "t37_bm25")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -262,7 +262,139 @@ object Events {
       .orderBy("user_id", "event_type", "w")
   }
 
+  /** Cohort week length for [[q78CohortRetention]]: 7 days in nanos. */
+  private val CohortWeekNs = 604800000000000L
+
+  /** Cohort retention: users bucketed by their FIRST-active week (the
+    * cohort), then for each week offset the count of cohort members still
+    * active and the retained fraction — the product-analytics retention
+    * triangle, and the shape behind "how much of crawl snapshot N
+    * survives into snapshot N+k" corpus-freshness tracking.
+    *
+    * Shape: groupBy (user_id, week) first, so map-side partials collapse
+    * the event stream to user-weeks BEFORE any wide state (the shuffle
+    * carries |users × active weeks|, not events); the cohort week is a
+    * MIN window over the user partition; the closing (cohort, offset)
+    * regroup and the per-cohort first_value share tiny post-aggregation
+    * inputs. Every stage's key count shrinks monotonically — events →
+    * user-weeks → cohort cells — which is exactly what survives a 100×
+    * scale-up. retained_frac is bigint÷bigint in double: one correctly
+    * rounded IEEE op, bit-equal cross-engine. Offset 0 always exists
+    * (a user is active in their own cohort week), so first_value over
+    * the offset order IS the cohort size. */
+  val q78CohortRetention = Q(
+    "q78_cohort_retention",
+    s"""WITH uw AS (SELECT user_id, epoch_ns(ts) // $CohortWeekNs AS w
+                    FROM events GROUP BY 1, 2),
+        c AS (SELECT user_id, w, MIN(w) OVER (PARTITION BY user_id) AS cw
+              FROM uw),
+        r AS (SELECT cw AS cohort_w, w - cw AS wk_off, COUNT(*) AS n_users
+              FROM c GROUP BY 1, 2)
+        SELECT cohort_w, wk_off, CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_users AS DOUBLE)
+                 / first_value(n_users) OVER (PARTITION BY cohort_w
+                     ORDER BY wk_off) AS retained_frac
+        FROM r ORDER BY cohort_w, wk_off""") { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+    val byCohort = Window.partitionBy(col("cohort_w")).orderBy(col("wk_off"))
+    T(spark, dir, "events")
+      .selectExpr("user_id", s"ts div $CohortWeekNs as w")
+      .distinct() // plans as keys-only HashAggregate: partials map-side
+      .withColumn("cw", min(col("w")).over(byUser))
+      .select(col("cw").as("cohort_w"), (col("w") - col("cw")).as("wk_off"))
+      .groupBy("cohort_w", "wk_off").agg(count(lit(1)).as("n_users"))
+      .withColumn("retained_frac",
+        col("n_users").cast("double") / first(col("n_users")).over(byCohort))
+      .orderBy("cohort_w", "wk_off")
+  }
+
+  /** Gap threshold for [[q79GapDetection]]: 2 hours in nanos. */
+  private val GapNs = 7200000000000L
+
+  /** Gap detection (gaps-and-islands, gap half): per user, every silence
+    * longer than 2 hours between consecutive events — the
+    * sensor-outage / pipeline-stall / ingestion-hole detector, and the
+    * inverse of [[q52Sessionization]]'s islands. Deterministic order is
+    * (tsn, event_id) so simultaneous events cannot flip the lag.
+    *
+    * Shape: ONE shuffle (the user_id window partition); the lag is a
+    * sorted-run scan with O(1) state per row, output only the gap rows.
+    * A user's partition is bounded by their own event count — even a
+    * celebrity user is one hot key among 32 (AQE skew split), and no
+    * cross-user state exists at any scale. */
+  val q79GapDetection = Q(
+    "q79_gap_detection",
+    s"""WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        l AS (SELECT user_id, tsn,
+                     LAG(tsn) OVER (PARTITION BY user_id
+                       ORDER BY tsn, event_id) AS prev
+              FROM x)
+        SELECT user_id, prev AS gap_start, tsn AS gap_end,
+               (tsn - prev) // 1000000000 AS gap_s
+        FROM l WHERE prev IS NOT NULL AND tsn - prev > $GapNs
+        ORDER BY user_id, gap_start""") { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsn"), col("event_id"))
+    T(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "ts as tsn")
+      .withColumn("prev", lag(col("tsn"), 1).over(byUser))
+      .filter(col("prev").isNotNull && col("tsn") - col("prev") > GapNs)
+      .select(col("user_id"), col("prev").as("gap_start"),
+        col("tsn").as("gap_end"),
+        expr("(tsn - prev) div 1000000000").as("gap_s"))
+      .orderBy("user_id", "gap_start")
+  }
+
+  /** SCD2 history build: treat the event stream as a change log of each
+    * user's `props` attribute and emit type-2 slowly-changing-dimension
+    * rows — one validity interval [valid_from, valid_to) per VALUE RUN,
+    * with the open current version carrying NULL valid_to. Consecutive
+    * equal values collapse (only a CHANGE opens a version) — the
+    * change-detection + interval-build shape behind every warehouse
+    * dimension history and behind dataset-snapshot lineage tables.
+    *
+    * Shape: ONE shuffle — the change filter (lag) and the interval close
+    * (lead) are windows over the SAME user_id partitioning, so Spark
+    * plans one Exchange feeding both sorted passes; the lead runs on the
+    * already-collapsed change rows. Per-user state is O(1) per row;
+    * deterministic order (tsn, event_id) end-to-end. First-row keep is
+    * `rnk = 1 OR value differs`, not a lag default sentinel — NULL props
+    * on a first row stays a version instead of vanishing. */
+  val q80Scd2History = Q(
+    "q80_scd2_history",
+    """WITH x AS (SELECT user_id, event_id, props, epoch_ns(ts) AS tsn FROM events),
+       l AS (SELECT user_id, event_id, props, tsn,
+                    LAG(props) OVER (PARTITION BY user_id
+                      ORDER BY tsn, event_id) AS prev,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY tsn, event_id) AS rnk
+             FROM x),
+       ch AS (SELECT user_id, event_id, props, tsn FROM l
+              WHERE rnk = 1 OR props IS DISTINCT FROM prev),
+       v AS (SELECT user_id, props, tsn AS valid_from,
+                    LEAD(tsn) OVER (PARTITION BY user_id
+                      ORDER BY tsn, event_id) AS valid_to
+             FROM ch)
+       SELECT user_id, props, valid_from, valid_to,
+              CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                AS is_current
+       FROM v ORDER BY user_id, valid_from""") { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsn"), col("event_id"))
+    T(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "props", "ts as tsn")
+      .withColumn("prev", lag(col("props"), 1).over(byUser))
+      .withColumn("rnk", row_number().over(byUser))
+      .filter(col("rnk") === 1 || !(col("props") <=> col("prev")))
+      .withColumn("valid_to", lead(col("tsn"), 1).over(byUser))
+      .select(col("user_id"), col("props"), col("tsn").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val all: Seq[Q] =
     Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel,
-      q71SlidingWindows, q73WindowedDedup)
+      q71SlidingWindows, q73WindowedDedup, q78CohortRetention,
+      q79GapDetection, q80Scd2History)
 }

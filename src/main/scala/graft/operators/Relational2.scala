@@ -457,8 +457,81 @@ object Relational2 {
       .orderBy("rk", "rnk")
   }
 
+  /** Winsorized robust aggregation: per return flag, clamp
+    * l_extendedprice to its exact nearest-rank p05/p95 and report the
+    * winsorized mean plus clamp counts — the outlier-robust statistics
+    * layer (quality-score floors/ceilings, loss-spike trimming, price
+    * sanity bounds) every large pipeline needs before averaging.
+    *
+    * Exact quantiles AT SCALE via the value histogram, not a sort: prices
+    * quantize losslessly to integer CENTS (via DECIMAL — a double *100
+    * would round across the cent boundary), and the (flag, cents)
+    * histogram is bounded by the VALUE DOMAIN (~10^7 cells for any
+    * realistic price range), not by the corpus — at 100 TB the groupBy
+    * absorbs rows into domain-bounded cells map-side, and the per-flag
+    * cumulative window runs over cells only. (If the domain itself ever
+    * grows past single-task comfort, the cum-sum takes x99's two-phase
+    * bucket shape; the scaladoc there is the recipe.) Thresholds are
+    * nearest-rank (⌈q·n⌉ via integer arithmetic — interpolated
+    * percentile_cont would hand both engines a last-ulp coin flip):
+    * always REAL data values, so the clamped sum stays pure-integer
+    * cents; the only doubles are final correctly-rounded casts/divides.
+    * The clamp join broadcasts 3 threshold rows. */
+  val q81WinsorizedAgg = Q(
+    "q81_winsorized_agg",
+    """WITH li AS (SELECT l_returnflag AS flag,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS c
+                  FROM lineitem),
+       h AS (SELECT flag, c, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+       w AS (SELECT flag, c, cnt,
+                    SUM(cnt) OVER (PARTITION BY flag ORDER BY c) AS cum,
+                    SUM(cnt) OVER (PARTITION BY flag) AS n
+             FROM h),
+       thr AS (SELECT flag,
+                      MIN(CASE WHEN cum >= ((n * 5) + 99) // 100 THEN c END) AS lo,
+                      MIN(CASE WHEN cum >= ((n * 95) + 99) // 100 THEN c END) AS hi
+               FROM w GROUP BY flag),
+       cl AS (SELECT li.flag, lo, hi,
+                     CASE WHEN c < lo THEN lo WHEN c > hi THEN hi ELSE c END AS cw,
+                     CASE WHEN c < lo THEN 1 ELSE 0 END AS is_lo,
+                     CASE WHEN c > hi THEN 1 ELSE 0 END AS is_hi
+              FROM li JOIN thr ON li.flag = thr.flag)
+       SELECT flag AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(cw) AS DOUBLE) / COUNT(*) / 100.0 AS wmean,
+              CAST(SUM(is_lo) AS BIGINT) AS n_clamped_lo,
+              CAST(SUM(is_hi) AS BIGINT) AS n_clamped_hi,
+              CAST(lo AS DOUBLE) / 100.0 AS p05,
+              CAST(hi AS DOUBLE) / 100.0 AS p95
+       FROM cl GROUP BY flag, lo, hi ORDER BY l_returnflag""") { (spark, dir) =>
+    val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
+      "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
+    val byFlag = Window.partitionBy(col("flag"))
+    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    val thr = h.groupBy("flag").agg(
+      min(when(col("cum") >= expr("((n * 5) + 99) div 100"), col("c"))).as("lo"),
+      min(when(col("cum") >= expr("((n * 95) + 99) div 100"), col("c"))).as("hi"))
+    li.join(broadcast(thr), "flag")
+      .select(col("flag"), col("lo"), col("hi"),
+        when(col("c") < col("lo"), col("lo"))
+          .when(col("c") > col("hi"), col("hi")).otherwise(col("c")).as("cw"),
+        when(col("c") < col("lo"), 1L).otherwise(0L).as("is_lo"),
+        when(col("c") > col("hi"), 1L).otherwise(0L).as("is_hi"))
+      .groupBy("flag", "lo", "hi")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cw")).as("sum_cw"), sum(col("is_lo")).as("n_clamped_lo"),
+        sum(col("is_hi")).as("n_clamped_hi"))
+      .select(col("flag").as("l_returnflag"), col("n_rows"),
+        (col("sum_cw").cast("double") / col("n_rows") / lit(100.0)).as("wmean"),
+        col("n_clamped_lo"), col("n_clamped_hi"),
+        (col("lo").cast("double") / lit(100.0)).as("p05"),
+        (col("hi").cast("double") / lit(100.0)).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
-    q74StatMoments, q75MultisetOps, q76ShareOfTotal)
+    q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg)
 }

@@ -522,8 +522,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Query terms for [[t37Bm25]] — a literal term bag, mixed document
+    * frequency (rare "dup" dominates via idf; common "vector"/"spark"
+    * contribute length-normalized tf). ORDER is load-bearing: the final
+    * per-doc score adds the three term scores in THIS fixed order, so the
+    * double sum is deterministic without any decimal detour. */
+  private val Bm25Terms = Seq("dup", "vector", "spark")
+
+  /** BM25 top-k retrieval: rank the corpus against a fixed query term bag
+    * with the BM25 scoring shape — integer idf (the t26 rule: ln() would
+    * drift in the last ulp across engines), real tf saturation and
+    * document-length normalization in double (every op correctly rounded
+    * IEEE on identical operands, so both engines produce bit-equal
+    * scores). The retrieval tier of the pipeline: decontamination
+    * against eval sets, targeted corpus search, nearest-text lookup —
+    * the lexical complement of the s3x embedding ANN family.
+    *
+    * Shape at 100 TB: the token stream is filtered to the query terms
+    * BEFORE any aggregation (predicate on the exploded token — map-side,
+    * so the tf groupBy only ever shuffles matching (doc, term) pairs);
+    * df and the corpus stats (N, total tokens) are one-row/3-row
+    * broadcasts; the per-doc score is a conditional aggregation over ≤
+    * |terms| rows per doc; the top-10 is a TakeOrdered (per-partition
+    * heads, never a global sort). Per-term scores add in a FIXED literal
+    * order, so the double total needs no decimal rounding detour. */
+  val t37Bm25 = Q(
+    "t37_bm25",
+    s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                    FROM documents),
+        st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+               FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+               WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+               GROUP BY 1, 2),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id, tf.w,
+                      (st.n * 1000000 // dfreq.df) * (tf.tf * 2.2)
+                        / (tf.tf + (1.2 * (0.25 + (0.75 * (dl.dl / st.avgdl)))))
+                        AS s
+               FROM tf JOIN dfreq ON tf.w = dfreq.w
+                       JOIN dl ON tf.doc_id = dl.doc_id, st),
+        agg AS (SELECT doc_id,
+                       ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+                         s"MAX(CASE WHEN w = '$t' THEN s END) AS s$i" }.mkString(", ")}
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id,
+               ${Bm25Terms.indices.map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")} AS score
+        FROM agg
+        ORDER BY score DESC, doc_id LIMIT 10""") { (spark, dir) =>
+    val docs = T(spark, dir, "documents")
+    val dl = docs.selectExpr("doc_id",
+      "cast(size(split(text, ' ')) as bigint) as dl")
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*)) // map-side, before the explode output shuffles
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("idf", expr("n * 1000000 div df"))
+      .withColumn("s",
+        expr("(idf * (tf * 2.2)) / (tf + (1.2 * (0.25 + (0.75 * (dl / avgdl)))))"))
+    // per-term pivot so the closing sum adds doubles in the FIXED literal
+    // term order (k1/b constants comment above the oracle): tf*(k1+1) =
+    // tf*2.2 and k1*(1-b+b*dl/avgdl) = 1.2*(0.25+0.75*(dl/avgdl))
+    val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("w") === t, col("s"))).as(s"s$i") }
+    sc.groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("score",
+        Bm25Terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduce(_ + _))
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
-    t36NgramNovelty)
+    t36NgramNovelty, t37Bm25)
 }

@@ -394,4 +394,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("Partial"),
       "manifest XOR/SUM must combine map-side before the shard shuffle")
   }
+
+  test("q78 cohort retention: keys-only partial distinct; scan prunes to (user_id, ts)") {
+    val p = plan("q78_cohort_retention")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "the (user, week) distinct must absorb the event stream map-side")
+    assert(!p.contains("props") && !p.contains("event_type"),
+      "unused event columns must not be read")
+  }
+
+  test("q79 gap detection: ONE user_id exchange, lag is a sorted-run window") {
+    val p = plan("q79_gap_detection")
+    val hashEx = "Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx === 1, s"gap lag needs exactly one user_id shuffle, got $hashEx")
+  }
+
+  test("q80 SCD2: one user_id exchange feeds the collapse AND the interval close") {
+    val p = plan("q80_scd2_history")
+    val hashEx = "Arguments: hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx === 1,
+      s"lag-collapse and lead-close must reuse one user_id exchange, got $hashEx")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 2,
+      "both the change filter and the validity close must be window passes")
+  }
+
+  test("q81 winsorize: domain-bounded histogram partials; 3-row threshold broadcast") {
+    val p = plan("q81_winsorized_agg")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "the cents histogram must combine map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      "the clamp must join the per-flag thresholds by broadcast")
+  }
+
+  test("t37 BM25: term filter before aggregation; top-10 is TakeOrdered, not a sort") {
+    val p = plan("t37_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be per-partition heads, never a full sort")
+    assert(p.contains("BroadcastExchange"),
+      "df and corpus stats must broadcast, never shuffle the token stream")
+  }
 }
