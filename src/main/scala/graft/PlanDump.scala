@@ -27,7 +27,8 @@ object PlanDump {
     "x103_cluster_split", "x104_shard_manifest", "q75_multiset_ops",
     "q76_share_of_total", "d39_best_keeper", "q77_asof_tolerance",
     "x105_manifest_diff", "q78_cohort_retention", "q79_gap_detection",
-    "q80_scd2_history", "q81_winsorized_agg", "t37_bm25")
+    "q80_scd2_history", "q81_winsorized_agg", "t37_bm25",
+    "q82_asof_nearest", "x107_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

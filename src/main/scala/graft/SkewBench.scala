@@ -189,7 +189,9 @@ object SkewBench {
     // embedding collapses one LSH bucket, and s40's candidate stage is
     // quadratic in bucket population by contract (the KNN graph is
     // built over a DEDUPED corpus — d26/d31 own mass duplicates
-    // upstream, the scaladoc names the bucket-cap upgrade)
+    // upstream, the scaladoc names the bucket-cap upgrade). x107
+    // (PageRank over the s40 graph) inherits the same exclusion: its
+    // own sweeps are O(edges) keyed joins, but its input stage IS s40
     "x103_cluster_split",
     // x104 under the 10k-dup doc: identical texts share one content
     // hash, so one x99 BUCKET gains the pile — its per-bucket
@@ -233,7 +235,11 @@ object SkewBench {
     // 10k× but every key is doc_id or one of 3 terms — the tf groupBy
     // partials absorb per-doc, df/st stay 3-row/1-row broadcasts, and
     // the top-10 is a per-partition heap (TakeOrdered), driver sees 10
-    "t37_bm25")
+    "t37_bm25",
+    // q82 is q77's union+window carry with the mirrored forward frames
+    // added — the flash-crowd user partition is still one linear sorted
+    // run with four O(1) carried values, same posture as q56/q77
+    "q82_asof_nearest")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -130,5 +130,72 @@ object AsOf {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q55AsofAttribution, q56AsofJoin, q77AsofTolerance)
+  /** q82: NEAREST-event as-of join — each order matched to the
+    * customer's event closest in time in EITHER direction (at-or-before
+    * OR strictly-after), ties to the earlier side. The sensor-alignment /
+    * nearest-measurement contract (q56 is the causal backward-only
+    * variant; metrology and feature-imputation want nearest-either-way).
+    *
+    * Spark stays the union+window algorithm — the SAME one shuffle on the
+    * key, now with four carried frames over one sorted run: the backward
+    * pair (last event id+time at-or-before, q77's carry) and the forward
+    * pair (first event id+time strictly after, the mirrored frame). The
+    * pick is a map-side projection comparing the two gaps. Same-second
+    * events sort before the order row (tag 0 < 1), so they are always on
+    * the backward side with gap 0 and win every tie by construction —
+    * which is exactly the tie rule. The DuckDB oracle runs TWO native
+    * ASOF joins (>= backward, < forward) and picks the closer —
+    * independent algorithm, identical answers, including both-NULL rows
+    * (users with no events keep the order row with a NULL match). */
+  val q82AsofNearest = Q(
+    "q82_asof_nearest",
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec,
+                        MAX(event_id) AS event_id
+                 FROM events GROUP BY 1, 2),
+        o AS (SELECT o_orderkey, o_custkey,
+                     epoch_ns(o_orderdate) // 1000000000 AS osec
+              FROM orders),
+        b AS (SELECT o.o_orderkey, o.o_custkey, o.osec,
+                     e.event_id AS bid, e.tsec AS bt
+              FROM o ASOF LEFT JOIN e
+                ON o.o_custkey = e.user_id AND o.osec >= e.tsec),
+        f AS (SELECT o.o_orderkey, e.event_id AS fid, e.tsec AS ft
+              FROM o ASOF LEFT JOIN e
+                ON o.o_custkey = e.user_id AND o.osec < e.tsec)
+        SELECT b.o_orderkey, b.o_custkey,
+               CASE WHEN bt IS NOT NULL AND (ft IS NULL OR osec - bt <= ft - osec)
+                    THEN bid ELSE fid END AS nearest_event
+        FROM b JOIN f ON b.o_orderkey = f.o_orderkey
+        ORDER BY b.o_orderkey""") { (spark, dir) =>
+    val e = T(spark, dir, "events")
+      .selectExpr("user_id as k", "ts div 1000000000 as t", "event_id")
+      .groupBy("k", "t").agg(max(col("event_id")).as("event_id"))
+      .select(col("k"), col("t"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"))
+    val o = T(spark, dir, "orders")
+      .selectExpr("o_custkey as k", "unix_timestamp(o_orderdate) as t",
+        "o_orderkey")
+      .select(col("k"), col("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"))
+    val byKey = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+    val back = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byKey.rowsBetween(1, Window.unboundedFollowing)
+    e.unionByName(o)
+      .withColumn("bid", last(col("event_id"), ignoreNulls = true).over(back))
+      .withColumn("bt",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(back))
+      .withColumn("fid", first(col("event_id"), ignoreNulls = true).over(fwd))
+      .withColumn("ft",
+        first(when(col("tag") === 0, col("t")), ignoreNulls = true).over(fwd))
+      .filter(col("tag") === 1)
+      .withColumn("nearest_event",
+        when(col("bt").isNotNull &&
+          (col("ft").isNull || col("t") - col("bt") <= col("ft") - col("t")),
+          col("bid")).otherwise(col("fid")))
+      .select(col("o_orderkey"), col("k").as("o_custkey"), col("nearest_event"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] =
+    Seq(q55AsofAttribution, q56AsofJoin, q77AsofTolerance, q82AsofNearest)
 }

@@ -1007,10 +1007,12 @@ object Similarity {
     * get a bucket cap like d28's MaxShingleDf), and the rank ≤ 3 filter
     * is a map-side WindowGroupLimit before the final shuffle. Output is
     * N·3 rows — linear in the corpus, never the N² brute-force graph. */
-  val s40KnnGraph = Q(
-    "s40_knn_graph",
-    s"""WITH $duckVecs, $duckW,
-        bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
+  /** The s40 graph's SQL CTE chain (bucketing → probes → candidates →
+    * per-vector top-3 edges as `g(q_id, n_id)`) — shared verbatim by the
+    * s40 oracle and the x107 PageRank oracle so "the graph" is a single
+    * definition across queries. */
+  private def duckKnnGraph =
+    s"""bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
         pr AS (SELECT vec_id AS q_id, v, nrm, ${probeUnnestDuck("bucket")} AS pb
                FROM bk),
         cand AS (SELECT a.q_id, b.vec_id AS n_id,
@@ -1018,9 +1020,12 @@ object Similarity {
                  FROM pr a JOIN bk b ON a.pb = b.bucket AND a.q_id <> b.vec_id),
         r AS (SELECT q_id, n_id, cos,
                      ROW_NUMBER() OVER (PARTITION BY q_id
-                       ORDER BY cos DESC, n_id) AS rnk FROM cand)
-        SELECT q_id, n_id, cos, CAST(rnk AS BIGINT) AS rnk
-        FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""") { (spark, dir) =>
+                       ORDER BY cos DESC, n_id) AS rnk FROM cand)"""
+
+  /** Spark twin of [[duckKnnGraph]]: the ranked top-3 edge list
+    * (q_id, n_id, cos, rnk), shared by [[s40KnnGraph]] and
+    * [[x107Pagerank]]. */
+  private[operators] def knnGraphRanked(spark: SparkSession, dir: String): DataFrame = {
     val bk = bucketedVecs(spark, dir)
     val a = bk.select(col("vec_id").as("q_id"), col("v").as("va"),
       col("nrm").as("na"), probeBuckets(col("bucket")).as("pb"))
@@ -1031,11 +1036,110 @@ object Similarity {
       .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
+  }
+
+  val s40KnnGraph = Q(
+    "s40_knn_graph",
+    s"""WITH $duckVecs, $duckW,
+        $duckKnnGraph
+        SELECT q_id, n_id, cos, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""") { (spark, dir) =>
+    knnGraphRanked(spark, dir)
       .select("q_id", "n_id", "cos", "rnk")
       .orderBy("q_id", "rnk")
   }
 
+  /** One PageRank sweep in DuckDB dialect: nodes LEFT JOIN incoming
+    * edges, each carrying its source's previous rank split over its
+    * out-degree — pure bigint fixed-point (ppm scale), so three
+    * engines' worth of doubles never enter the loop. */
+  private def duckPrIter(prev: String, out: String) =
+    s"""$out AS (SELECT n.vec_id,
+          150000 + (85 * COALESCE(SUM(p.r // dg.d), 0)) // 100 AS r
+        FROM nodes n
+        LEFT JOIN g ON g.n_id = n.vec_id
+        LEFT JOIN $prev p ON p.vec_id = g.q_id
+        LEFT JOIN deg dg ON dg.q_id = g.q_id
+        GROUP BY n.vec_id)"""
+
+  /** x107: PageRank-style importance propagation over the [[s40KnnGraph]]
+    * similarity graph — 3 damped sweeps (d = 0.85) of integer
+    * fixed-point rank in parts-per-million. High-rank vectors sit at the
+    * center of dense similarity neighborhoods: the graph-centrality
+    * complement of [[x98ClusterReps]]'s geometric representatives, and
+    * the embedding-space analogue of web-graph quality signals for
+    * pretraining-data weighting. Bounded sweeps (not to convergence) by
+    * contract — the curriculum/weighting consumer wants a stable, cheap
+    * signal, and three sweeps already separate hubs from periphery.
+    *
+    * Exactness: all arithmetic is bigint — rank starts at 1,000,000 ppm,
+    * each edge carries `r div out_degree`, damping is
+    * `150000 + (85·Σ) div 100` — so both engines agree bit-for-bit with
+    * no float summation order anywhere. Dangling leak is accepted by
+    * contract (ranks are relative weights, not probabilities).
+    *
+    * Scale: the edge list is N·3 rows, computed ONCE and
+    * lineage-truncated (localCheckpoint — the README checkpoint-per-round
+    * rule); each sweep is one keyed join (edges ⋈ ranks on q_id) and one
+    * partial-aggregated regroup on the destination — per-sweep shuffle
+    * volume is O(edges), never O(N²), and the per-round materialization
+    * is what keeps round k's plan constant-size. The candidate stage
+    * inherits s40's bucket-population contract (built over a DEDUPED
+    * corpus; excluded from SkewBench like s40/d30/d31). */
+  /** One PageRank sweep (the Spark twin of [[duckPrIter]]): previous
+    * ranks ride the degree-tagged edge list through one keyed join, the
+    * per-destination contributions regroup with map-side partials, and
+    * nodes without in-edges keep the damping base. NO checkpoint here —
+    * the loop in [[x107Pagerank]] materializes each round (lineage
+    * truncation), and PlanSpec gates THIS un-truncated plan shape. */
+  private[graft] def prSweep(gd: DataFrame, nodes: DataFrame,
+      r: DataFrame): DataFrame = {
+    val contrib = gd
+      .join(r.select(col("vec_id").as("q_id"), col("r").as("pr")), "q_id")
+      .select(col("n_id").as("vec_id"), expr("pr div d").as("c"))
+      .groupBy("vec_id").agg(sum(col("c")).as("sc"))
+    nodes.join(contrib, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        expr("150000 + (85 * coalesce(sc, 0L)) div 100").as("r"))
+  }
+
+  /** The first x107 sweep WITHOUT any checkpoint, for PlanSpec: the full
+    * declarative plan (edge join + partial-aggregated regroup) that each
+    * materialized round executes. */
+  private[graft] def x107FirstSweep(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphRanked(spark, dir).select("q_id", "n_id")
+    val nodes = vecs(spark, dir).select("vec_id")
+    val gd = g.join(g.groupBy("q_id").agg(count(lit(1)).as("d")), "q_id")
+    prSweep(gd, nodes, nodes.withColumn("r", lit(1000000L)))
+  }
+
+  val x107Pagerank = Q(
+    "x107_graph_pagerank",
+    s"""WITH $duckVecs, $duckW,
+        $duckKnnGraph,
+        g AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
+        nodes AS (SELECT vec_id FROM e),
+        deg AS (SELECT q_id, COUNT(*) AS d FROM g GROUP BY 1),
+        r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        ${duckPrIter("r0", "r1")},
+        ${duckPrIter("r1", "r2")},
+        ${duckPrIter("r2", "r3")}
+        SELECT vec_id, CAST(r AS BIGINT) AS pr_ppm
+        FROM r3 ORDER BY vec_id""") { (spark, dir) =>
+    val g = knnGraphRanked(spark, dir).select("q_id", "n_id").localCheckpoint()
+    val nodes = vecs(spark, dir).select("vec_id")
+    val deg = g.groupBy("q_id").agg(count(lit(1)).as("d"))
+    // static across sweeps: each edge pre-tagged with its source degree
+    val gd = g.join(deg, "q_id").localCheckpoint()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 3)
+      r = prSweep(gd, nodes, r).localCheckpoint()
+    r.select(col("vec_id"), col("r").cast("long").as("pr_ppm"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
-    x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph)
+    x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
+    x107Pagerank)
 }

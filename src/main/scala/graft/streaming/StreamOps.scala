@@ -358,6 +358,57 @@ object StreamOps {
         col("event_type"), col("window"), col("first.ts").as("first_ts"),
         col("n_dups"))
 
+  /** Streaming SCD2 / change-data maintenance — the ingest twin of the
+    * batch q80 history build: each key's attribute stream folds into
+    * type-2 dimension versions, and a version row is EMITTED the moment
+    * a change CLOSES it (valid_to = the change's time). State per key is
+    * the single OPEN version (value + valid_from) — O(1) forever, no
+    * watermark needed for state size. The open version itself is never
+    * emitted (append mode has nothing final to say about it); the batch
+    * query remains the source of open-version reads, which is the
+    * standard lambda split for dimension maintenance.
+    *
+    * CONTRACT: per-key IN-ORDER delivery across micro-batches (the Kafka
+    * key-partitioning guarantee); within a micro-batch rows are sorted
+    * by (ts, event_id) before the fold, so intra-batch disorder is
+    * repaired. Consecutive equal values collapse exactly like the batch
+    * form. `props` must be non-null in the stream tier (the state tuple
+    * cannot hold a null run); the batch form owns null-valued history.
+    * StreamingSpec pins the emitted rows equal to the batch collapse
+    * semantics recomputed on the same fixture, including a version
+    * opened in one micro-batch and closed in the next.
+    *
+    * Rows: (user_id, ts, event_id, props) → emitted
+    * (user_id, props, valid_from_ms, valid_to_ms). */
+  def scd2Stream(events: Dataset[(Long, java.sql.Timestamp, Long, String)])
+      : Dataset[(Long, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    events
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[(String, Long)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+          for ((_, ts, _, props) <- sorted) {
+            val t = ts.getTime
+            open match {
+              case Some((p, from)) if p != props =>
+                out += ((user, p, from, t)); open = Some((props, t))
+              case None => open = Some((props, t))
+              case _ => () // same value: the run continues
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Stream-stream attribution join — q65's streaming twin: for each
     * 'purchase' anchor, emit every other event landing within
     * `windowSec` after it, as both sides ARRIVE. The batch design maps

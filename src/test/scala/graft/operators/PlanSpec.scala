@@ -426,6 +426,28 @@ class PlanSpec extends SparkSpec {
       "the clamp must join the per-flag thresholds by broadcast")
   }
 
+  test("q82 nearest as-of: one key-only exchange, four carried frames, no range join") {
+    val p = plan("q82_asof_nearest")
+    // single-column k partitioning = the union+window carry; the (k, t)
+    // exchange is the events pre-aggregation, not a second carry shuffle
+    val keyEx = "hashpartitioning\\(k#\\d+L?, \\d+\\)".r.findAllIn(p).size
+    assert(keyEx === 1,
+      s"backward and forward carries must share one key exchange, got $keyEx")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "nearest-match must never become a range-condition join explosion")
+  }
+
+  test("x107 PageRank: each sweep is a keyed join + partial-aggregated regroup") {
+    // the query's own returned plan hides behind the per-round
+    // localCheckpoint (lineage truncation by contract), so the gate runs
+    // the sweep builder the loop materializes each round
+    val p = Similarity.x107FirstSweep(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("partial") || p.contains("Partial"),
+      "per-destination contributions must combine map-side")
+    assert(!p.contains("CartesianProduct"), "sweeps must stay O(edges)")
+  }
+
   test("t37 BM25: term filter before aggregation; top-10 is TakeOrdered, not a sort") {
     val p = plan("t37_bm25")
     assert(p.contains("TakeOrderedAndProject"),

@@ -306,6 +306,26 @@ class ScaleSpec extends SparkSpec {
     assert(scanned > 0, "the slice must not be empty")
   }
 
+  test("x107 sweep matches hand-computed integer PageRank on a known graph") {
+    // nodes 1..4; edges 1→2, 1→4, 2→1, 3→1 (deg 1:2, 2:1, 3:1; 4 dangling).
+    // By hand, r0 = 1,000,000 ppm everywhere:
+    //   sweep 1: r(1)=150000+85%·(1000000+1000000)=1850000;
+    //            r(2)=r(4)=150000+85%·500000=575000; r(3)=150000
+    //   sweep 2: r(1)=150000+85%·(575000+150000)=766250;
+    //            r(2)=r(4)=150000+85%·925000=936250; r(3)=150000
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 4L), (2L, 1L), (3L, 1L)).toDF("q_id", "n_id")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val gd = g.join(g.groupBy("q_id").agg(count(lit(1)).as("d")), "q_id")
+    var r = nodes.withColumn("r", lit(1000000L))
+    r = Similarity.prSweep(gd, nodes, r)
+    assert(r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap ===
+      Map(1L -> 1850000L, 2L -> 575000L, 3L -> 150000L, 4L -> 575000L))
+    r = Similarity.prSweep(gd, nodes, r)
+    assert(r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap ===
+      Map(1L -> 766250L, 2L -> 936250L, 3L -> 150000L, 4L -> 936250L))
+  }
+
   test("broadcast dimension join plans no shuffle for the fact side") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_suppkey")
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")

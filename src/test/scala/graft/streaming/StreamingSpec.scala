@@ -649,4 +649,45 @@ class StreamingSpec extends SparkSpec {
         "the (10, click) first window must count 3 suppressed duplicates incl. the cross-batch one")
     } finally q.stop()
   }
+  test("streaming SCD2: closed versions equal the batch q80 collapse, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // (user, offset-sec, event_id, props): user 1 changes a->b->b->c (the
+    // b run collapses); user 2 never changes (one open version, nothing
+    // emitted); the second micro-batch closes user 1's version opened in
+    // the first AND delivers an intra-batch disorder (e6 before e5 in
+    // arrival, repaired by the sort)
+    val h1 = Seq((1L, 0L, 1L, "a"), (1L, 60L, 2L, "b"), (1L, 120L, 3L, "b"),
+      (2L, 10L, 4L, "x"))
+    val h2 = Seq((1L, 300L, 6L, "c"), (1L, 240L, 5L, "b"))
+    def mk(s: Seq[(Long, Long, Long, String)]) =
+      s.map { case (u, sec, id, pr) => (u, new Timestamp(base + sec * 1000L), id, pr) }
+    val q = StreamOps.scd2Stream(stream.toDS())
+      .toDF("user_id", "props", "valid_from", "valid_to")
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("append").start()
+    try {
+      stream.addData(mk(h1)); q.processAllAvailable()
+      stream.addData(mk(h2)); q.processAllAvailable()
+      val streamed = spark.table("scd2").as[(Long, String, Long, Long)]
+        .collect().toSet
+      // batch q80 collapse on the same rows, in plain Scala: keep first
+      // row + value changes; valid_to = next change's time; open versions
+      // (null valid_to) are the batch tier's job and must NOT be emitted
+      val expected = mk(h1 ++ h2).groupBy(_._1).flatMap { case (u, g) =>
+        val runs = g.sortBy(r => (r._2.getTime, r._3))
+          .foldLeft(Vector.empty[(String, Long)]) { case (acc, (_, ts, _, pr)) =>
+            if (acc.nonEmpty && acc.last._1 == pr) acc
+            else acc :+ (pr, ts.getTime) }
+        runs.zip(runs.drop(1)).map { case ((pr, from), (_, to)) => (u, pr, from, to) }
+      }.toSet
+      assert(streamed === expected)
+      // positive controls: the b-run collapse and the cross-batch close
+      assert(expected === Set(
+        (1L, "a", base, base + 60000L),
+        (1L, "b", base + 60000L, base + 300000L)))
+    } finally q.stop()
+  }
 }
