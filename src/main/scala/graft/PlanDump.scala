@@ -28,7 +28,8 @@ object PlanDump {
     "q76_share_of_total", "d39_best_keeper", "q77_asof_tolerance",
     "x105_manifest_diff", "q78_cohort_retention", "q79_gap_detection",
     "q80_scd2_history", "q81_winsorized_agg", "t37_bm25",
-    "q82_asof_nearest", "x107_graph_pagerank")
+    "q82_asof_nearest", "x107_graph_pagerank", "x106_curriculum_order",
+    "x108_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

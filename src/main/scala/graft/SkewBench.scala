@@ -239,7 +239,16 @@ object SkewBench {
     // q82 is q77's union+window carry with the mirrored forward frames
     // added — the flash-crowd user partition is still one linear sorted
     // run with four O(1) carried values, same posture as q56/q77
-    "q82_asof_nearest")
+    "q82_asof_nearest",
+    // x106 under the 10k-dup doc source: the hot source's rank partition
+    // is one linear sorted run (the documented fat stage; x94's
+    // range-bucket shape is the upgrade), and the interleave position is
+    // map-only over the S-row totals broadcast — rank is never a key
+    "x106_curriculum_order",
+    // x108 under the pile: identical texts share one md5, so the
+    // expand-distinct partials collapse the 10k copies to one
+    // (source, lang, hash) row map-side; group keys stay (source, lang)
+    "x108_dataset_card")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -693,8 +693,89 @@ object Pipeline {
         when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
       .drop("component", "b")
 
+  /** x106: curriculum / interleaved training order — every source's
+    * documents ranked by a quality key (n_chars descending here; t23's
+    * quality score plugs in identically), then the export order
+    * round-robins the sources at each rank: all rank-1 docs (by source),
+    * then all rank-2, … The curriculum shape ("best of every source
+    * first, no source starves the head of training") behind
+    * quality-ordered and temperature-ordered data loading.
+    *
+    * The interleave position is CLOSED-FORM from the per-source totals:
+    * pos(s, rs) = Σ_s' min(n_s', rs−1)  +  #{s' < s : n_s' ≥ rs}
+    * — so after the per-source rank window, the global position is a
+    * MAP-ONLY expression over an S-row broadcast (one struct per
+    * source), with no global window, no second shuffle, nothing keyed
+    * by rank. The oracle instead runs the literal
+    * ROW_NUMBER() OVER (ORDER BY rs, source) — an independent
+    * formulation that must agree row-for-row. The per-source rank
+    * window is the one fat stage (a source's docs sort in one
+    * partition); at corpus scale it takes x94's range-bucket shape —
+    * same remedy, documented there. */
+  val x106CurriculumOrder = Q(
+    "x106_curriculum_order",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rs
+                  FROM documents)
+       SELECT doc_id, source, n_chars, CAST(rs AS BIGINT) AS rs,
+              ROW_NUMBER() OVER (ORDER BY rs, source) - 1 AS pos
+       FROM r ORDER BY doc_id""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = T(spark, dir, "documents").select("doc_id", "source", "n_chars")
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    // S-row totals ride as ONE broadcast array-of-structs; sort_array
+    // fixes the struct order so the fold is deterministic (it wouldn't
+    // change the sums, but deterministic plans beat order-by-luck)
+    val totals = d.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("source").as("s"),
+        col("n").as("n")))).as("cnts"))
+    d.withColumn("rs", row_number().over(wSrc).cast("long"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pos",
+        expr("aggregate(cnts, 0L, (a, x) -> a + least(x.n, rs - 1))") +
+          expr("aggregate(cnts, 0L, (a, x) -> a + " +
+            "(case when x.s < source and x.n >= rs then 1L else 0L end))"))
+      .select("doc_id", "source", "n_chars", "rs", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** x108: the DATASET CARD — the one-pass corpus summary a 100 TB
+    * release ships alongside its shards: per (source, lang) cell and
+    * every rollup level, the document count, distinct-text count (exact
+    * dedup's numerator), duplicate fraction, token total, and mean
+    * document length. One ROLLUP aggregation over one scan — counts and
+    * integer sums are mergeable partials; COUNT(DISTINCT hash) is
+    * Spark's standard expand-distinct (the x100 distinct-pairs shape
+    * holds it exact at scale); the doubles are final correctly-rounded
+    * casts/divides of exact integers, so both engines agree bit-for-bit.
+    * The rollup's NULL levels are well-defined because source/lang are
+    * non-null by schema. */
+  val x108DatasetCard = Q(
+    "x108_dataset_card",
+    s"""SELECT source, lang, COUNT(*) AS n_docs,
+        COUNT(DISTINCT md5(text)) AS n_unique,
+        1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_frac,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+        ORDER BY source NULLS FIRST, lang NULLS FIRST""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (lit(1.0) - countDistinct(md5(col("text"))).cast("double")
+          / count(lit(1))).as("dup_frac"),
+        sum(expr("size(split(text, ' '))")).cast("long").as("n_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
-    x103ClusterSplit, x104ShardManifest, x105ManifestDiff)
+    x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
+    x106CurriculumOrder, x108DatasetCard)
 }

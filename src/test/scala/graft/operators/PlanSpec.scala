@@ -448,6 +448,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "sweeps must stay O(edges)")
   }
 
+  test("x106: interleave position is map-only — one source-rank window, no rank shuffle") {
+    val p = plan("x106_curriculum_order")
+    val windows = "windowspecdefinition".r.findAllIn(p).size
+    assert(windows >= 1 && "windowspecdefinition\\(source".r.findAllIn(p).size === windows,
+      "the ONLY window is the per-source rank; the global position must " +
+        "come from the closed-form broadcast expression, never a global window")
+    assert(!"hashpartitioning\\(rs".r.findFirstIn(p).isDefined,
+      "rank must never become a shuffle key")
+  }
+
+  test("x108 dataset card: one scan, rollup expand, map-side partials") {
+    val p = plan("x108_dataset_card")
+    assert(p.contains("Expand"), "ROLLUP must plan as Expand over one scan")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "card metrics must combine map-side")
+    // count detail headers "(n) Scan parquet" — FormattedMode prints each
+    // node once in the tree AND once as a detail header, so a bare
+    // substring count double-counts every node
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"the card must come from ONE pass, got $scans scans")
+  }
+
   test("t37 BM25: term filter before aggregation; top-10 is TakeOrdered, not a sort") {
     val p = plan("t37_bm25")
     assert(p.contains("TakeOrderedAndProject"),
