@@ -29,7 +29,8 @@ object PlanDump {
     "x105_manifest_diff", "q78_cohort_retention", "q79_gap_detection",
     "q80_scd2_history", "q81_winsorized_agg", "t37_bm25",
     "q82_asof_nearest", "x107_graph_pagerank", "x106_curriculum_order",
-    "x108_dataset_card")
+    "x108_dataset_card", "t38_vocab_oov", "t39_source_overlap",
+    "q83_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

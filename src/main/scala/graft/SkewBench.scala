@@ -248,7 +248,19 @@ object SkewBench {
     // x108 under the pile: identical texts share one md5, so the
     // expand-distinct partials collapse the 10k copies to one
     // (source, lang, hash) row map-side; group keys stay (source, lang)
-    "x108_dataset_card")
+    "x108_dataset_card",
+    // t38 under the pile: the dup doc's tokens are the Zipf head of the
+    // vocab count — absorbed by partials + a per-partition top-K heap
+    // (TakeOrdered); scoring joins a 16-row broadcast, nothing keyed hot
+    "t38_vocab_oov",
+    // t39 under the pile: the 10k identical docs collapse to ONE
+    // (source, shingle) row each in the distinct — the self-join's
+    // per-key output is bounded by S²/2 (S = #sources) even for a
+    // corpus-wide stop shingle, so no cap is needed by construction
+    "t39_source_overlap",
+    // q83 shares q81's posture: two domain-bounded histograms, never
+    // keyed on the hot order key; thresholds broadcast (3 rows each)
+    "q83_mad_outliers")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

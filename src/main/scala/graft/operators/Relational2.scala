@@ -530,8 +530,89 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  /** Per-flag nearest-rank pct% value of `c` from the (flag, c) value
+    * histogram — q81's exact-quantile-at-scale machinery as a reusable
+    * step (domain-bounded cells, integer ⌈q·n⌉, always a real data
+    * value). Shared by [[q83MadOutliers]]'s two quantile passes. */
+  private def histP(df: org.apache.spark.sql.DataFrame, pct: Int,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val byFlag = Window.partitionBy(col("flag"))
+    df.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+      .groupBy("flag")
+      .agg(min(when(col("cum") >= expr(s"((n * $pct) + 99) div 100"),
+        col("c"))).as(out))
+  }
+
+  /** q83: robust outlier detection via median absolute deviation — per
+    * return flag, the exact nearest-rank MEDIAN price, the exact median
+    * of absolute deviations from it (MAD), and how many rows sit beyond
+    * 3×MAD — the outlier-flagging rule that survives the outliers it
+    * hunts (a mean/stddev rule gets dragged by the very tail it should
+    * flag; quality-score spikes, price glitches, loss blowups all get
+    * the MAD treatment).
+    *
+    * Both quantiles are q81's domain-bounded integer-cents histogram
+    * ([[histP]]) — the deviation histogram is domain-bounded too (devs
+    * live in the same cents range). Everything through the 3×MAD
+    * comparison is bigint; the only doubles are the final threshold
+    * casts. Thresholds broadcast (3 rows) into a map-side flag +
+    * partial-aggregated count. */
+  val q83MadOutliers = Q(
+    "q83_mad_outliers",
+    """WITH li AS (SELECT l_returnflag AS flag,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS c
+                  FROM lineitem),
+       h1 AS (SELECT flag, c, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+       w1 AS (SELECT flag, c,
+                     SUM(cnt) OVER (PARTITION BY flag ORDER BY c) AS cum,
+                     SUM(cnt) OVER (PARTITION BY flag) AS n
+              FROM h1),
+       med AS (SELECT flag,
+                      MIN(CASE WHEN cum >= ((n * 50) + 99) // 100 THEN c END) AS med
+               FROM w1 GROUP BY flag),
+       dv AS (SELECT li.flag, ABS(c - med) AS dev, med
+              FROM li JOIN med ON li.flag = med.flag),
+       h2 AS (SELECT flag, dev, COUNT(*) AS cnt FROM dv GROUP BY 1, 2),
+       w2 AS (SELECT flag, dev,
+                     SUM(cnt) OVER (PARTITION BY flag ORDER BY dev) AS cum,
+                     SUM(cnt) OVER (PARTITION BY flag) AS n
+              FROM h2),
+       mad AS (SELECT flag,
+                      MIN(CASE WHEN cum >= ((n * 50) + 99) // 100 THEN dev END) AS mad
+               FROM w2 GROUP BY flag)
+       SELECT dv.flag AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(med AS DOUBLE) / 100.0 AS median_price,
+              CAST(mad AS DOUBLE) / 100.0 AS mad_price,
+              CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_outliers,
+              SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS outlier_ppm
+       FROM dv JOIN mad ON dv.flag = mad.flag
+       GROUP BY dv.flag, med, mad ORDER BY l_returnflag""") { (spark, dir) =>
+    val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
+      "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
+    val med = histP(li, 50, "med")
+    val dv = li.join(broadcast(med), "flag")
+      .select(col("flag"), abs(col("c") - col("med")).as("dev"), col("med"))
+    val mad = histP(dv.select(col("flag"), col("dev").as("c")), 50, "mad")
+    dv.join(broadcast(mad), "flag")
+      .groupBy("flag", "med", "mad")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("flag").as("l_returnflag"), col("n_rows"),
+        (col("med").cast("double") / lit(100.0)).as("median_price"),
+        (col("mad").cast("double") / lit(100.0)).as("mad_price"),
+        col("n_outliers"),
+        expr("n_outliers * 1000000 div n_rows").as("outlier_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
-    q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg)
+    q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
+    q83MadOutliers)
 }

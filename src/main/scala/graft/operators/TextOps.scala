@@ -602,8 +602,101 @@ object TextOps {
       .limit(10)
   }
 
+  /** Vocabulary size for [[t38VocabOov]]. */
+  private val VocabK = 16
+
+  /** t38: frequency-vocabulary builder + OOV profiling — the tokenizer-
+    * training step: the top-[[VocabK]] tokens by corpus count (count
+    * desc, token asc — fully deterministic) become the vocabulary, and
+    * every document reports its out-of-vocabulary token count and OOV
+    * fraction (ppm, the t26 integer rule). High OOV = text the tokenizer
+    * will fragment — the coverage signal behind vocab sizing and
+    * multilingual mix decisions.
+    *
+    * Shape: the vocab is one partial-aggregated count + TakeOrdered K
+    * (per-partition heaps, Zipf head absorbed map-side — never a global
+    * sort); scoring is the token stream against the K-row broadcast via
+    * a LEFT join, regrouped per doc. At 100 TB both shuffles carry
+    * (token, count) partials and (doc, counts) — never raw text. */
+  val t38VocabOov = Q(
+    "t38_vocab_oov",
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+               ORDER BY c DESC, w LIMIT $VocabK),
+        sc AS (SELECT tok.doc_id, CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tok LEFT JOIN vc ON tok.w = vc.w)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               SUM(oov) * 1000000 // COUNT(*) AS oov_ppm
+        FROM sc GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
+    val tok = T(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(VocabK)
+      .select(col("w"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** t39: cross-source overlap matrix — exact shingle-set Jaccard between
+    * every source PAIR: how much of source A's phrasing recurs in source
+    * B (mirror-site detection, redundant-source pruning, crawl-overlap
+    * budgeting). Reuses the dedup stack's shingle-hash derivation
+    * verbatim ([[Dedup.shingleHashes]] / [[Dedup.duckHashedShingles]]) so
+    * "shingle" means the same thing here as in d27/d28/t36.
+    *
+    * Shape: distinct (source, shingle) first — ONE partial-aggregated
+    * dedup bounded by |sources| × |shingle domain| — then the
+    * intersection counts come from a self-join on the shingle hash
+    * (a < b): each hash matches ≤ S sources, so the join's output per
+    * key is ≤ S²/2 rows with S = #sources (tiny) — a stop shingle is
+    * one hot bigint key whose output is still S²/2, nothing like the
+    * doc-pair blow-ups the d2x caps exist for. Union sizes come from
+    * the S-row per-source totals via inclusion–exclusion; the Jaccard
+    * is an exact integer ratio in ppm (the t26 rule). */
+  val t39SourceOverlap = Q(
+    "t39_source_overlap",
+    s"""WITH ${Dedup.duckShingles},
+        ${Dedup.duckHashedShingles},
+        ds AS (SELECT d.source, uh.h
+               FROM (SELECT doc_id, unnest(th) AS h FROM hs0) uh
+               JOIN documents d ON uh.doc_id = d.doc_id
+               GROUP BY 1, 2),
+        tot AS (SELECT source, COUNT(*) AS n FROM ds GROUP BY 1),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+                  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT src_a, src_b, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(ta.n + tb.n - n_inter AS BIGINT) AS n_union,
+               n_inter * 1000000 // (ta.n + tb.n - n_inter) AS jaccard_ppm
+        FROM inter JOIN tot ta ON src_a = ta.source
+                   JOIN tot tb ON src_b = tb.source
+        ORDER BY src_a, src_b""") { (spark, dir) =>
+    val src = T(spark, dir, "documents").select("doc_id", "source")
+    val ds = Dedup.shingleHashes(spark, dir)
+      .select(col("doc_id"), explode(col("th")).as("h"))
+      .join(src, "doc_id")
+      .select("source", "h").distinct()
+    val tot = ds.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = ds.select(col("source").as("src_a"), col("h"))
+    val b = ds.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        expr("n_inter * 1000000 div (na + nb - n_inter)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
-    t36NgramNovelty, t37Bm25)
+    t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap)
 }

@@ -477,4 +477,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       "df and corpus stats must broadcast, never shuffle the token stream")
   }
+
+  test("t38: vocab is a partial-count TakeOrdered; scoring joins the K-row broadcast") {
+    val p = plan("t38_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-K vocab must be per-partition heaps, never a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "OOV scoring must join the vocabulary by broadcast")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "the Zipf head must be absorbed by map-side count partials")
+  }
+
+  test("t39: source overlap is a keyed shingle join over a partial distinct") {
+    val p = plan("t39_source_overlap")
+    assert(!p.contains("CartesianProduct"),
+      "the pair matrix must come from the equi-join on h, never a cross join")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "the (source, shingle) distinct must collapse duplicates map-side")
+  }
+
+  test("q83: both MAD quantiles broadcast; outlier flagging is map-side") {
+    val p = plan("q83_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "median and MAD thresholds must both join by broadcast")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "histograms and outlier counts must combine map-side")
+  }
 }
