@@ -503,23 +503,30 @@ object Relational2 {
               CAST(lo AS DOUBLE) / 100.0 AS p05,
               CAST(hi AS DOUBLE) / 100.0 AS p95
        FROM cl GROUP BY flag, lo, hi ORDER BY l_returnflag""") { (spark, dir) =>
+    // ONE row-level pass (the histogram build); thresholds AND the
+    // clamped sums both derive from the cells — clamp(c)·cnt summed over
+    // cells equals the row-level clamped sum exactly, so the corpus is
+    // never rescanned for the clamp (the oracle's row-level form is the
+    // same multiset, just unweighted)
     val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
       "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
     val byFlag = Window.partitionBy(col("flag"))
     val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+    val w = h
       .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
       .withColumn("n", sum(col("cnt")).over(byFlag))
-    val thr = h.groupBy("flag").agg(
+    val thr = w.groupBy("flag").agg(
       min(when(col("cum") >= expr("((n * 5) + 99) div 100"), col("c"))).as("lo"),
       min(when(col("cum") >= expr("((n * 95) + 99) div 100"), col("c"))).as("hi"))
-    li.join(broadcast(thr), "flag")
-      .select(col("flag"), col("lo"), col("hi"),
-        when(col("c") < col("lo"), col("lo"))
-          .when(col("c") > col("hi"), col("hi")).otherwise(col("c")).as("cw"),
-        when(col("c") < col("lo"), 1L).otherwise(0L).as("is_lo"),
-        when(col("c") > col("hi"), 1L).otherwise(0L).as("is_hi"))
+    h.join(broadcast(thr), "flag")
+      .select(col("flag"), col("lo"), col("hi"), col("cnt"),
+        (when(col("c") < col("lo"), col("lo"))
+          .when(col("c") > col("hi"), col("hi")).otherwise(col("c"))
+          * col("cnt")).as("cw"),
+        when(col("c") < col("lo"), col("cnt")).otherwise(lit(0L)).as("is_lo"),
+        when(col("c") > col("hi"), col("cnt")).otherwise(lit(0L)).as("is_hi"))
       .groupBy("flag", "lo", "hi")
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(sum(col("cnt")).as("n_rows"),
         sum(col("cw")).as("sum_cw"), sum(col("is_lo")).as("n_clamped_lo"),
         sum(col("is_hi")).as("n_clamped_hi"))
       .select(col("flag").as("l_returnflag"), col("n_rows"),
@@ -530,15 +537,16 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
-  /** Per-flag nearest-rank pct% value of `c` from the (flag, c) value
-    * histogram — q81's exact-quantile-at-scale machinery as a reusable
-    * step (domain-bounded cells, integer ⌈q·n⌉, always a real data
-    * value). Shared by [[q83MadOutliers]]'s two quantile passes. */
-  private def histP(df: org.apache.spark.sql.DataFrame, pct: Int,
+  /** Per-flag nearest-rank pct% value of `c` from a PRE-COUNTED
+    * (flag, c, cnt) value histogram — q81's exact-quantile-at-scale
+    * machinery as a reusable step (domain-bounded cells, integer ⌈q·n⌉,
+    * always a real data value). [[q83MadOutliers]] runs it twice — on
+    * the price cells and on the derived deviation cells — without ever
+    * rescanning rows. */
+  private def histP(h: org.apache.spark.sql.DataFrame, pct: Int,
       out: String): org.apache.spark.sql.DataFrame = {
     val byFlag = Window.partitionBy(col("flag"))
-    df.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
+    h.withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
       .withColumn("n", sum(col("cnt")).over(byFlag))
       .groupBy("flag")
       .agg(min(when(col("cum") >= expr(s"((n * $pct) + 99) div 100"),
@@ -591,16 +599,23 @@ object Relational2 {
                 AS outlier_ppm
        FROM dv JOIN mad ON dv.flag = mad.flag
        GROUP BY dv.flag, med, mad ORDER BY l_returnflag""") { (spark, dir) =>
+    // ONE row-level pass: the deviation histogram and the outlier counts
+    // both derive from the price CELLS (|c−med| with the cell's count),
+    // never from a second corpus scan — the same multiset the oracle's
+    // row-level dv computes, pre-aggregated
     val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
       "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
-    val med = histP(li, 50, "med")
-    val dv = li.join(broadcast(med), "flag")
-      .select(col("flag"), abs(col("c") - col("med")).as("dev"), col("med"))
-    val mad = histP(dv.select(col("flag"), col("dev").as("c")), 50, "mad")
-    dv.join(broadcast(mad), "flag")
+    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+    val med = histP(h, 50, "med")
+    val dvh = h.join(broadcast(med), "flag")
+      .groupBy(col("flag"), col("med"),
+        abs(col("c") - col("med")).as("c")) // dev cells, reusing histP's c
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = histP(dvh.select("flag", "c", "cnt"), 50, "mad")
+    dvh.join(broadcast(mad), "flag")
       .groupBy("flag", "med", "mad")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("c") > lit(3) * col("mad"), col("cnt")).otherwise(lit(0L)))
           .as("n_outliers"))
       .select(col("flag").as("l_returnflag"), col("n_rows"),
         (col("med").cast("double") / lit(100.0)).as("median_price"),
