@@ -510,12 +510,11 @@ object Relational2 {
     // same multiset, just unweighted)
     val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
       "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
-    val byFlag = Window.partitionBy(col("flag"))
-    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
-    val w = h
-      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
-      .withColumn("n", sum(col("cnt")).over(byFlag))
-    val thr = w.groupBy("flag").agg(
+    // cache the DOMAIN-BOUNDED cells, not the corpus: histCum's offset
+    // branch and the clamp both read h — without the cache each reads
+    // through its own full corpus scan
+    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt")).cache()
+    val thr = histCum(h).groupBy("flag").agg(
       min(when(col("cum") >= expr("((n * 5) + 99) div 100"), col("c"))).as("lo"),
       min(when(col("cum") >= expr("((n * 95) + 99) div 100"), col("c"))).as("hi"))
     h.join(broadcast(thr), "flag")
@@ -537,21 +536,48 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  /** Histogram-bucket width for [[histCum]]: 2^16 cents per range bucket
+    * keeps any realistic price domain under a few hundred buckets while
+    * bounding every within-bucket window at 65536 cells. */
+  private val HistBucketW = 65536L
+
+  /** Adds exact cumulative counts (`cum`) and per-flag totals (`n`) to a
+    * PRE-COUNTED (flag, c, cnt) value histogram — BUCKET-PARALLEL, the
+    * x99 two-phase shape: cells range-bucket by `c div 2^16`, each
+    * bucket's running sum is a bounded sorted run, and the per-bucket
+    * offsets (B tiny rows per flag) close the prefix. No task ever
+    * sorts a whole flag's cell domain, so the quantile machinery
+    * survives a domain 100× wider unchanged. */
+  private def histCum(h: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byFlagB = Window.partitionBy(col("flag"), col("b"))
+    val byFlag = Window.partitionBy(col("flag"))
+    val hb = h.withColumn("b", expr(s"c div $HistBucketW"))
+    // offsets: exclusive prefix of bucket totals — B rows per flag, the
+    // partitionBy(flag) windows only ever see bucket counts
+    val off = hb.groupBy("flag", "b").agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("off", coalesce(sum(col("bcnt")).over(
+        byFlag.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("bcnt")).over(byFlag))
+      .select("flag", "b", "off", "n")
+    hb.withColumn("cumIn", sum(col("cnt")).over(byFlagB.orderBy(col("c"))))
+      .join(broadcast(off), Seq("flag", "b"))
+      .withColumn("cum", col("off") + col("cumIn"))
+  }
+
   /** Per-flag nearest-rank pct% value of `c` from a PRE-COUNTED
     * (flag, c, cnt) value histogram — q81's exact-quantile-at-scale
     * machinery as a reusable step (domain-bounded cells, integer ⌈q·n⌉,
-    * always a real data value). [[q83MadOutliers]] runs it twice — on
-    * the price cells and on the derived deviation cells — without ever
-    * rescanning rows. */
+    * always a real data value), with [[histCum]]'s bucket-parallel
+    * prefix. [[q83MadOutliers]] runs it twice — on the price cells and
+    * on the derived deviation cells — without ever rescanning rows. */
   private def histP(h: org.apache.spark.sql.DataFrame, pct: Int,
-      out: String): org.apache.spark.sql.DataFrame = {
-    val byFlag = Window.partitionBy(col("flag"))
-    h.withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("c"))))
-      .withColumn("n", sum(col("cnt")).over(byFlag))
+      out: String): org.apache.spark.sql.DataFrame =
+    histCum(h)
       .groupBy("flag")
       .agg(min(when(col("cum") >= expr(s"((n * $pct) + 99) div 100"),
         col("c"))).as(out))
-  }
 
   /** q83: robust outlier detection via median absolute deviation — per
     * return flag, the exact nearest-rank MEDIAN price, the exact median
@@ -605,12 +631,16 @@ object Relational2 {
     // row-level dv computes, pre-aggregated
     val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
       "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
-    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+    // both histograms cache: DOMAIN-BOUNDED cells, each read by histCum's
+    // two branches plus a downstream consumer — uncached, every read
+    // would chain back through its own corpus scan
+    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt")).cache()
     val med = histP(h, 50, "med")
     val dvh = h.join(broadcast(med), "flag")
       .groupBy(col("flag"), col("med"),
         abs(col("c") - col("med")).as("c")) // dev cells, reusing histP's c
       .agg(sum(col("cnt")).as("cnt"))
+      .cache()
     val mad = histP(dvh.select("flag", "c", "cnt"), 50, "mad")
     dvh.join(broadcast(mad), "flag")
       .groupBy("flag", "med", "mad")

@@ -424,6 +424,9 @@ class PlanSpec extends SparkSpec {
       "the cents histogram must combine map-side")
     assert(p.contains("BroadcastHashJoin"),
       "the clamp must join the per-flag thresholds by broadcast")
+    assert("windowspecdefinition\\(flag#\\d+, b#".r.findFirstIn(p).nonEmpty,
+      "the cumulative count must ride the (flag, bucket)-partitioned " +
+        "window — never a whole-flag cell sort (the x99 two-phase rule)")
   }
 
   test("q82 nearest as-of: one key-only exchange, four carried frames, no range join") {
