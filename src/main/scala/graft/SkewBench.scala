@@ -260,7 +260,11 @@ object SkewBench {
     "t39_source_overlap",
     // q83 shares q81's posture: two domain-bounded histograms, never
     // keyed on the hot order key; thresholds broadcast (3 rows each)
-    "q83_mad_outliers")
+    "q83_mad_outliers",
+    // s41 under the 10k-dup embedding: the dups pile into ONE cell, but
+    // the report's aggregate absorbs the pile map-side into K cell rows
+    // — a runaway cell is precisely what the health report measures
+    "s41_ivf_stats")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

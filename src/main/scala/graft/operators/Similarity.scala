@@ -1138,8 +1138,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** s41: IVF index-health report — the observability tier of the ANN
+    * family: per centroid cell its population, corpus share (ppm), and
+    * distinct-label spread, INCLUDING empty cells (a left join from the
+    * centroid list — an empty or runaway cell is exactly what the
+    * report exists to catch: both degrade s34/s39 probe quality, and at
+    * 100 TB a rebalance/re-train decision hangs on this table). Same
+    * broadcast-centroid assignment as [[s34AnnIvf]]; everything after
+    * the K-cell aggregate is K rows. Integer ppm shares, deterministic
+    * population rank (n desc, cell asc). */
+  val s41IvfStats = Q(
+    "s41_ivf_stats",
+    s"""WITH $duckVecs,
+        $duckIvfAssign,
+        asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
+        cents AS (SELECT vec_id AS cell FROM e WHERE vec_id < 8),
+        pop AS (SELECT cell, COUNT(*) AS n_vecs,
+                       COUNT(DISTINCT l.label) AS n_labels
+                FROM asg JOIN embeddings l ON asg.vec_id = l.vec_id
+                GROUP BY cell),
+        tot AS (SELECT COUNT(*) AS nt FROM asg)
+        SELECT c.cell, CAST(COALESCE(n_vecs, 0) AS BIGINT) AS n_vecs,
+               COALESCE(n_vecs, 0) * 1000000 // nt AS share_ppm,
+               CAST(COALESCE(n_labels, 0) AS BIGINT) AS n_labels,
+               ROW_NUMBER() OVER (ORDER BY COALESCE(n_vecs, 0) DESC, c.cell)
+                 AS rnk
+        FROM cents c LEFT JOIN pop ON c.cell = pop.cell, tot
+        ORDER BY c.cell""") { (spark, dir) =>
+    val lbl = T(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val asg = ivfAssign0(spark, dir).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val cents = vecs(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"))
+    val pop = asg.join(lbl, "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs0"),
+        countDistinct(col("label")).as("n_labels0"))
+    val tot = asg.agg(count(lit(1)).as("nt"))
+    val wPop = Window.orderBy(col("n_vecs").desc, col("cell"))
+    cents.join(pop, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("n_vecs0"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_labels0"), lit(0L)).as("n_labels"), col("nt"))
+      .withColumn("share_ppm", expr("n_vecs * 1000000 div nt"))
+      // K rows total: the global rank window is over the centroid list,
+      // never the corpus
+      .withColumn("rnk", row_number().over(wPop).cast("long"))
+      .select("cell", "n_vecs", "share_ppm", "n_labels", "rnk")
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank)
+    x107Pagerank, s41IvfStats)
 }

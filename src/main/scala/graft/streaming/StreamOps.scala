@@ -409,6 +409,44 @@ object StreamOps {
         })
   }
 
+  /** Streaming gap detection — q79's ingest twin: per key, emit a gap
+    * row the moment an event arrives more than `gapMs` after the key's
+    * previous event. State per key is ONE timestamp (the last event
+    * time) — O(1) forever, the same carry scd2Stream holds. The q79
+    * batch form finds historical gaps; this twin fires them live (the
+    * sensor-outage / pipeline-stall alert path). Same contract as
+    * [[scd2Stream]]: per-key in-order delivery across micro-batches,
+    * intra-batch disorder repaired by the (ts, event_id) sort.
+    *
+    * Rows: (user_id, ts, event_id) → emitted
+    * (user_id, gap_start_ms, gap_end_ms, gap_s). */
+  def gapStream(events: Dataset[(Long, java.sql.Timestamp, Long)],
+      gapMs: Long = 7200000L): Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc = Encoders.scalaLong
+    events
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          for ((_, ts, _) <- sorted) {
+            val t = ts.getTime
+            prev.foreach { p =>
+              if (t - p > gapMs) out += ((user, p, t, (t - p) / 1000L))
+            }
+            prev = Some(t)
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Stream-stream attribution join — q65's streaming twin: for each
     * 'purchase' anchor, emit every other event landing within
     * `windowSec` after it, as both sides ARRIVE. The batch design maps

@@ -690,4 +690,36 @@ class StreamingSpec extends SparkSpec {
         (1L, "b", base + 60000L, base + 300000L)))
     } finally q.stop()
   }
+  test("streaming gap detection: emitted gaps equal the batch q79 lag form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long)]
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // user 1: events at 0h, 1h (no gap), 4h (3h gap); the second batch
+    // adds 9h — a gap that straddles the micro-batch boundary (prev = 4h
+    // carried in state). user 2: a single event, nothing to emit.
+    val h1 = Seq((1L, 0L, 1L), (1L, 3600L, 2L), (1L, 14400L, 3L), (2L, 60L, 4L))
+    val h2 = Seq((1L, 32400L, 5L))
+    def mk(s: Seq[(Long, Long, Long)]) =
+      s.map { case (u, sec, id) => (u, new Timestamp(base + sec * 1000L), id) }
+    val q = StreamOps.gapStream(stream.toDS())
+      .toDF("user_id", "gap_start", "gap_end", "gap_s")
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    try {
+      stream.addData(mk(h1)); q.processAllAvailable()
+      stream.addData(mk(h2)); q.processAllAvailable()
+      val streamed = spark.table("gaps").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      // the batch q79 lag semantics in plain Scala on the same rows
+      val expected = mk(h1 ++ h2).groupBy(_._1).flatMap { case (u, g) =>
+        val ts = g.sortBy(r => (r._2.getTime, r._3)).map(_._2.getTime)
+        ts.zip(ts.drop(1)).collect { case (a, b) if b - a > 7200000L =>
+          (u, a, b, (b - a) / 1000L) }
+      }.toSet
+      assert(streamed === expected)
+      // positive control: the cross-batch gap (4h -> 9h) must be present
+      assert(streamed.contains((1L, base + 14400000L, base + 32400000L, 18000L)))
+    } finally q.stop()
+  }
 }
