@@ -264,7 +264,11 @@ object SkewBench {
     // s41 under the 10k-dup embedding: the dups pile into ONE cell, but
     // the report's aggregate absorbs the pile map-side into K cell rows
     // — a runaway cell is precisely what the health report measures
-    "s41_ivf_stats")
+    "s41_ivf_stats",
+    // t41 under the 10k-dup doc: the dup text's tokens are the Zipf head
+    // — each hot token maps to ONE (d, bucket) cell per row, absorbed by
+    // map-side partials into the <= 4096-cell sketch; probes broadcast
+    "t41_cms_sketch")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

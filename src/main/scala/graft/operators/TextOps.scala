@@ -695,8 +695,82 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** Count-min geometry for [[t41CmsSketch]]: 4 hash rows × 1024 buckets
+    * (≤ 4096 cells — the sketch IS the shuffle state). */
+  private val CmsD = 4
+  private val CmsW = 1024
+  /** Probe tokens whose estimates the query surfaces: mixed true
+    * frequencies (a rare token, the BM25 terms, a stopword). */
+  private val CmsProbes = Seq("dup", "vector", "spark", "the", "data")
+
+  /** t41: count-min sketch — the mergeable frequency sketch behind
+    * streaming heavy-hitter estimation, expressed RELATIONALLY: row d's
+    * cells are `groupBy(d, h_d(token) % W) count`, so the sketch is a
+    * ≤ 4096-row table built by one partial-aggregated pass (merging two
+    * corpora's sketches = summing cells — the same mergeability contract
+    * as x100's partials and q30's GK sketch). The estimate for a token
+    * is MIN over rows of its cell — guaranteed ≥ the true count, and the
+    * query VERIFIES that contract by surfacing exact counts beside the
+    * estimates (overestimate ≥ 0 for every probe, by construction).
+    * Hashes are the shared md5-derived [[H]], so both engines build
+    * bit-identical sketches — no engine-specific hash anywhere.
+    *
+    * Scale: the token stream maps to (d, bucket) cells with map-side
+    * partials absorbing the Zipf head (a hot token is ONE cell per
+    * row); probes and the sketch both broadcast. */
+  val t41CmsSketch = Q(
+    "t41_cms_sketch",
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        cells AS (SELECT d, ${H.d("CAST(d AS VARCHAR) || ':' || w")} % $CmsW AS b,
+                         COUNT(*) AS c
+                  FROM tok, (SELECT unnest(range(0, $CmsD)) AS d)
+                  GROUP BY 1, 2),
+        probes AS (SELECT unnest([${CmsProbes.map(p => s"'$p'").mkString(", ")}]) AS w),
+        pb AS (SELECT w, d, ${H.d("CAST(d AS VARCHAR) || ':' || w")} % $CmsW AS b
+               FROM probes, (SELECT unnest(range(0, $CmsD)) AS d)),
+        est AS (SELECT pb.w, MIN(COALESCE(cells.c, 0)) AS est
+                FROM pb LEFT JOIN cells ON pb.d = cells.d AND pb.b = cells.b
+                GROUP BY pb.w),
+        ex AS (SELECT w, COUNT(*) AS exact FROM tok
+               WHERE w IN (${CmsProbes.map(p => s"'$p'").mkString(", ")})
+               GROUP BY w)
+        SELECT est.w, CAST(COALESCE(exact, 0) AS BIGINT) AS exact,
+               CAST(est AS BIGINT) AS est,
+               CAST(est - COALESCE(exact, 0) AS BIGINT) AS overestimate
+        FROM est LEFT JOIN ex ON est.w = ex.w ORDER BY est.w""") { (spark, dir) =>
+    val tok = T(spark, dir, "documents")
+      .select(explode(expr("split(text, ' ')")).as("w"))
+    cmsEstimates(spark, tok, CmsProbes, CmsD, CmsW).orderBy("w")
+  }
+
+  /** The t41 kernel over an arbitrary token frame and geometry — shared
+    * with the spec, which shrinks W to FORCE collisions and pins the
+    * over-estimation contract non-vacuously (at the query's 4×1024 on
+    * this vocab, every probe is collision-free and overestimate = 0). */
+  private[graft] def cmsEstimates(spark: org.apache.spark.sql.SparkSession,
+      tok: org.apache.spark.sql.DataFrame, probeList: Seq[String],
+      d: Int, wBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ds = expr(s"explode(sequence(0, ${d - 1}))")
+    val hb = s"${H.s("concat(cast(d as string), ':', w)")} % $wBuckets"
+    val cells = tok.withColumn("d", ds)
+      .withColumn("b", expr(hb))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val probes = probeList.toDF("w")
+      .withColumn("d", ds)
+      .withColumn("b", expr(hb))
+    val est = broadcast(probes).join(cells, Seq("d", "b"), "left")
+      .groupBy("w").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val exact = tok.filter(col("w").isin(probeList: _*))
+      .groupBy("w").agg(count(lit(1)).as("exact"))
+    est.join(broadcast(exact), Seq("w"), "left")
+      .select(col("w"), coalesce(col("exact"), lit(0L)).as("exact"),
+        col("est"), (col("est") - coalesce(col("exact"), lit(0L)))
+          .as("overestimate"))
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
-    t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap)
+    t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch)
 }

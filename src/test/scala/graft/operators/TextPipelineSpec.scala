@@ -181,4 +181,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.values.exists(_._3 > 0) && out.values.exists(v => v._3 < v._2),
       "positive control: the rate spectrum must both keep and drop")
   }
+  test("t41 CMS: forced collisions still over-estimate, never under") {
+    import spark.implicits._
+    // W=2 buckets guarantees collisions among 6 tokens; the estimate must
+    // be >= exact for EVERY probe and strictly over for at least one
+    val words = Seq("a","a","a","b","b","c","d","e","f","f","f","f")
+    val tok = words.toDF("w")
+    val probes = Seq("a","b","c","d","e","f")
+    val r = TextOps.cmsEstimates(spark, tok, probes, 2, 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length === 6)
+    assert(r.forall(v => v._3 >= v._2), s"CMS must never under-estimate: ${r.mkString(",")}")
+    assert(r.exists(v => v._4 > 0), "W=2 over 6 tokens must collide somewhere")
+    // the full-width query form is collision-free on this vocab: exact
+    val wide = TextOps.cmsEstimates(spark, tok, probes, 4, 1024).collect()
+    assert(wide.forall(_.getLong(3) == 0L))
+  }
+
 }
