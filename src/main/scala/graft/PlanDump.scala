@@ -30,7 +30,8 @@ object PlanDump {
     "q80_scd2_history", "q81_winsorized_agg", "t37_bm25",
     "q82_asof_nearest", "x107_graph_pagerank", "x106_curriculum_order",
     "x108_dataset_card", "t38_vocab_oov", "t39_source_overlap",
-    "q83_mad_outliers", "s41_ivf_stats", "t41_cms_sketch")
+    "q83_mad_outliers", "s41_ivf_stats", "t41_cms_sketch",
+    "d40_containment", "q84_zscore_normalize")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

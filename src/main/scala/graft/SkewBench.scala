@@ -268,7 +268,15 @@ object SkewBench {
     // t41 under the 10k-dup doc: the dup text's tokens are the Zipf head
     // — each hot token maps to ONE (d, bucket) cell per row, absorbed by
     // map-side partials into the <= 4096-cell sketch; probes broadcast
-    "t41_cms_sketch")
+    "t41_cms_sketch",
+    // d40 shares d27's capped scaffold verbatim — the 10k-dup cluster's
+    // shingles all cap out, so its pairs never form; only the derived
+    // score differs
+    "d40_containment",
+    // q84's stats are 5 flag groups (partials absorb the hot-order pile
+    // map-side) broadcast back over the fact stream — the fact is never
+    // shuffled on any key
+    "q84_zscore_normalize")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

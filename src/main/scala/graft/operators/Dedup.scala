@@ -202,19 +202,14 @@ object Dedup {
     * [[MaxShingleDf]] hot-shingle cap, exact Jaccard ≥ 0.5 over the capped
     * sets. Both engines hash and cap with the same formula, so the counts
     * are identical value-for-value. */
-  val d27NgramJaccard = Q(
-    "d27_ngram_jaccard",
-    s"""WITH $duckShingles,
-        $duckCappedSets,
-        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-                  FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex2 GROUP BY doc_id)
-        SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
-               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-        FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-        ORDER BY a_id, b_id""") { (spark, dir) =>
+  /** Shared capped-pair scaffold for [[d27NgramJaccard]] and
+    * [[d40Containment]]: the (a_id, b_id, n_common, n_a, n_b) frame from
+    * the df-capped shingle index — pair generation is ONE shuffle on h +
+    * a sorted-run JVM pass (per-run emission ≤ K²/2 by the cap, the
+    * property that makes this linear-ish at 100 TB); the two queries
+    * differ only in the score they derive from it. */
+  private def pairCounts(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     // cache: hs fans out into the df count and the index (plan-level
     // fan-out would re-run the kernel per consumer). The cap itself is a
     // broadcast anti-join against the (tiny by construction) hot set —
@@ -264,10 +259,57 @@ object Dedup {
     pairs
       .join(sz.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+  }
+
+  val d27NgramJaccard = Q(
+    "d27_ngram_jaccard",
+    s"""WITH $duckShingles,
+        $duckCappedSets,
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+                  FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex2 GROUP BY doc_id)
+        SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    pairCounts(spark, dir)
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d40: asymmetric CONTAINMENT dedup — pairs where the smaller
+    * document's shingle set is ≥ 90% contained in the other's:
+    * containment = n_common / min(n_a, n_b). Catches quote-expansion and
+    * superset pages (a doc plus boilerplate around it) that symmetric
+    * Jaccard MISSES — a 100-shingle doc fully quoted inside a
+    * 1000-shingle page has Jaccard ≈ 0.1 but containment 1.0. Same
+    * capped-pair scaffold as d27 (one h shuffle, bounded runs); only the
+    * derived score differs, so the scale posture is d27's verbatim.
+    * Quadratic-output contract on mass duplicates also inherited
+    * (d26 owns those; SkewBench covers this via d27's line). */
+  val d40Containment = Q(
+    "d40_containment",
+    s"""WITH $duckShingles,
+        $duckCappedSets,
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+                  FROM ex2 a JOIN ex2 b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex2 GROUP BY doc_id)
+        SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+        FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    pairCounts(spark, dir)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= 0.9)
+      .select("a_id", "b_id", "n_common", "n_a", "n_b", "containment")
       .orderBy("a_id", "b_id")
   }
 
@@ -1223,7 +1265,7 @@ object Dedup {
       .orderBy("component")
   }
 
-  val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d28MinhashLsh,
+  val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
     d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)

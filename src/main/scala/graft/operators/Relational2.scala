@@ -655,9 +655,53 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  /** q84: per-group z-score feature standardization — the ML-prep step
+    * that rescales every feature to (x − mean)/stddev within its group
+    * before training. Statistics come from EXACT decimal moments (q74's
+    * contract: n, Σx, Σx² summed as decimals, each cast to double
+    * correctly rounded) and the mean/var/z derivations are the IDENTICAL
+    * IEEE expression tree in both dialects, so 600k output doubles match
+    * bit-for-bit where a built-in stddev would stream engine-ordered.
+    *
+    * Shape: ONE aggregate (5 flag groups, map-side partials absorb the
+    * scan) broadcast back over the fact stream — the stats join never
+    * shuffles the rows, standardization is map-side. */
+  val q84ZscoreNormalize = Q(
+    "q84_zscore_normalize",
+    """WITH st AS (SELECT l_returnflag AS flag, COUNT(*) AS n,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sq,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sqq,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sp,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS spp
+                FROM lineitem GROUP BY 1)
+       SELECT l_orderkey, l_linenumber, l_returnflag,
+              (CAST(CAST(l_quantity AS DECIMAL(12,4)) AS DOUBLE) - (sq / n))
+                / sqrt(((sqq - ((sq * sq) / n)) / n)) AS z_qty,
+              (CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DOUBLE) - (sp / n))
+                / sqrt(((spp - ((sp * sp) / n)) / n)) AS z_price
+       FROM lineitem JOIN st ON l_returnflag = st.flag
+       ORDER BY l_orderkey, l_linenumber""") { (spark, dir) =>
+    val li = T(spark, dir, "lineitem")
+    val st = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sq"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sqq"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sp"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("spp"))
+    li.join(broadcast(st), col("l_returnflag") === col("flag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        ((dec(col("l_quantity")).cast("double") - (col("sq") / col("n")))
+          / sqrt((col("sqq") - ((col("sq") * col("sq")) / col("n"))) / col("n")))
+          .as("z_qty"),
+        ((dec(col("l_extendedprice")).cast("double") - (col("sp") / col("n")))
+          / sqrt((col("spp") - ((col("sp") * col("sp")) / col("n"))) / col("n")))
+          .as("z_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
-    q83MadOutliers)
+    q83MadOutliers, q84ZscoreNormalize)
 }

@@ -481,6 +481,17 @@ class PlanSpec extends SparkSpec {
       "df and corpus stats must broadcast, never shuffle the token stream")
   }
 
+  test("q84: group stats broadcast back; the fact stream is never shuffled on a key") {
+    val p = plan("q84_zscore_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      "standardization must join the 5-row stats by broadcast")
+    assert(!"hashpartitioning\\(l_returnflag".r.findFirstIn(p).isDefined ||
+      "Arguments: hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r.findAllIn(p).size <= 1,
+      "only the stats aggregate may shuffle on the flag — never the fact rows")
+    assert(p.contains("partial") || p.contains("Partial"),
+      "the moment sums must combine map-side")
+  }
+
   test("t38: vocab is a partial-count TakeOrdered; scoring joins the K-row broadcast") {
     val p = plan("t38_vocab_oov")
     assert(p.contains("TakeOrderedAndProject"),
