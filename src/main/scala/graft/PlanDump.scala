@@ -31,7 +31,7 @@ object PlanDump {
     "q82_asof_nearest", "x107_graph_pagerank", "x106_curriculum_order",
     "x108_dataset_card", "t38_vocab_oov", "t39_source_overlap",
     "q83_mad_outliers", "s41_ivf_stats", "t41_cms_sketch",
-    "d40_containment", "q84_zscore_normalize")
+    "d40_containment", "q84_zscore_normalize", "m46_media_components")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -136,11 +136,13 @@ object Multimodal {
           s"i -> ${H.s("substring(text, i, 4)")}) as th")
       .selectExpr("doc_id", s"${Dedup.simhashSpark} as phash")
 
-  val m44MediaNeardup = Q(
-    "m44_media_neardup",
-    s"""WITH th0 AS (SELECT doc_id, list_transform(range(1, length(text) - 2),
-                       i -> ${H.d("substring(text, CAST(i AS INTEGER), 4)")}) AS th
-                     FROM documents WHERE length(text) >= 4),
+  /** The m44 candidate CTE chain (phash -> chunks -> verified pairs as
+    * `cand(a_id, ph_a, b_id, ph_b)`), shared verbatim by the m44 oracle
+    * and the m46 component oracle. */
+  private def duckMediaCtes =
+    s"""th0 AS (SELECT doc_id, list_transform(range(1, length(text) - 2),
+                  i -> ${H.d("substring(text, CAST(i AS INTEGER), 4)")}) AS th
+                FROM documents WHERE length(text) >= 4),
         sim AS (SELECT doc_id, ${Dedup.duckSimVote} AS phash FROM th0),
         chunk AS (SELECT doc_id, phash, c,
                          (phash >> CAST(c*8 AS INTEGER)) & 255 AS cv
@@ -149,10 +151,13 @@ object Multimodal {
                                  b.doc_id AS b_id, b.phash AS ph_b
                  FROM chunk a JOIN chunk b ON a.c = b.c AND a.cv = b.cv
                                           AND a.doc_id < b.doc_id
-                 WHERE bit_count(xor(a.phash, b.phash)) <= 3)
-        SELECT a_id, b_id, ph_a, ph_b,
-               CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
-        FROM cand ORDER BY a_id, b_id""") { (spark, dir) =>
+                 WHERE bit_count(xor(a.phash, b.phash)) <= 3)"""
+
+  /** Spark twin of [[duckMediaCtes]]: the verified media pair list
+    * (a_id, b_id, ph_a, ph_b), shared by [[m44MediaNeardup]] and
+    * [[m46MediaComponents]]. */
+  private[operators] def mediaPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     // JVM kernel (bit-equal to the expression form, DedupSpec-pinned);
     // cache before the chunk fan-out so the pass runs once per doc
     val spark2 = spark
@@ -172,8 +177,49 @@ object Multimodal {
         col("c") === col("c2") && col("cv") === col("cv2") && col("a_id") < col("b_id"))
       .filter(expr("bit_count(ph_a ^ ph_b) <= 3"))
       .select("a_id", "b_id", "ph_a", "ph_b").distinct()
+  }
+
+  val m44MediaNeardup = Q(
+    "m44_media_neardup",
+    s"""WITH $duckMediaCtes
+        SELECT a_id, b_id, ph_a, ph_b,
+               CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        FROM cand ORDER BY a_id, b_id""") { (spark, dir) =>
+    mediaPairs(spark, dir)
       .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** m46: media duplicate CLUSTERS — [[m44MediaNeardup]]'s pair graph
+    * closed into connected components via the same HashMin label
+    * propagation d34 runs on the text tier ([[Dedup.connectedComponents]]
+    * — shared code, so the media and text clustering CANNOT drift), with
+    * one keeper per cluster (min doc_id). The dedup DECISION table for
+    * the image/video tier: keep the keeper, drop the rest. Oracle =
+    * m44's candidate CTEs + the recursive closure — two independent
+    * algorithms agreeing, exactly like d34. Scale posture: pair graph
+    * from the pigeonhole join (never doc×doc), then O(diameter) rounds
+    * of (id, lbl) shuffles over a lineage-truncated edge list. */
+  val m46MediaComponents = Q(
+    "m46_media_components",
+    s"""WITH RECURSIVE $duckMediaCtes,
+        pairs AS (SELECT a_id, b_id FROM cand),
+        edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component, s.n_members,
+               c.doc_id = c.component AS is_keeper
+        FROM comp c JOIN sz s ON c.component = s.component
+        ORDER BY c.doc_id""") { (spark, dir) =>
+    Dedup.connectedComponents(mediaPairs(spark, dir).select("a_id", "b_id"))
+      .orderBy("doc_id")
   }
 
   /** Frame geometry for [[m45AudioFrames]]: 256 samples per frame, and a
@@ -243,5 +289,6 @@ object Multimodal {
 
   val all: Seq[Q] =
     Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup,
+      m46MediaComponents,
       m45AudioFrames)
 }
