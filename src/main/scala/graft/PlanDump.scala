@@ -31,7 +31,7 @@ object PlanDump {
     "q82_asof_nearest", "x107_graph_pagerank", "x106_curriculum_order",
     "x108_dataset_card", "t38_vocab_oov", "t39_source_overlap",
     "q83_mad_outliers", "s41_ivf_stats", "t41_cms_sketch",
-    "d40_containment", "q84_zscore_normalize", "m46_media_components")
+    "d40_containment", "q84_zscore_normalize", "m46_media_components", "q85_equidepth_hist", "m47_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

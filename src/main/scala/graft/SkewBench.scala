@@ -276,7 +276,12 @@ object SkewBench {
     // q84's stats are 5 flag groups (partials absorb the hot-order pile
     // map-side) broadcast back over the fact stream — the fact is never
     // shuffled on any key
-    "q84_zscore_normalize")
+    "q84_zscore_normalize",
+    // q85 is q81's histogram + a 9-row broadcast spine — same posture
+    "q85_equidepth_hist",
+    // m47 is map-only per blob (the 10k identical blobs each produce
+    // their own bounded cut list; no cross-blob state exists)
+    "m47_scene_cuts")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -287,8 +287,74 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Energy-delta threshold for [[m47SceneCuts]]. */
+  private val CutDelta = 50000L
+
+  /** m47: scene-cut detection — the video-segmentation tier: frame the
+    * blob exactly like [[m45AudioFrames]] (same [[FrameLen]], same stub
+    * sample decode — a real codec swaps in per-frame pixel/sample
+    * deltas and nothing downstream changes) and emit a cut wherever
+    * consecutive frame energies jump by more than [[CutDelta]] — the
+    * energy-delta heuristic behind keyframe extraction and
+    * scene-balanced sampling. Per cut: the frame boundary index and
+    * both energies. All integer, map-only (nested HOFs + one explode of
+    * the per-blob cut list, bounded by frame count), no shuffle — the
+    * m45 posture with q79's lag shape moved inside the row. */
+  val m47SceneCuts = Q(
+    "m47_scene_cuts", {
+      val wD = s"list_slice(s, f*$FrameLen+1, f*$FrameLen+$FrameLen)"
+      s"""WITH ch AS (SELECT doc_id, list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, CAST(i AS INTEGER), 1)) - 64) AS s
+                      FROM documents WHERE length(text) >= 1),
+          fx AS (SELECT doc_id,
+                        list_transform(range(0, (len(s) + ${FrameLen - 1}) // $FrameLen),
+                          f -> list_sum(list_transform($wD, x -> x * x))) AS fe
+                 FROM ch),
+          cut0 AS (SELECT doc_id,
+                          list_filter(list_transform(range(1, len(fe)),
+                            f -> {'f': f, 'e_prev': fe[f], 'e_cur': fe[f+1]}),
+                            x -> abs(x.e_cur - x.e_prev) > $CutDelta) AS cuts
+                   FROM fx),
+          ex AS (SELECT doc_id, unnest(cuts) AS u FROM cut0)
+          SELECT doc_id, CAST(u.f AS BIGINT) AS frame,
+                 CAST(u.e_prev AS BIGINT) AS e_prev,
+                 CAST(u.e_cur AS BIGINT) AS e_cur,
+                 CAST(abs(u.e_cur - u.e_prev) AS BIGINT) AS delta
+          FROM ex ORDER BY doc_id, frame"""
+    }) { (spark, dir) =>
+    val wS = s"slice(s, f*$FrameLen+1, $FrameLen)"
+    T(spark, dir, "documents")
+      .filter(length(col("text")) >= 1)
+      .selectExpr("doc_id",
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) - 64) as s")
+      .selectExpr("doc_id",
+        s"transform(sequence(0, (size(s) + ${FrameLen - 1}) div $FrameLen - 1), " +
+          s"f -> aggregate($wS, 0L, (a, x) -> a + x * x)) as fe")
+      // cache = a collapse barrier (the m44 precedent): the cut step
+      // references fe four times, and with the projections collapsed
+      // each reference re-inlines fe's whole O(len) construction chain
+      // (measured 20-40 s vs sub-second). The cached frame is tiny —
+      // ~len/256 longs per blob.
+      .cache()
+      // adjacent pairs via zip_with over two slices (t29's idiom), NOT a
+      // lambda that indexes the outer fe: a lambda body referencing the
+      // enclosing array re-inlines fe's whole construction per element.
+      // slice length 0 (single-frame blob) yields an empty array — no
+      // sequence(1, 0) trap either.
+      .selectExpr("doc_id",
+        "zip_with(slice(fe, 1, size(fe) - 1), slice(fe, 2, size(fe) - 1), " +
+          "(a, b) -> named_struct('e_prev', a, 'e_cur', b)) as adj")
+      .select(col("doc_id"), posexplode(col("adj")).as(Seq("pos", "u")))
+      .filter(abs(col("u.e_cur") - col("u.e_prev")) > CutDelta)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("frame"),
+        col("u.e_prev").cast("long").as("e_prev"),
+        col("u.e_cur").cast("long").as("e_cur"),
+        abs(col("u.e_cur") - col("u.e_prev")).cast("long").as("delta"))
+      .orderBy("doc_id", "frame")
+  }
+
   val all: Seq[Q] =
     Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup,
       m46MediaComponents,
-      m45AudioFrames)
+      m45AudioFrames, m47SceneCuts)
 }

@@ -699,9 +699,60 @@ object Relational2 {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q85: equi-depth histogram construction — per flag, the 9 exact
+    * nearest-rank decile boundaries of l_extendedprice with the exact
+    * row count at-or-below each: the optimizer-statistics / data-profile
+    * artifact (equi-depth bins are what query planners and drift
+    * monitors keep per column). Same domain-bounded cents histogram and
+    * bucket-parallel [[histCum]] prefix as q81/q83; the 9-row decile
+    * spine joins broadcast, so the whole decile table costs one
+    * row-level pass + cell-level stages. All integer (boundaries are
+    * real data values; the final dollars are single correctly-rounded
+    * casts). */
+  val q85EquidepthHist = Q(
+    "q85_equidepth_hist",
+    """WITH li AS (SELECT l_returnflag AS flag,
+                CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS c
+                  FROM lineitem),
+       h AS (SELECT flag, c, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+       w AS (SELECT flag, c,
+                    SUM(cnt) OVER (PARTITION BY flag ORDER BY c) AS cum,
+                    SUM(cnt) OVER (PARTITION BY flag) AS n
+             FROM h),
+       ks AS (SELECT unnest(range(1, 10)) AS k),
+       d AS (SELECT flag, k,
+                    MIN(CASE WHEN cum >= ((n * k * 10) + 99) // 100 THEN c END)
+                      AS boundary,
+                    MIN(CASE WHEN cum >= ((n * k * 10) + 99) // 100 THEN cum END)
+                      AS n_at_or_below
+             FROM w, ks GROUP BY flag, k)
+       SELECT flag AS l_returnflag, CAST(k AS BIGINT) AS decile,
+              CAST(boundary AS DOUBLE) / 100.0 AS boundary_price,
+              CAST(n_at_or_below AS BIGINT) AS n_at_or_below
+       FROM d ORDER BY l_returnflag, decile""") { (spark, dir) =>
+    import spark.implicits._
+    val li = T(spark, dir, "lineitem").selectExpr("l_returnflag as flag",
+      "cast(cast(l_extendedprice as decimal(12,4)) * 100 as bigint) as c")
+    val h = li.groupBy("flag", "c").agg(count(lit(1)).as("cnt")).cache()
+    val ks = (1 to 9).toDF("k")
+    // n_at_or_below is the cum AT the boundary cell: since the boundary
+    // is min c with cum >= thresh, its cum is min cum >= thresh too
+    // (cum is monotone in c) — both MINs pick the same cell
+    histCum(h).crossJoin(broadcast(ks))
+      .groupBy("flag", "k")
+      .agg(min(when(col("cum") >= expr("((n * k * 10) + 99) div 100"),
+        col("c"))).as("boundary"),
+        min(when(col("cum") >= expr("((n * k * 10) + 99) div 100"),
+          col("cum"))).as("n_at_or_below"))
+      .select(col("flag").as("l_returnflag"), col("k").cast("long").as("decile"),
+        (col("boundary").cast("double") / lit(100.0)).as("boundary_price"),
+        col("n_at_or_below"))
+      .orderBy("l_returnflag", "decile")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
-    q83MadOutliers, q84ZscoreNormalize)
+    q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist)
 }
