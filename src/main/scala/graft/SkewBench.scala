@@ -281,7 +281,15 @@ object SkewBench {
     "q85_equidepth_hist",
     // m47 is map-only per blob (the 10k identical blobs each produce
     // their own bounded cut list; no cross-blob state exists)
-    "m47_scene_cuts")
+    "m47_scene_cuts",
+    // q86's lag runs over the aggregated weekly series — the flash-crowd
+    // pile collapses into one (week, type) count map-side
+    "q86_period_over_period",
+    // t42 is one partial-aggregated pass into a <= langs^2 matrix
+    "t42_lang_confusion",
+    // d41 inherits d28's cap wholesale (the 10k-dup cluster forms zero
+    // pairs) and adds two doc-keyed signature joins of 12-long arrays
+    "d41_minhash_calibration")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

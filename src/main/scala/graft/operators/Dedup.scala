@@ -364,6 +364,45 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d41: MinHash estimator CALIBRATION — for every d28-verified pair,
+    * the 12-permutation signature agreement (est_ppm = matches·1e6/12)
+    * beside the exact Jaccard: the audit that tells you whether the
+    * sketch's similarity estimates can be TRUSTED as a filter (E[est] =
+    * jaccard; systematic drift here means broken permutations or a bad
+    * band layout). Reuses the d28 kernels verbatim — capped sets,
+    * [[sigSpark]]/[[sigDuck]], [[lshVerifiedPairs]] — so the audited
+    * estimator IS the production one. Scale: pairs are the d28 output
+    * (capped), the signature join adds two doc-keyed joins of 12-long
+    * arrays. */
+  val d41MinhashCalibration = Q(
+    "d41_minhash_calibration",
+    s"""WITH $duckShingles,
+        $duckCappedSets,
+        $duckLshPairCtes
+        SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard,
+               CAST(len(list_filter(range(1, 13),
+                    k -> ga.m[CAST(k AS INTEGER)] = gb.m[CAST(k AS INTEGER)]))
+                    AS BIGINT) AS n_sig_match,
+               len(list_filter(range(1, 13),
+                    k -> ga.m[CAST(k AS INTEGER)] = gb.m[CAST(k AS INTEGER)]))
+                    * 1000000 // 12 AS est_ppm
+        FROM v JOIN sig ga ON a_id = ga.doc_id JOIN sig gb ON b_id = gb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val hs0 = shingleHashes(spark, dir).cache()
+    val sh = cappedShingleSets(hs0).cache()
+    val sig = sh.withColumn("m", expr(sigSpark))
+    lshVerifiedPairs(sh)
+      .join(sig.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
+      .withColumn("n_sig_match",
+        expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), z -> z))").cast("long"))
+      .withColumn("est_ppm", expr("n_sig_match * 1000000 div 12"))
+      .select("a_id", "b_id", "jaccard", "n_sig_match", "est_ppm")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Bounded-round cap for HashMin label propagation. Near-dup graphs
     * are band-bucket cliques glued at shared documents — diameters of
     * 2-4, converging in ≤3 rounds; 20 is a pathological-chain backstop
@@ -1266,6 +1305,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
+    d41MinhashCalibration,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
     d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)

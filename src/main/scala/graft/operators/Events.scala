@@ -393,8 +393,37 @@ object Events {
       .orderBy("user_id", "valid_from")
   }
 
+  /** q86: period-over-period comparison — weekly event counts per type
+    * with the previous week's count and the integer-ppm delta, the
+    * week-over-week reporting shape behind every growth dashboard and
+    * ingest-volume drift monitor. The lag runs over the AGGREGATED
+    * series (weeks × types — tiny), never the event stream: partials
+    * absorb the corpus map-side and the window state is one value per
+    * type. First week per type keeps NULL prev/delta (nothing to
+    * fabricate), identically in both dialects. */
+  val q86PeriodOverPeriod = Q(
+    "q86_period_over_period",
+    s"""WITH w AS (SELECT epoch_ns(ts) // $CohortWeekNs AS wk, event_type,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT wk, event_type, CAST(n AS BIGINT) AS n,
+               CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY wk)
+                    AS BIGINT) AS prev_n,
+               (n - LAG(n) OVER (PARTITION BY event_type ORDER BY wk))
+                 * 1000000 // LAG(n) OVER (PARTITION BY event_type ORDER BY wk)
+                 AS delta_ppm
+        FROM w ORDER BY event_type, wk""") { (spark, dir) =>
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    T(spark, dir, "events")
+      .selectExpr(s"ts div $CohortWeekNs as wk", "event_type")
+      .groupBy("wk", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .withColumn("delta_ppm", expr("(n - prev_n) * 1000000 div prev_n"))
+      .orderBy("event_type", "wk")
+  }
+
   val all: Seq[Q] =
     Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel,
       q71SlidingWindows, q73WindowedDedup, q78CohortRetention,
-      q79GapDetection, q80Scd2History)
+      q79GapDetection, q80Scd2History, q86PeriodOverPeriod)
 }

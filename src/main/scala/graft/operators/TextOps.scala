@@ -769,8 +769,35 @@ object TextOps {
           .as("overestimate"))
   }
 
+  /** t42: label-quality confusion matrix — declared `lang` vs [[t24LangId]]'s
+    * detected language, as counts and row-share ppm per (declared,
+    * predicted) cell. The label-noise audit every labeled corpus needs
+    * before the labels drive filtering or mixing: off-diagonal mass IS
+    * the mislabel estimate. One partial-aggregated pass; the per-row
+    * share window runs over the ≤ |langs|² matrix, never the corpus. */
+  val t42LangConfusion = Q(
+    "t42_lang_confusion",
+    s"""WITH p AS (SELECT lang, $predLang AS pred_lang FROM documents),
+        m AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+               n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS row_share_ppm,
+               CAST(lang = pred_lang AS BIGINT) AS is_diagonal
+        FROM m ORDER BY lang, pred_lang""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    T(spark, dir, "documents")
+      .selectExpr("lang", s"$predLang AS pred_lang")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(byLang))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("n * 1000000 div row_total").as("row_share_ppm"),
+        (col("lang") === col("pred_lang")).cast("long").as("is_diagonal"))
+      .orderBy("lang", "pred_lang")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
-    t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch)
+    t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
+    t42LangConfusion)
 }
