@@ -289,7 +289,10 @@ object SkewBench {
     "t42_lang_confusion",
     // d41 inherits d28's cap wholesale (the 10k-dup cluster forms zero
     // pairs) and adds two doc-keyed signature joins of 12-long arrays
-    "d41_minhash_calibration")
+    "d41_minhash_calibration",
+    // s42 is one partial-aggregated pass into |labels| rows; the 10k-dup
+    // vector only raises one label's count
+    "s42_vector_audit")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -1188,8 +1188,44 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** s42: embedding SANITY audit — per label: vector count, wrong-width
+    * vectors, zero vectors, and the min/max/mean squared norm. The
+    * vector-quality gate every embedding pipeline runs before indexing
+    * (a zero or degenerate vector poisons cosine ANN silently; a width
+    * drift breaks every dot product downstream) — the input-side
+    * observability twin of [[s41IvfStats]]'s index-side report. normsq
+    * is the codegen'd [[Cosine.dot]] fold — left-to-right like the
+    * oracle's list_reduce, so the doubles match bit-for-bit; the mean
+    * rides an exact decimal sum (the Num rule). One partial-aggregated
+    * pass, |labels| output rows. */
+  val s42VectorAudit = Q(
+    "s42_vector_audit",
+    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        x AS (SELECT label, len(v) AS w, ${Cosine.duckDot("v", "v")} AS nsq
+              FROM e0)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CASE WHEN w <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_width,
+               CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+               MIN(nsq) AS min_normsq, MAX(nsq) AS max_normsq,
+               CAST(CAST(SUM(CAST(nsq AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS mean_normsq
+        FROM x GROUP BY label ORDER BY label""") { (spark, dir) =>
+    T(spark, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("label"), size(col("v")).as("w"),
+        Cosine.dot(col("v"), col("v")).as("nsq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("w") =!= 64, 1L).otherwise(0L)).as("n_bad_width"),
+        sum(when(col("nsq") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+        min(col("nsq")).as("min_normsq"), max(col("nsq")).as("max_normsq"),
+        (sum(col("nsq").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("mean_normsq"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, s41IvfStats)
+    x107Pagerank, s41IvfStats, s42VectorAudit)
 }
