@@ -747,15 +747,24 @@ object TextOps {
     * with the spec, which shrinks W to FORCE collisions and pins the
     * over-estimation contract non-vacuously (at the query's 4×1024 on
     * this vocab, every probe is collision-free and overestimate = 0). */
+  /** The sketch table itself — (d, b, c) cells from a token frame (col
+    * `w`). Mergeable by construction (union + sum of c), which is what
+    * the streaming twin [[graft.streaming.StreamOps.CmsAccumulator]]
+    * exercises per micro-batch. */
+  private[graft] def cmsCells(tok: org.apache.spark.sql.DataFrame,
+      d: Int, wBuckets: Int): org.apache.spark.sql.DataFrame =
+    tok.withColumn("d", expr(s"explode(sequence(0, ${d - 1}))"))
+      .withColumn("b",
+        expr(s"${H.s("concat(cast(d as string), ':', w)")} % $wBuckets"))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+
   private[graft] def cmsEstimates(spark: org.apache.spark.sql.SparkSession,
       tok: org.apache.spark.sql.DataFrame, probeList: Seq[String],
       d: Int, wBuckets: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val ds = expr(s"explode(sequence(0, ${d - 1}))")
     val hb = s"${H.s("concat(cast(d as string), ':', w)")} % $wBuckets"
-    val cells = tok.withColumn("d", ds)
-      .withColumn("b", expr(hb))
-      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val cells = cmsCells(tok, d, wBuckets)
     val probes = probeList.toDF("w")
       .withColumn("d", ds)
       .withColumn("b", expr(hb))

@@ -506,6 +506,32 @@ object StreamOps {
     * admitted bands/sets to the bucketed layout d37CorpusIndex
     * bootstraps); the in-memory form here is the spec-scale stand-in
     * with the identical dataflow. */
+  /** t41's streaming twin: the count-min sketch maintained INCREMENTALLY
+    * — each micro-batch's token frame becomes its own cell table
+    * ([[graft.operators.TextOps.cmsCells]], the shared kernel) and merges
+    * into the running sketch by cell summation, which is the CMS
+    * mergeability contract made operational: the accumulated sketch
+    * after any number of micro-batches is bit-identical to one batch
+    * build over everything seen (StreamingSpec pins it). Per-round
+    * `localCheckpoint` is the README rule (the merge plan would
+    * otherwise deepen every batch); state is the ≤ d·w cell table,
+    * CONSTANT-size however much traffic flows through — the whole point
+    * of sketching an unbounded stream. */
+  final class CmsAccumulator(d: Int, wBuckets: Int)
+      extends ((DataFrame, Long) => Unit) {
+    @volatile private var cells: DataFrame = null
+    /** The running sketch (null until the first batch). */
+    def current: DataFrame = cells
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val bc = graft.operators.TextOps.cmsCells(batch, d, wBuckets)
+      cells =
+        if (cells == null) bc.localCheckpoint()
+        else cells.unionByName(bc).groupBy("d", "b")
+          .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+          .localCheckpoint()
+    }
+  }
+
   final class IngestAdmission(
       corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
       sink: DataFrame => Unit) extends ((DataFrame, Long) => Unit) {

@@ -722,4 +722,27 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains((1L, base + 14400000L, base + 32400000L, 18000L)))
     } finally q.stop()
   }
+  test("streaming CMS: micro-batch cell merges equal the one-shot batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val h1 = Seq("a", "b", "a", "c", "a", "b")
+    val h2 = Seq("b", "d", "a", "d", "d")
+    val acc = new StreamOps.CmsAccumulator(4, 8)
+    val q = stream.toDS().toDF("w")
+      .writeStream.foreachBatch(acc).outputMode("append").start()
+    try {
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = acc.current.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.TextOps.cmsCells(
+        (h1 ++ h2).toDF("w"), 4, 8).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch,
+        "accumulated cells must be bit-identical to the one-shot sketch")
+      // positive control: both batches contributed (a's count spans them)
+      assert(batch.nonEmpty && streamed.map(_._3).sum == batch.map(_._3).sum)
+    } finally q.stop()
+  }
 }
