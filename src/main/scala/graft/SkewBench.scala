@@ -292,7 +292,10 @@ object SkewBench {
     "d41_minhash_calibration",
     // s42 is one partial-aggregated pass into |labels| rows; the 10k-dup
     // vector only raises one label's count
-    "s42_vector_audit")
+    "s42_vector_audit",
+    // x110 is two |sources|-row profiles off one cached scan — the
+    // 10k-dup doc source only moves that source's sums
+    "x110_profile_drift")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -773,9 +773,61 @@ object Pipeline {
       .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
   }
 
+  /** x110: per-source PROFILE DRIFT between two corpus versions — the
+    * monitor that catches a silently changed crawl: for every source,
+    * both versions' doc counts, token totals, and mean length
+    * (integer ppm), with the token-volume delta in ppm of v1. Versions
+    * are the x105 convention (v1 = corpus minus one doc_id band, v2 =
+    * all — a real pipeline feeds two snapshot paths). One cached scan
+    * feeds both profiles (partials absorb the corpus map-side into
+    * |sources| rows each); the diff join is |sources| × |sources|.
+    * Where x105 answers "WHICH shards changed" (re-export workset),
+    * x110 answers "did the DISTRIBUTION move" (mix/quality alarms) —
+    * all integer arithmetic, bit-equal cross-engine. */
+  val x110ProfileDrift = Q(
+    "x110_profile_drift",
+    s"""WITH d AS (SELECT source, n_chars,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                          ${H.d("CAST(doc_id AS VARCHAR)")} % 20 AS b
+                   FROM documents),
+        p2 AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+                      SUM(n_chars) AS n_chars FROM d GROUP BY 1),
+        p1 AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+                      SUM(n_chars) AS n_chars FROM d WHERE b <> 7 GROUP BY 1)
+        SELECT p1.source, CAST(p1.n_docs AS BIGINT) AS n_docs_v1,
+               CAST(p2.n_docs AS BIGINT) AS n_docs_v2,
+               CAST(p1.n_tokens AS BIGINT) AS n_tokens_v1,
+               CAST(p2.n_tokens AS BIGINT) AS n_tokens_v2,
+               (p2.n_tokens - p1.n_tokens) * 1000000 // p1.n_tokens
+                 AS tok_delta_ppm,
+               p1.n_chars * 1000000 // p1.n_docs AS mchars_ppm_v1,
+               p2.n_chars * 1000000 // p2.n_docs AS mchars_ppm_v2
+        FROM p1 JOIN p2 ON p1.source = p2.source
+        ORDER BY p1.source""") { (spark, dir) =>
+    val d = T(spark, dir, "documents")
+      .selectExpr("source", "n_chars",
+        "cast(size(split(text, ' ')) as bigint) as n_tok",
+        s"${H.s("cast(doc_id as string)")} % 20 as b")
+      .cache() // one scan feeds both version profiles
+    def profile(src: DataFrame): DataFrame = src.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val p1 = profile(d.filter(col("b") =!= 7))
+    val p2 = profile(d).select(col("source").as("source2"),
+      col("n_docs").as("n_docs_v2"), col("n_tokens").as("n_tokens_v2"),
+      col("n_chars").as("n_chars_v2"))
+    p1.join(p2, col("source") === col("source2"))
+      .select(col("source"), col("n_docs").as("n_docs_v1"), col("n_docs_v2"),
+        col("n_tokens").as("n_tokens_v1"), col("n_tokens_v2"),
+        expr("(n_tokens_v2 - n_tokens) * 1000000 div n_tokens").as("tok_delta_ppm"),
+        expr("n_chars * 1000000 div n_docs").as("mchars_ppm_v1"),
+        expr("n_chars_v2 * 1000000 div n_docs_v2").as("mchars_ppm_v2"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
-    x106CurriculumOrder, x108DatasetCard)
+    x106CurriculumOrder, x108DatasetCard, x110ProfileDrift)
 }
