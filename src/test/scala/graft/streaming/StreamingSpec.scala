@@ -745,4 +745,39 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty && streamed.map(_._3).sum == batch.map(_._3).sum)
     } finally q.stop()
   }
+  test("streaming SCD2 survives a stop/restart: state recovers from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2_ckpt").toString
+    def mk(s: Seq[(Long, Long, Long, String)]) =
+      s.map { case (u, sec, id, pr) => (u, new Timestamp(base + sec * 1000L), id, pr) }
+    val out = StreamOps.scd2Stream(stream.toDS())
+      .toDF("user_id", "props", "valid_from", "valid_to")
+    // foreachBatch sink: the memory sink cannot recover from a
+    // checkpoint; foreachBatch can, and is the production shape anyway
+    val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val sink = (b: org.apache.spark.sql.DataFrame, _: Long) => closed.synchronized {
+      closed ++= b.as[(Long, String, Long, Long)].collect(); ()
+    }
+    // run 1: opens user 1's "a" version, closes nothing yet
+    val q1 = out.writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      stream.addData(mk(Seq((1L, 0L, 1L, "a")))); q1.processAllAvailable()
+      assert(closed.isEmpty, "nothing closed before the restart")
+    } finally q1.stop()
+    // run 2: SAME checkpoint, new query — the change must close the
+    // version opened BEFORE the restart, proving the flatMapGroupsWithState
+    // state came back from the checkpoint, not from the JVM
+    stream.addData(mk(Seq((1L, 60L, 2L, "b"))))
+    val q2 = out.writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(closed.toSet === Set((1L, "a", base, base + 60000L)),
+        "the pre-restart open version must close with the post-restart change")
+    } finally q2.stop()
+  }
 }
