@@ -295,7 +295,11 @@ object SkewBench {
     "s42_vector_audit",
     // x110 is two |sources|-row profiles off one cached scan — the
     // 10k-dup doc source only moves that source's sums
-    "x110_profile_drift")
+    "x110_profile_drift",
+    // q87's hot l_orderkey pile never keys the window: the aggregate is
+    // (flag, part) with map-side partials, and the rank filter is a
+    // map-side WindowGroupLimit exactly like the row_number form
+    "q87_topk_with_ties")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -451,10 +451,42 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** q87: per-group top-k WITH TIES — `rank() <= k`, the FETCH FIRST k
+    * ROWS WITH TIES semantics, vs [[q05TopPartsPerFlag]]'s row_number
+    * (which silently DROPS tied peers: a report that cuts one of two
+    * equal-revenue parts is wrong in a way nobody notices). Revenue is
+    * banded to hundred-thousand-dollar integers so ties genuinely occur
+    * (ScaleSpec pins a real multi-row tie group) and the tie groups are
+    * value-determined — output size varies per group, by design. Spark plans the rank filter as a map-side WindowGroupLimit
+    * exactly like the row_number form (PlanSpec-gated), so "with ties"
+    * costs nothing extra at scale. */
+  val q87TopKWithTies = Q(
+    "q87_topk_with_ties",
+    """SELECT l_returnflag, l_partkey, rev_k, rnk FROM (
+         SELECT l_returnflag, l_partkey, rev_k,
+                CAST(RANK() OVER (PARTITION BY l_returnflag
+                                  ORDER BY rev_k DESC) AS BIGINT) AS rnk
+         FROM (SELECT l_returnflag, l_partkey,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) * 100
+                           AS BIGINT) // 10000000 AS rev_k
+               FROM lineitem GROUP BY l_returnflag, l_partkey))
+       WHERE rnk <= 3
+       ORDER BY l_returnflag, rnk, l_partkey""") { (spark, dir) =>
+    val agg = T(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(12,4))) * 100 " +
+        "as bigint) div 10000000").as("rev_k"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("rev_k").desc)
+    agg.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("l_returnflag"), col("l_partkey"), col("rev_k"), col("rnk"))
+      .orderBy(col("l_returnflag"), col("rnk"), col("l_partkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02RevenueByNation, q03TopOrders, q04OrderPriority,
     q05TopPartsPerFlag, q06RunningRevenue, q07LagLead, q08BigOrderCustomers,
     q09CustomersWithoutOrders, q10SetOps, q11Rollup, q12Cube, q13DistinctAgg,
     q14StringFns, q15MonthlyOrders, q16ConditionalAgg, q17Having,
-    q18FullOuter, q19PriceBands, q20TopCustomersPerSegment)
+    q18FullOuter, q19PriceBands, q20TopCustomersPerSegment, q87TopKWithTies)
 }

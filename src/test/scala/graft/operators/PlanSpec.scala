@@ -481,6 +481,12 @@ class PlanSpec extends SparkSpec {
       "df and corpus stats must broadcast, never shuffle the token stream")
   }
 
+  test("q87: rank-with-ties top-k still plans the map-side WindowGroupLimit") {
+    val p = plan("q87_topk_with_ties")
+    assert(p.contains("WindowGroupLimit"),
+      "rank() <= k must get the same pre-shuffle group-limit as row_number")
+  }
+
   test("q84: group stats broadcast back; the fact stream is never shuffled on a key") {
     val p = plan("q84_zscore_normalize")
     assert(p.contains("BroadcastHashJoin"),

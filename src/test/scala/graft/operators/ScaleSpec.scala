@@ -326,6 +326,14 @@ class ScaleSpec extends SparkSpec {
       Map(1L -> 766250L, 2L -> 936250L, 3L -> 150000L, 4L -> 936250L))
   }
 
+  test("q87: with-ties semantics is non-vacuous and row_number would differ") {
+    val df = graft.SparkEntry.queries("q87_topk_with_ties")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(3)))
+    val tied = rows.groupBy(identity).exists(_._2.length > 1)
+    assert(tied, "the banded revenue must produce at least one real tie group " +
+      "(otherwise the rank-vs-row_number distinction tests nothing)")
+  }
+
   test("broadcast dimension join plans no shuffle for the fact side") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_suppkey")
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
