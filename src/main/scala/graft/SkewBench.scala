@@ -299,7 +299,11 @@ object SkewBench {
     // q87's hot l_orderkey pile never keys the window: the aggregate is
     // (flag, part) with map-side partials, and the rank filter is a
     // map-side WindowGroupLimit exactly like the row_number form
-    "q87_topk_with_ties")
+    "q87_topk_with_ties",
+    // q88's anti-joins key on the same hot l_orderkey — the pile is one
+    // key whose rows all match (or all miss) the broadcast key side;
+    // each class collapses to ONE count row
+    "q88_ri_audit")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
@@ -341,8 +345,9 @@ object SkewBench {
         lit(hotKey)).otherwise(col("l_orderkey")))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
-    // orders unchanged (q26's build side)
+    // orders/customer unchanged (q26's build side; q88's FK targets)
     t("orders").write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    t("customer").write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     // events: every 10th event collapses onto ONE nanosecond — a
     // flash-crowd instant that makes one q65 time bin maximally hot.

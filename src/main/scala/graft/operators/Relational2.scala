@@ -750,9 +750,48 @@ object Relational2 {
       .orderBy("l_returnflag", "decile")
   }
 
+  /** q88: referential-integrity audit — every FK violation class of the
+    * star schema in ONE result: lineitems without their order, orders
+    * without their customer, orders with no lineitems, customers with no
+    * orders (the last two are inactivity signals rather than corruption,
+    * and real audits report both kinds side by side). Each class is an
+    * anti-join counted to a single row; at 100 TB each anti-join
+    * broadcasts its smaller key side or shuffles on the key with
+    * partials, and the union is 4 rows. The data-quality gate a pipeline
+    * runs BEFORE joins silently drop or duplicate rows downstream. */
+  val q88RiAudit = Q(
+    "q88_ri_audit",
+    """SELECT 'lineitem_without_order' AS violation, COUNT(*) AS n
+       FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       UNION ALL
+       SELECT 'order_without_customer', COUNT(*)
+       FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       UNION ALL
+       SELECT 'order_without_lineitem', COUNT(*)
+       FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+       UNION ALL
+       SELECT 'customer_without_order', COUNT(*)
+       FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+       ORDER BY violation""") { (spark, dir) =>
+    val li = T(spark, dir, "lineitem")
+    val o = T(spark, dir, "orders")
+    val c = T(spark, dir, "customer")
+    def miss(left: org.apache.spark.sql.DataFrame, lk: String,
+        right: org.apache.spark.sql.DataFrame, rk: String,
+        name: String): org.apache.spark.sql.DataFrame =
+      left.join(right, col(lk) === col(rk), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(name).as("violation"), col("n"))
+    miss(li, "l_orderkey", o, "o_orderkey", "lineitem_without_order")
+      .unionByName(miss(o, "o_custkey", c, "c_custkey", "order_without_customer"))
+      .unionByName(miss(o, "o_orderkey", li, "l_orderkey", "order_without_lineitem"))
+      .unionByName(miss(c, "c_custkey", o, "o_custkey", "customer_without_order"))
+      .orderBy("violation")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
-    q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist)
+    q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist, q88RiAudit)
 }

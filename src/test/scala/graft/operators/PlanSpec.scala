@@ -481,6 +481,13 @@ class PlanSpec extends SparkSpec {
       "df and corpus stats must broadcast, never shuffle the token stream")
   }
 
+  test("q88: all four violation classes plan as anti-joins, never cross joins") {
+    val p = plan("q88_ri_audit")
+    assert("LeftAnti".r.findAllIn(p).size >= 4,
+      "each FK class must be an anti-join counted to one row")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q87: rank-with-ties top-k still plans the map-side WindowGroupLimit") {
     val p = plan("q87_topk_with_ties")
     assert(p.contains("WindowGroupLimit"),
