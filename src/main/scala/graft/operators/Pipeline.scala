@@ -798,10 +798,10 @@ object Pipeline {
                CAST(p2.n_docs AS BIGINT) AS n_docs_v2,
                CAST(p1.n_tokens AS BIGINT) AS n_tokens_v1,
                CAST(p2.n_tokens AS BIGINT) AS n_tokens_v2,
-               (p2.n_tokens - p1.n_tokens) * 1000000 // p1.n_tokens
-                 AS tok_delta_ppm,
-               p1.n_chars * 1000000 // p1.n_docs AS mchars_ppm_v1,
-               p2.n_chars * 1000000 // p2.n_docs AS mchars_ppm_v2
+               CAST((p2.n_tokens - p1.n_tokens) * 1000000 // p1.n_tokens
+                 AS BIGINT) AS tok_delta_ppm,
+               CAST(p1.n_chars * 1000000 // p1.n_docs AS BIGINT) AS mchars_ppm_v1,
+               CAST(p2.n_chars * 1000000 // p2.n_docs AS BIGINT) AS mchars_ppm_v2
         FROM p1 JOIN p2 ON p1.source = p2.source
         ORDER BY p1.source""") { (spark, dir) =>
     val d = T(spark, dir, "documents")

@@ -621,7 +621,8 @@ object Relational2 {
               CAST(mad AS DOUBLE) / 100.0 AS mad_price,
               CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_outliers,
-              SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+              CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+                     * 1000000 // COUNT(*) AS BIGINT)
                 AS outlier_ppm
        FROM dv JOIN mad ON dv.flag = mad.flag
        GROUP BY dv.flag, med, mad ORDER BY l_returnflag""") { (spark, dir) =>
@@ -758,20 +759,30 @@ object Relational2 {
     * anti-join counted to a single row; at 100 TB each anti-join
     * broadcasts its smaller key side or shuffles on the key with
     * partials, and the union is 4 rows. The data-quality gate a pipeline
-    * runs BEFORE joins silently drop or duplicate rows downstream. */
+    * runs BEFORE joins silently drop or duplicate rows downstream.
+    *
+    * Oracle uses NOT EXISTS, not NOT IN: on the dirty data an RI audit
+    * exists for, NOT IN collapses to 0 when ANY pk is NULL and drops
+    * NULL-fk rows, while the Spark side's left_anti counts both — NOT
+    * EXISTS (fk = pk) matches the anti-join exactly under NULLs (the
+    * q09 precedent). */
   val q88RiAudit = Q(
     "q88_ri_audit",
     """SELECT 'lineitem_without_order' AS violation, COUNT(*) AS n
-       FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey)
        UNION ALL
        SELECT 'order_without_customer', COUNT(*)
-       FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)
        UNION ALL
        SELECT 'order_without_lineitem', COUNT(*)
-       FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+       FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM lineitem l WHERE o.o_orderkey = l.l_orderkey)
        UNION ALL
        SELECT 'customer_without_order', COUNT(*)
-       FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+       FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
        ORDER BY violation""") { (spark, dir) =>
     val li = T(spark, dir, "lineitem")
     val o = T(spark, dir, "orders")

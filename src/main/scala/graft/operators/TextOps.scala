@@ -404,7 +404,7 @@ object TextOps {
               FROM tok JOIN cnt ON tok.w = cnt.w, tot)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
               CAST(SUM(bits) AS BIGINT) AS sum_bits,
-              SUM(bits) * 1000000 // COUNT(*) AS mean_bits_ppm
+              CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS mean_bits_ppm
        FROM sc GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
     val tok = T(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
@@ -461,7 +461,7 @@ object TextOps {
                       JOIN ctx ON bg.p = ctx.p)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
               CAST(SUM(bits) AS BIGINT) AS sum_bits,
-              SUM(bits) * 1000000 // COUNT(*) AS mean_bits_ppm
+              CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS mean_bits_ppm
        FROM sc GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
     val bg = T(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -627,7 +627,7 @@ object TextOps {
                FROM tok LEFT JOIN vc ON tok.w = vc.w)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                CAST(SUM(oov) AS BIGINT) AS n_oov,
-               SUM(oov) * 1000000 // COUNT(*) AS oov_ppm
+               CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
         FROM sc GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
     val tok = T(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("w"))
@@ -789,7 +789,8 @@ object TextOps {
     s"""WITH p AS (SELECT lang, $predLang AS pred_lang FROM documents),
         m AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
         SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
-               n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS row_share_ppm,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang)
+                 AS BIGINT) AS row_share_ppm,
                CAST(lang = pred_lang AS BIGINT) AS is_diagonal
         FROM m ORDER BY lang, pred_lang""") { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window

@@ -506,6 +506,29 @@ object StreamOps {
     * admitted bands/sets to the bucketed layout d37CorpusIndex
     * bootstraps); the in-memory form here is the spec-scale stand-in
     * with the identical dataflow. */
+  final class IngestAdmission(
+      corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
+      sink: DataFrame => Unit) extends ((DataFrame, Long) => Unit) {
+    private var sets = corpusSets
+    private var bands = corpusBands
+    private var lastBatchId: Long = -1L
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // at-least-once foreachBatch: a re-executed epoch arrives under
+      // the same batchId — skip it so the index never double-appends
+      // (same guard as CmsAccumulator; the sink must be idempotent or
+      // batchId-keyed for full exactly-once, per the d37 scaladoc)
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      val (verdicts, bsets, bbands) =
+        graft.operators.Dedup.incrementalAdmit(batch, sets, bands, hotDf)
+      sink(verdicts)
+      sets = sets.unionByName(bsets).localCheckpoint()
+      bands = bands.unionByName(bbands).localCheckpoint()
+      bsets.unpersist()
+      bbands.unpersist()
+    }
+  }
+
   /** t41's streaming twin: the count-min sketch maintained INCREMENTALLY
     * — each micro-batch's token frame becomes its own cell table
     * ([[graft.operators.TextOps.cmsCells]], the shared kernel) and merges
@@ -516,35 +539,31 @@ object StreamOps {
     * `localCheckpoint` is the README rule (the merge plan would
     * otherwise deepen every batch); state is the ≤ d·w cell table,
     * CONSTANT-size however much traffic flows through — the whole point
-    * of sketching an unbounded stream. */
+    * of sketching an unbounded stream.
+    *
+    * Recovery: `foreachBatch` is at-least-once, so a micro-batch
+    * re-delivered after a failure/restart would double-merge its cells
+    * and break the bit-identical contract — the accumulator therefore
+    * tracks the last applied batchId and SKIPS duplicates (Spark
+    * re-executes a failed epoch under the SAME batchId, which is the
+    * exactly-once-via-idempotence recipe the Structured Streaming guide
+    * prescribes for foreachBatch sinks). Batches must still arrive in
+    * order, which the single-query single-sink topology guarantees. */
   final class CmsAccumulator(d: Int, wBuckets: Int)
       extends ((DataFrame, Long) => Unit) {
     @volatile private var cells: DataFrame = null
+    private var lastBatchId: Long = -1L
     /** The running sketch (null until the first batch). */
     def current: DataFrame = cells
     override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return // re-delivered epoch: already merged
       val bc = graft.operators.TextOps.cmsCells(batch, d, wBuckets)
       cells =
         if (cells == null) bc.localCheckpoint()
         else cells.unionByName(bc).groupBy("d", "b")
           .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
           .localCheckpoint()
-    }
-  }
-
-  final class IngestAdmission(
-      corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
-      sink: DataFrame => Unit) extends ((DataFrame, Long) => Unit) {
-    private var sets = corpusSets
-    private var bands = corpusBands
-    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
-      val (verdicts, bsets, bbands) =
-        graft.operators.Dedup.incrementalAdmit(batch, sets, bands, hotDf)
-      sink(verdicts)
-      sets = sets.unionByName(bsets).localCheckpoint()
-      bands = bands.unionByName(bbands).localCheckpoint()
-      bsets.unpersist()
-      bbands.unpersist()
+      lastBatchId = batchId
     }
   }
 }

@@ -34,7 +34,19 @@ def compare(name, exp, got):
     e, g = normalize(exp), normalize(got)
     for c in e.columns:
         ev, gv = e[c], g[c]
-        if np.issubdtype(ev.dtype, np.floating) or np.issubdtype(gv.dtype, np.floating):
+        # Driver-strictness: the driver hashes raw bytes, so a float64
+        # oracle column vs an int64 spark column (the DuckDB
+        # SUM(BIGINT)->HUGEINT->float64 trap, round-6 q83/t34/t35/t38/
+        # t42/x110) is RED even when every value compares equal. Fail
+        # loudly here instead of silently coercing 123.0 == 123.
+        e_float = np.issubdtype(ev.dtype, np.floating)
+        g_float = np.issubdtype(gv.dtype, np.floating)
+        if e_float != g_float:
+            problems.append(
+                f"col {c} dtype mismatch: oracle={ev.dtype} spark={gv.dtype}"
+                " (driver hash WILL differ; CAST the oracle column)")
+            continue
+        if e_float or g_float:
             ok = ((ev.isna() & gv.isna()) | (ev == gv)).all()
             if not ok:
                 bad = (~((ev.isna() & gv.isna()) | (ev == gv))).idxmax()
