@@ -240,10 +240,11 @@ object SkewBench {
     // added — the flash-crowd user partition is still one linear sorted
     // run with four O(1) carried values, same posture as q56/q77
     "q82_asof_nearest",
-    // x106 under the 10k-dup doc source: the hot source's rank partition
-    // is one linear sorted run (the documented fat stage; x94's
-    // range-bucket shape is the upgrade), and the interleave position is
-    // map-only over the S-row totals broadcast — rank is never a key
+    // x106 under the 10k-dup doc source: the hot source's rank now runs
+    // x94's two-phase offset shape — the 10k identical-length dups land
+    // in ONE (source, n_chars) tie group but sub-bucket by doc_id range
+    // into ≤ 2^16-row partitions; the interleave position stays map-only
+    // over the S-row totals broadcast — rank is never a key
     "x106_curriculum_order",
     // x108 under the pile: identical texts share one md5, so the
     // expand-distinct partials collapse the 10k copies to one

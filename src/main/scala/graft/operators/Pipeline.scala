@@ -703,15 +703,40 @@ object Pipeline {
     *
     * The interleave position is CLOSED-FORM from the per-source totals:
     * pos(s, rs) = Σ_s' min(n_s', rs−1)  +  #{s' < s : n_s' ≥ rs}
-    * — so after the per-source rank window, the global position is a
-    * MAP-ONLY expression over an S-row broadcast (one struct per
-    * source), with no global window, no second shuffle, nothing keyed
-    * by rank. The oracle instead runs the literal
+    * — so after the per-source rank, the global position is a MAP-ONLY
+    * expression over an S-row broadcast (one struct per source), with
+    * no global window, no second shuffle, nothing keyed by rank. The
+    * oracle instead runs the literal
     * ROW_NUMBER() OVER (ORDER BY rs, source) — an independent
-    * formulation that must agree row-for-row. The per-source rank
-    * window is the one fat stage (a source's docs sort in one
-    * partition); at corpus scale it takes x94's range-bucket shape —
-    * same remedy, documented there. */
+    * formulation that must agree row-for-row.
+    *
+    * The per-source rank itself takes x94's two-phase offset remedy —
+    * NO source ever sorts in one partition (the round-6 fat stage,
+    * retired). The order key (n_chars DESC, doc_id) can't take x99's
+    * uniform-hash bucketing (the quality order IS the point), so the
+    * bucketing exploits the key's own structure, one level per key
+    * part:
+    *
+    *  1. level-1 offsets: the (source, n_chars) histogram is
+    *     DOMAIN-BOUNDED (q83/q85's argument — bounded by max document
+    *     length, not corpus rows), so exact per-length counts
+    *     prefix-summed under n_chars DESC give each length group's
+    *     rank offset from a window over histogram rows, never data;
+    *  2. tie groups sub-bucket by `sub = doc_id div W` — MONOTONE in
+    *     the tie order (doc_id ASC) with ≤ W rows per sub-bucket BY
+    *     CONSTRUCTION (doc_ids are unique), whatever the length or id
+    *     distribution does; W = 2¹⁶ default, so a 10⁸-doc source
+    *     spreads its rank over ~1500 tasks;
+    *  3. level-2 offsets: per (source, n_chars, sub) counts
+    *     prefix-summed by sub within the tie group (≤ span/W rows per
+    *     window partition);
+    *  4. rs = off1 + off2 + row_number within (source, n_chars, sub)
+    *     — each rank partition ≤ W rows, and the off2 join shuffles on
+    *     the SAME keys the rank window needs, so the exchange is
+    *     reused (PlanSpec pins one exchange feeding both).
+    *
+    * Bit-equal to the single-window formulation (CurriculumRankSpec
+    * pins it at W = 8, forcing every level live). */
   val x106CurriculumOrder = Q(
     "x106_curriculum_order",
     """WITH r AS (SELECT doc_id, source, n_chars,
@@ -721,17 +746,15 @@ object Pipeline {
        SELECT doc_id, source, n_chars, CAST(rs AS BIGINT) AS rs,
               ROW_NUMBER() OVER (ORDER BY rs, source) - 1 AS pos
        FROM r ORDER BY doc_id""") { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val d = T(spark, dir, "documents").select("doc_id", "source", "n_chars")
-    val wSrc = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = curriculumRanked(d)
     // S-row totals ride as ONE broadcast array-of-structs; sort_array
     // fixes the struct order so the fold is deterministic (it wouldn't
     // change the sums, but deterministic plans beat order-by-luck)
     val totals = d.groupBy("source").agg(count(lit(1)).as("n"))
       .agg(sort_array(collect_list(struct(col("source").as("s"),
         col("n").as("n")))).as("cnts"))
-    d.withColumn("rs", row_number().over(wSrc).cast("long"))
+    ranked
       .crossJoin(broadcast(totals))
       .withColumn("pos",
         expr("aggregate(cnts, 0L, (a, x) -> a + least(x.n, rs - 1))") +
@@ -739,6 +762,41 @@ object Pipeline {
             "(case when x.s < source and x.n >= rs then 1L else 0L end))"))
       .select("doc_id", "source", "n_chars", "rs", "pos")
       .orderBy("doc_id")
+  }
+
+  /** x106's bucketed per-source rank kernel: rs = ROW_NUMBER()
+    * OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id), computed
+    * with no whole-source sort (scale shape documented at
+    * [[x106CurriculumOrder]]). `subWidth` is the tie-group sub-bucket
+    * width — the hard per-task row bound; specs shrink it to force
+    * multi-bucket execution at test scale. */
+  private[graft] def curriculumRanked(d: DataFrame,
+      subWidth: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = d.withColumn("sub", expr(s"doc_id div $subWidth"))
+      .cache() // feeds both offset aggregates and the rank itself
+    // level-1: domain-bounded (source, n_chars) histogram → the rank
+    // offset of each length group; the window runs over histogram rows
+    val w1 = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off1 = dd.groupBy("source", "n_chars").agg(count(lit(1)).as("c1"))
+      .withColumn("off1", coalesce(sum(col("c1")).over(w1), lit(0L)))
+      .select("source", "n_chars", "off1")
+    // level-2: per sub-bucket counts → offsets WITHIN the tie group
+    val w2 = Window.partitionBy(col("source"), col("n_chars"))
+      .orderBy(col("sub")).rowsBetween(Window.unboundedPreceding, -1)
+    val off2 = dd.groupBy("source", "n_chars", "sub").agg(count(lit(1)).as("c2"))
+      .withColumn("off2", coalesce(sum(col("c2")).over(w2), lit(0L)))
+      .select("source", "n_chars", "sub", "off2")
+    // the rank window's partition ≤ subWidth rows by doc_id uniqueness;
+    // the off2 join shares its (source, n_chars, sub) exchange
+    val wIn = Window.partitionBy(col("source"), col("n_chars"), col("sub"))
+      .orderBy(col("doc_id"))
+    dd.join(off2, Seq("source", "n_chars", "sub"))
+      .join(broadcast(off1), Seq("source", "n_chars"))
+      .withColumn("rs",
+        (col("off1") + col("off2") + row_number().over(wIn)).cast("long"))
+      .drop("sub", "off1", "off2")
   }
 
   /** x108: the DATASET CARD — the one-pass corpus summary a 100 TB

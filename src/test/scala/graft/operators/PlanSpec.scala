@@ -451,12 +451,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "sweeps must stay O(edges)")
   }
 
-  test("x106: interleave position is map-only — one source-rank window, no rank shuffle") {
+  test("x106: rank is sub-bucketed (no whole-source sort); position map-only") {
     val p = plan("x106_curriculum_order")
-    val windows = "windowspecdefinition".r.findAllIn(p).size
-    assert(windows >= 1 && "windowspecdefinition\\(source".r.findAllIn(p).size === windows,
-      "the ONLY window is the per-source rank; the global position must " +
-        "come from the closed-form broadcast expression, never a global window")
+    // the retired round-6 fat stage: one window sorting a whole source by
+    // (n_chars DESC, doc_id) — must never come back
+    assert(!"windowspecdefinition\\(source#\\d+, n_chars#\\d+L? DESC NULLS LAST, doc_id"
+      .r.findFirstIn(p).isDefined,
+      "whole-source rank window is the single-partition sort; the rank " +
+        "must come from the two-level offset scheme")
+    // the in-partition rank is keyed by (source, n_chars, sub): each
+    // partition is ≤ subWidth rows by doc_id uniqueness
+    assert("\\[source#\\d+, n_chars#\\d+L?, sub#\\d+L?\\], \\[doc_id#\\d+L? ASC"
+      .r.findFirstIn(p).isDefined, "rank window must partition by sub-bucket")
+    // level-1 offsets: a source-keyed prefix window exists but runs over
+    // the domain-bounded (source, n_chars) HISTOGRAM, never raw docs
+    assert("\\[source#\\d+\\], \\[n_chars#\\d+L? DESC".r.findFirstIn(p).isDefined,
+      "level-1 histogram prefix window missing")
+    // exactly the three windows of the scheme — the global position must
+    // stay the closed-form broadcast expression, never a fourth window
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size === 3,
+      "expected exactly off1-prefix, off2-prefix and in-bucket rank windows")
     assert(!"hashpartitioning\\(rs".r.findFirstIn(p).isDefined,
       "rank must never become a shuffle key")
   }
