@@ -104,7 +104,15 @@ object SchemaConversion {
         else throw new IllegalArgumentException(
           s"Cannot convert recursive message: ${(trace :+ n).mkString(" -> ")}")
       } else {
-        val md = reg.message(n)
+        // the reference's unsupported-kind fallthrough (proto_to_arrow.py:
+        // 378-383, "Unsupported field type TYPE_GROUP for foo"): the sealed
+        // PType ADT makes a TYPE_GROUP literally unrepresentable here (the
+        // parser rejects `group` at parse time), so the reachable analog is
+        // a field whose type name resolves to no known message — reject
+        // loudly with the descriptor trace, never a bare key-miss.
+        val md = reg.messages.getOrElse(n, throw new IllegalArgumentException(
+          s"Unsupported field type: unknown message type $n" +
+            s" (at ${(trace :+ n).mkString(" -> ")})"))
         StructType(md.fields.map(f => fieldToStructField(f, cfg, reg, trace :+ n)))
       }
   }

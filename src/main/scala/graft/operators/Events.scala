@@ -422,8 +422,55 @@ object Events {
       .orderBy("event_type", "wk")
   }
 
+  /** q89: NATIVE `session_window()` sessionization — the built-in a Spark
+    * user reaches for first, now with its own oracle row (q52 proves the
+    * lag formulation; this proves the built-in agrees with an independent
+    * DuckDB gap-and-island derivation). Timestamps run in MICROS on both
+    * sides (`session_window` needs TimestampType, which is µs): ts div
+    * 1000 here, epoch_ns // 1000 in the oracle, so truncation is
+    * identical and the comparison is exact.
+    *
+    * Boundary contract: `session_window` MERGES an event that lands
+    * exactly one gap after its predecessor (the window [start, last+gap]
+    * is inclusive at the merge check), i.e. a new session only at
+    * diff > gap — the SAME rule as q52's lag form, so the two
+    * sessionizations are interchangeable; SessionWindowSpec pins both
+    * the equality and the exact-gap boundary itself.
+    *
+    * Scale: one shuffle on user_id (the session merge is Spark's own
+    * UpdatingSessionsIterator — per-user state is one open session, same
+    * posture as the q52 window), aggregates are partial-merged. */
+  val q89SessionWindow = Q(
+    "q89_session_window",
+    """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+       l AS (SELECT user_id, event_id, tsu,
+                    LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+             FROM x),
+       f AS (SELECT user_id, tsu,
+                    CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+             FROM l),
+       s AS (SELECT user_id, tsu,
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+             FROM f)
+       SELECT user_id, MIN(tsu) AS sess_start,
+              MAX(tsu) + 1800000000 AS sess_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""") { (spark, dir) =>
+    T(spark, dir, "events")
+      .selectExpr("user_id", "timestamp_micros(ts div 1000) as tsm")
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+  }
+
   val all: Seq[Q] =
     Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel,
       q71SlidingWindows, q73WindowedDedup, q78CohortRetention,
-      q79GapDetection, q80Scd2History, q86PeriodOverPeriod)
+      q79GapDetection, q80Scd2History, q86PeriodOverPeriod, q89SessionWindow)
 }

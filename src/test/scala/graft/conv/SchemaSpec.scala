@@ -134,6 +134,33 @@ class SchemaSpec extends AnyFunSuite {
     assert(l3("next").dataType === StructType(Nil))
   }
 
+  test("unsupported field kinds reject loudly (tests/test_coverage.py:281-295 " +
+    "TYPE_GROUP contract)") {
+    // The reference raises `TypeError: Unsupported field type TYPE_GROUP for
+    // foo` from the dispatch fallthrough. Here the sealed PType ADT makes a
+    // group unrepresentable, so the contract splits into the two reachable
+    // rejection sites — both must stay LOUD, typed, and name the offender:
+    // 1. proto2 `group` syntax dies at parse time
+    val pe = intercept[IllegalArgumentException](ProtoParser.parse("""
+      syntax = "proto2";
+      message HasGroup {
+        group Result = 1 { optional string url = 2; }
+      }"""))
+    assert(pe.getMessage.contains("unsupported proto2 construct: group"))
+    // 2. the parser also rejects unresolved names up front, so the schema
+    // layer's own guard needs the reference's FakeDescriptor trick: a
+    // hand-built descriptor whose field kind the registry cannot resolve
+    // dies at derivation with the descriptor trace
+    val fake = PMessageDesc("Outer",
+      Seq(PField("foo", 1, PType.PMessage("Mystery"))))
+    val emptyReg = new ProtoRegistry(Map("Outer" -> fake), Map.empty)
+    val e = intercept[IllegalArgumentException](
+      Protarrow.messageTypeToSchema(fake, GraftConfig(), emptyReg))
+    assert(e.getMessage.contains("Unsupported field type"))
+    assert(e.getMessage.contains("Mystery"))
+    assert(e.getMessage.contains("Outer -> Mystery"), "trace must show the path")
+  }
+
   test("schema defined for empty input (tests/test_conversion.py:110-116)") {
     val spark = graft.SparkTestBase.spark
     val df = Protarrow.messagesToDataFrame(spark, Seq.empty, Schemas.msg("MyProto"),
