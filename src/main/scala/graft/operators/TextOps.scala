@@ -805,9 +805,136 @@ object TextOps {
       .orderBy("lang", "pred_lang")
   }
 
+  /** Merge rounds for [[t43BpeMerges]] (both engines unroll/loop the
+    * same K). */
+  private[graft] val BpeK = 8
+
+  /** t43: BPE merge-pair TRAINING — learn the top-K byte-pair merges
+    * from corpus pair frequencies, completing the tokenizer story t28
+    * (regex token counting) and t38 (vocab/OOV) start. Classic
+    * Sennrich-style BPE without an end-of-word marker: words are
+    * whitespace tokens, initial symbols are characters, and each round
+    * (1) counts ALL adjacent symbol pairs weighted by word frequency,
+    * (2) picks the max-count pair with the deterministic tie-break
+    * (count DESC, lhs, rhs), (3) rewrites every word by merging its
+    * non-overlapping occurrences LEFT-TO-RIGHT. Output = the ordered
+    * merge table (merge_rank, lhs, rhs, pair_count).
+    *
+    * Shape: x95-Lloyd's loop structure — the trainer iterates on the
+    * WORD-FREQUENCY table (Zipf/vocab-bounded, ~1% of corpus rows; the
+    * one corpus-scale scan is the initial groupBy), each round is one
+    * map-side-partial pair count plus a map-only array fold, with
+    * `localCheckpoint` truncating lineage per round (d34's rule) and
+    * ONE (lhs, rhs) row collected to the driver per round — the same
+    * K-row driver state the Lloyd loop holds. The merge application is
+    * an `aggregate` fold over the symbol array: merge when the
+    * accumulator's last element is lhs and the current is rhs; the
+    * merged symbol lhs||rhs can never re-match lhs, so the fold is
+    * exactly left-to-right non-overlapping (BpeSpec pins the run
+    * parity cases against a plain-Scala reference).
+    *
+    * The oracle replays the SAME training in pure SQL with the K
+    * rounds unrolled ([[bpeOracleSql]]): rows (word, pos, symbol),
+    * pair counts via LEAD, and the non-overlap rule as gaps-and-
+    * islands — merge starts are the odd ordinals of each island of
+    * consecutive hits, a row is consumed iff its predecessor started a
+    * merge. An independent formulation of the identical contract. */
+  val t43BpeMerges = Q("t43_bpe_merges", bpeOracleSql(BpeK)) { (spark, dir) =>
+    bpeTrain(T(spark, dir, "documents"), BpeK)
+  }
+
+  /** The K-round BPE trainer over any frame with a `text` column; see
+    * [[t43BpeMerges]] for the contract and scale posture. */
+  private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var state = wf.select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val best = state
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "j -> struct(syms[j] as x, syms[j + 1] as y))")).as("pr"))
+        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (x, y, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i.toLong, x, y, c))
+        state = bpeApplyMerge(state, x, y).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** One merge application: rewrite `syms` merging adjacent (x, y)
+    * left-to-right non-overlapping. The pair rides as a 1-row broadcast
+    * (never string-spliced into the lambda — symbols may contain any
+    * character); `get()` returns NULL off the empty accumulator, so the
+    * first element always appends. */
+  private[graft] def bpeApplyMerge(state: org.apache.spark.sql.DataFrame,
+      x: String, y: String): org.apache.spark.sql.DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val pair = Seq((x, y)).toDF("bx", "by")
+    state.crossJoin(broadcast(pair))
+      .withColumn("syms", expr(
+        "aggregate(syms, cast(array() as array<string>), (acc, s) -> " +
+          "if(get(acc, size(acc) - 1) = bx and s = by, " +
+          "concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by))), " +
+          "concat(acc, array(s))))"))
+      .drop("bx", "by")
+  }
+
+  /** The t43 oracle: K unrolled BPE rounds in DuckDB SQL (contract at
+    * [[t43BpeMerges]]). Program-generated — each round is the same CTE
+    * block over the previous round's (word, pos, symbol) rows. */
+  private[graft] def bpeOracleSql(k: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""p$i AS (SELECT s AS x, ns AS y, SUM(cnt) AS c FROM
+         (SELECT w, cnt, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS ns FROM $prev)
+         WHERE ns IS NOT NULL GROUP BY s, ns),
+       b$i AS (SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+       m$i AS (SELECT r.w, r.cnt, r.p, r.s, b.x AS bx, b.y AS by,
+                CASE WHEN r.s = b.x AND LEAD(r.s) OVER (PARTITION BY r.w ORDER BY r.p) = b.y
+                     THEN 1 ELSE 0 END AS hit
+         FROM $prev r, b$i b),
+       i$i AS (SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, hit ORDER BY p) AS isl FROM m$i),
+       o$i AS (SELECT *, CASE WHEN hit = 1 THEN ROW_NUMBER() OVER (PARTITION BY w, hit, isl ORDER BY p) ELSE 0 END AS ord FROM i$i),
+       g$i AS (SELECT *, CASE WHEN hit = 1 AND ord % 2 = 1 THEN 1 ELSE 0 END AS st FROM o$i),
+       h$i AS (SELECT *, COALESCE(LAG(st) OVER (PARTITION BY w ORDER BY p), 0) AS consumed FROM g$i),
+       r$i AS (SELECT w, cnt, ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS p,
+                CASE WHEN st = 1 THEN s || by ELSE s END AS s
+         FROM h$i WHERE consumed = 0)"""
+    }
+    val header =
+      """WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              WHERE len(w) > 0 GROUP BY w),
+       s0 AS (SELECT w, cnt, regexp_split_to_array(w, '') AS syms FROM wf),
+       r0 AS (SELECT w, cnt, CAST(i AS BIGINT) AS p, syms[i] AS s
+              FROM s0, unnest(generate_series(1, len(syms))) AS t(i)),"""
+    val rounds = (1 to k).map(round).mkString(",\n       ")
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, x AS lhs, y AS rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM b$i").mkString("\n       UNION ALL ")
+    s"$header\n       $rounds\n       $finals\n       ORDER BY merge_rank"
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
-    t42LangConfusion)
+    t42LangConfusion, t43BpeMerges)
 }
