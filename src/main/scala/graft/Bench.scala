@@ -272,6 +272,28 @@ object Bench {
     }
 
     samples.foreach { case (k, ts) => results(k) = ts.min }
+    // --- self-comparison gate (round-7): entries > 2x their recorded
+    // clean-window baseline (records/bench_baseline.json — a copy of the
+    // last canary-clean definitive run; re-baseline by replacing it) are
+    // listed machine-readably instead of narratively. Entries under 0.5 s
+    // are never flagged (2x of a 60 ms entry is scheduler noise), and on
+    // a degraded host window the canary_sec field is the tiebreaker —
+    // regressions reported from a dirty-canary run are suspect by the
+    // same rule as every other number in it.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "records/bench_baseline.json")
+    val baseline: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)))
+      val i = txt.indexOf("\"queries\":{")
+      val qsec = if (i < 0) "" else txt.substring(i + 11, txt.indexOf('}', i))
+      "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(qsec)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val regressions = results.collect {
+      case (k, v) if baseline.get(k).exists(b => v > 2 * b && v > 0.5) =>
+        k -> s"${"%.4f".format(v)} vs baseline ${"%.4f".format(baseline(k))}"
+    }
     // Layout for the driver's 2000-char TAIL capture: the per-query map
     // (~3 KB at 100+ entries even at 4-decimal seconds) cannot fully fit,
     // so it goes FIRST and the summary the round record needs — metric,
@@ -284,8 +306,10 @@ object Bench {
     val es = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
       .mkString("{", ",", "}")
     val cs = canary.map(r4).mkString("[", ",", "]")
+    val rs = regressions.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"regressions":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Ckpt.Rounds
 
 /** Deduplication operators over `documents` / `embeddings` (SURVEY.md §2
   * Part B, LLM-pipeline extensions): exact, n-gram Jaccard, MinHash+LSH,
@@ -485,9 +486,9 @@ object Dedup {
       .select(col("a_id").as("u"), col("b_id").as("w"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
       .repartition(col("w"))
-      .localCheckpoint(true)
+      .ckptRound
     var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      .select(col("id"), col("id").as("lbl")).ckptRound
     var changed = 1L
     var it = 0
     while (changed > 0 && it < CCMaxIter) {
@@ -502,7 +503,7 @@ object Dedup {
         .join(prop, col("id") === col("pid"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .ckptRound
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("id", "lbl")
       it += 1
@@ -578,11 +579,11 @@ object Dedup {
     // partitions each round — the standard shape for iterative Spark
     // algorithms (same reason GraphX/GraphFrames checkpoint in-loop).
     var edges = canon(pairs.select(col("a_id").as("u"), col("b_id").as("w")))
-      .localCheckpoint(true)
+      .ckptRound
     var it = 0
     var changed = 1L
     while (changed > 0 && it < CCMaxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).ckptRound
       // set equality both ways: star rounds can only shrink-or-rewire, but
       // the symmetric check makes the fixpoint test independent of that
       changed = next.except(edges).union(edges.except(next)).count()

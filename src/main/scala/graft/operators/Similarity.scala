@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Ckpt.Rounds
 import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -1126,14 +1127,14 @@ object Similarity {
         ${duckPrIter("r2", "r3")}
         SELECT vec_id, CAST(r AS BIGINT) AS pr_ppm
         FROM r3 ORDER BY vec_id""") { (spark, dir) =>
-    val g = knnGraphRanked(spark, dir).select("q_id", "n_id").localCheckpoint()
+    val g = knnGraphRanked(spark, dir).select("q_id", "n_id").ckptRound
     val nodes = vecs(spark, dir).select("vec_id")
     val deg = g.groupBy("q_id").agg(count(lit(1)).as("d"))
     // static across sweeps: each edge pre-tagged with its source degree
-    val gd = g.join(deg, "q_id").localCheckpoint()
+    val gd = g.join(deg, "q_id").ckptRound
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to 3)
-      r = prSweep(gd, nodes, r).localCheckpoint()
+      r = prSweep(gd, nodes, r).ckptRound
     r.select(col("vec_id"), col("r").cast("long").as("pr_ppm"))
       .orderBy("vec_id")
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import Ckpt.Rounds
 
 /** Shared deterministic hashing used by the text/dedup/similarity operators.
   *
@@ -846,14 +847,20 @@ object TextOps {
   /** The K-round BPE trainer over any frame with a `text` column; see
     * [[t43BpeMerges]] for the contract and scale posture. */
   private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int): org.apache.spark.sql.DataFrame = bpeLoop(docs, k)._1
+
+  /** The loop itself, returning (merge table, final vocab tokenization
+    * state (w, cnt, syms)) — the state is what [[t44BpeEncode]] scores
+    * documents against, so training and encoding cannot drift. */
+  private[graft] def bpeLoop(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     var state = wf.select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
-      .localCheckpoint()
+      .ckptRound
     val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var exhausted = false
     for (i <- 1 to k if !exhausted) {
@@ -871,10 +878,10 @@ object TextOps {
         val (x, y, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((i.toLong, x, y, c))
-        state = bpeApplyMerge(state, x, y).localCheckpoint()
+        state = bpeApplyMerge(state, x, y).ckptRound
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), state)
   }
 
   /** One merge application: rewrite `syms` merging adjacent (x, y)
@@ -932,9 +939,57 @@ object TextOps {
     s"$header\n       $rounds\n       $finals\n       ORDER BY merge_rank"
   }
 
+  /** The t44 oracle: the SAME K unrolled rounds as [[bpeOracleSql]], but
+    * the final select scores each document against round K's vocab
+    * tokenization state instead of emitting the merge table. */
+  private[graft] def bpeEncodeOracleSql(k: Int): String = {
+    val train = bpeOracleSql(k)
+    val body = train.substring(0, train.lastIndexOf(s"SELECT CAST(1 AS BIGINT)"))
+    s"""${body.trim.stripSuffix(",")},
+       enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM r$k GROUP BY w),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       j AS (SELECT tok.doc_id, enc.n_sub
+             FROM tok JOIN enc ON tok.w = enc.w WHERE len(tok.w) > 0)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+              CAST(SUM(CASE WHEN n_sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+              CAST(SUM(n_sub) * 1000000 // COUNT(*) AS BIGINT) AS subwords_per_token_ppm
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** t44: BPE vocabulary ENCODING / coverage profiling — score every
+    * document against the t43-learned merges: tokens per doc, total
+    * subword symbols after the K merges, fully-merged token count
+    * (n_sub = 1 — the token IS a learned vocab entry, the t38 OOV
+    * signal re-pinned against the LEARNED vocab instead of the raw
+    * frequency top-K), and subwords-per-token in integer ppm (the
+    * compression/fertility metric tokenizer teams track). Oracle-typing
+    * rule applied (CAST ... AS BIGINT on the SUM-derived ppm).
+    *
+    * Scale: the encode runs ONCE over the vocab-bounded word table
+    * (shared with training via [[bpeLoop]] — the scored vocab IS the
+    * trained state, no drift possible), then a (token → word) join
+    * scores the corpus stream: vocab side broadcasts at any corpus
+    * size (it is bounded by distinct words, Zipf-compact), the stream
+    * side is map-only + one doc_id aggregate. */
+  val t44BpeEncode = Q("t44_bpe_encode", bpeEncodeOracleSql(BpeK)) { (spark, dir) =>
+    val docs = T(spark, dir, "documents")
+    val enc = bpeLoop(docs, BpeK)._2
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(enc), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(when(col("n_sub") === 1L, 1L).otherwise(0L)).as("n_single"),
+        expr("sum(n_sub) * 1000000 div count(1)").as("subwords_per_token_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
-    t42LangConfusion, t43BpeMerges)
+    t42LangConfusion, t43BpeMerges, t44BpeEncode)
 }

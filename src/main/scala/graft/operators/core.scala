@@ -9,6 +9,18 @@ import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
   *
   * Column names and row order must match between `fn` and `oracle` — the
   * driver sorts columns by name and hashes values.
+  *
+  * ORACLE TYPING RULE: the driver's hash is raw-byte strict, so column
+  * DTYPES must match too, not just values. DuckDB silently promotes
+  * `SUM(BIGINT)` to HUGEINT, and any expression built on it — in
+  * particular the `SUM(...) * 1000000 // n` ppm idiom — reaches pandas
+  * as float64 while Spark emits int64: rows/values green, hash RED (the
+  * round-6 q83/t34/t35/t38/t42/x110 incident). Therefore ALWAYS wrap
+  * SUM-derived integer columns, and every integer-division result, in
+  * `CAST(... AS BIGINT)` in the oracle SQL; literal selects too
+  * (`CAST(1 AS BIGINT)`), since bare int literals are int32.
+  * `tools/check.py` now fails on float-vs-int dtype mismatches, so a
+  * violation is caught at sf0.01 before the driver sees it.
   */
 final case class Q(
     name: String,
@@ -20,6 +32,29 @@ object Q {
     Q(name, fn, Some(sql))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+}
+
+/** Per-round lineage truncation for the iterative operators (HashMin /
+  * star-contraction components, PageRank sweeps, BPE training, the
+  * foreachBatch accumulators). Default: eager `localCheckpoint` — zero
+  * external storage, but the blocks live on executors, so an executor
+  * loss mid-loop kills the job. On a real cluster set
+  * `spark.graft.reliableCheckpoint=true` (plus
+  * `sparkContext.setCheckpointDir` to durable storage) and every round
+  * writes a reliable `checkpoint()` instead — the executor-loss-tolerant
+  * variant BASELINE.md names; rounds survive lost executors at the cost
+  * of one distributed write per round. One knob, read per call, so a
+  * session can flip it without rebuilding frames (CheckpointModeSpec
+  * runs d34 both ways). */
+object Ckpt {
+  val Key = "spark.graft.reliableCheckpoint"
+  def apply(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(Key, "false").toBoolean) df.checkpoint(true)
+    else df.localCheckpoint(true)
+  /** Postfix form for loop bodies: `frame.ckptRound` (import Ckpt.Rounds). */
+  implicit class Rounds(private val df: DataFrame) extends AnyVal {
+    def ckptRound: DataFrame = Ckpt(df)
+  }
 }
 
 object T {

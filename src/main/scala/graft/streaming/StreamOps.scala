@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import graft.proto._
 import graft.conv.{Codecs, GraftConfig, SchemaConversion}
+import graft.operators.Ckpt.Rounds
 
 /** Structured Streaming surface (SURVEY.md §2 Part B, streaming row): the
   * reference's production use case is micro-batch proto ingestion off
@@ -522,8 +523,8 @@ object StreamOps {
       val (verdicts, bsets, bbands) =
         graft.operators.Dedup.incrementalAdmit(batch, sets, bands, hotDf)
       sink(verdicts)
-      sets = sets.unionByName(bsets).localCheckpoint()
-      bands = bands.unionByName(bbands).localCheckpoint()
+      sets = sets.unionByName(bsets).ckptRound
+      bands = bands.unionByName(bbands).ckptRound
       bsets.unpersist()
       bbands.unpersist()
     }
@@ -559,10 +560,10 @@ object StreamOps {
       if (batchId <= lastBatchId) return // re-delivered epoch: already merged
       val bc = graft.operators.TextOps.cmsCells(batch, d, wBuckets)
       cells =
-        if (cells == null) bc.localCheckpoint()
+        if (cells == null) bc.ckptRound
         else cells.unionByName(bc).groupBy("d", "b")
           .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
-          .localCheckpoint()
+          .ckptRound
       lastBatchId = batchId
     }
   }

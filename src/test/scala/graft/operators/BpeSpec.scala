@@ -61,6 +61,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("t44 encode scores docs against the trained state (hand cases)") {
+    // after the 4 toy-corpus merges (l,o)(lo,w)(e,w)(n,ew), applied in
+    // training order:
+    //   low    [l,o,w]       -> [lo,w] -> [low]              = 1
+    //   lower  [l,o,w,e,r]   -> [low,e,r]                    = 3
+    //   new    [n,e,w]       -> [n,ew] -> [new]              = 1
+    //   newest [n,e,w,e,s,t] -> [n,ew,e,s,t] -> [new,e,s,t]  = 4
+    val docs = corpus("low lower lowest low low", "new newer newest new",
+      "low new low")
+    val enc = TextOps.bpeLoop(docs, 4)._2
+      .select(col("w"), size(col("syms")).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(enc("low") === 1)
+    assert(enc("lower") === 3)
+    assert(enc("new") === 1)
+    assert(enc("newest") === 4)
+  }
+
   test("vocab closure: every merge operand is a char or an earlier merge result") {
     val m = TextOps.t43BpeMerges.fn(spark, sfDir)
       .orderBy("merge_rank").select("lhs", "rhs")
