@@ -1225,8 +1225,124 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** s43: IVF-PQ composite ANN — the production vector-index shape
+    * (FAISS IVFPQ): the coarse IVF quantizer restricts the corpus to
+    * the query's probed cells FIRST, and only those candidates are
+    * ADC-scored against the PQ codes, then exactly re-ranked. s34
+    * bounds candidates but scores them full-width; s38 scores 4-byte
+    * codes but over the whole corpus — this composes both prunings, the
+    * only shape that works when neither the corpus nor its codes fit a
+    * scan per query. Every piece is the SHARED kernel: cells from
+    * [[ivfAssign0]] (float cosine — the one quantizer definition s34 /
+    * x93 use), codes from [[pqSubs]]/[[pqCodebookFrame]] via the
+    * codegen'd CodebookArgmin (s38's encode), ADC + int8 re-rank all
+    * exact integer arithmetic so the oracle hash-matches raw doubles.
+    *
+    * Scale: the cell assignment and PQ encode are the same map-only
+    * index-build passes as s34/s38 (one broadcast each); per query the
+    * candidate set is its 2 probed cells' populations, ADC per
+    * candidate touches an 8-row broadcast codebook slice, and the
+    * exact re-rank reads [[PqRerank]] full vectors — query cost is
+    * cell-bounded, never corpus-bounded. RecallSpec audits recall@5
+    * against s32's exact answer. */
+  val s43IvfPqKnn = Q(
+    "s43_ivfpq_knn",
+    s"""WITH $duckVecs,
+        $duckIvfAssign,
+        asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
+        probe AS (SELECT vec_id AS q_id, c_id AS cell FROM asg0
+                  WHERE rnk <= 2 AND vec_id < 10),
+        cand0 AS (SELECT p.q_id, a.vec_id AS n_id, p.cell
+                  FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+        qz AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * 127.0 /
+                 greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)) AS BIGINT)) AS qv
+               FROM e0),
+        subs AS (SELECT vec_id, s, qv[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS sub
+                 FROM qz, range(0, $PqM) r(s)),
+        cb AS (SELECT s, vec_id AS c, sub AS cw FROM subs WHERE vec_id < $PqK),
+        pasg AS (SELECT subs.vec_id, subs.s, cb.c,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, $PqSubDim + 1),
+                            i -> (sub[i] - cw[i]) * (sub[i] - cw[i]))),
+                          (a, t) -> a + t) AS dist
+                 FROM subs JOIN cb ON subs.s = cb.s),
+        codes AS (SELECT vec_id AS n_id, s, c
+                  FROM (SELECT vec_id, s, c, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id, s ORDER BY dist, c) AS rnk FROM pasg)
+                  WHERE rnk = 1),
+        qsub AS (SELECT vec_id AS q_id, s, sub FROM subs WHERE vec_id < 10),
+        parts AS (SELECT c0.q_id, c0.n_id, c0.cell,
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, $PqSubDim + 1),
+                             i -> q.sub[i] * cb.cw[i])), (a, t) -> a + t) AS ds
+                  FROM cand0 c0 JOIN codes ON codes.n_id = c0.n_id
+                       JOIN cb ON cb.s = codes.s AND cb.c = codes.c
+                       JOIN qsub q ON q.q_id = c0.q_id AND q.s = codes.s),
+        sc AS (SELECT q_id, n_id, cell, SUM(ds) AS score
+               FROM parts GROUP BY q_id, n_id, cell),
+        cand AS (SELECT q_id, n_id, cell FROM (SELECT q_id, n_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, n_id) AS rnk FROM sc)
+                 WHERE rnk <= $PqRerank),
+        eq AS (SELECT vec_id, qv, sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(qv, x -> x * x)), (a, t) -> a + t) AS DOUBLE)) AS nrm
+               FROM qz),
+        rr AS (SELECT c.q_id, c.n_id, c.cell,
+                      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, ${PqM * PqSubDim + 1}),
+                          i -> q.qv[i] * n.qv[i])), (a, t) -> a + t) AS DOUBLE)
+                        / (q.nrm * n.nrm) AS qcos
+               FROM cand c JOIN eq q ON c.q_id = q.vec_id
+                           JOIN eq n ON c.n_id = n.vec_id),
+        fin AS (SELECT q_id, n_id, cell, qcos, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rnk FROM rr)
+        SELECT q_id, n_id, cell, CAST(rnk AS BIGINT) AS rnk, qcos
+        FROM fin WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+    val asg0 = ivfAssign0(spark, dir)
+    val asg = asg0.filter(col("rnk") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val probe = asg0.filter(col("rnk") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cand0 = probe.join(asg, "cell").filter(col("n_id") =!= col("q_id"))
+    val qz = pqQuantized(spark, dir)
+    val subs = pqSubs(qz).cache()
+    val cb = pqCodebookFrame(subs)
+    val codes = subs
+      .withColumn("c",
+        graft.functions.CodebookArgmin(col("sub"), col("s"), pqBooks(cb)))
+      .select(col("vec_id").as("n_id"), col("s"), col("c"))
+    val qsub = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    // cell restriction FIRST: only cand0's (q, n) pairs ever reach ADC
+    val cand = cand0.join(codes, "n_id")
+      .join(broadcast(cb), Seq("s", "c"))
+      .join(broadcast(qsub), Seq("q_id", "s"))
+      .withColumn("ds", expr(
+        "aggregate(zip_with(qsub, cw, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)"))
+      .groupBy("q_id", "n_id", "cell")
+      .agg(sum(col("ds")).as("score"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= PqRerank)
+      .select("q_id", "n_id", "cell")
+    val eq = qz.withColumn("nrm", sqrt(expr(
+      "aggregate(transform(qv, x -> x * x), cast(0 as bigint), (a, t) -> a + t)")
+      .cast("double")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+    cand
+      .join(eq.select(col("vec_id").as("q_id"), col("qv").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(eq.select(col("vec_id").as("n_id"), col("qv").as("vn"), col("nrm").as("nn")), "n_id")
+      .withColumn("qcos", expr(
+        "aggregate(zip_with(vq, vn, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "cell", "rnk", "qcos")
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, s41IvfStats, s42VectorAudit)
+    x107Pagerank, s41IvfStats, s42VectorAudit, s43IvfPqKnn)
 }

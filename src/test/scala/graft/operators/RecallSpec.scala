@@ -218,6 +218,37 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall@5 $recall")
   }
 
+  test("s43: IVF-PQ composite keeps recall on the clustered corpus; " +
+    "results confined to probed cells") {
+    // the double pruning (cells first, then codes) must not compound into
+    // recall collapse in the regime ANN is for — true clusters. On the
+    // noisy sf corpus the IVF tier alone caps recall (cells are arbitrary
+    // there, s34's caveat), so the audit runs on the clustered corpus
+    // where the cell structure is real.
+    val dir = clusteredCorpus(0.01)
+    val exact = top5(Similarity.s32KnnBruteforce.fn(spark, dir))
+    val r43 = recallOf(Similarity.s43IvfPqKnn, dir, exact)
+    val r34 = recallOf(Similarity.s34AnnIvf, dir, exact)
+    info(f"recall@5 (noise 0.01): s43=$r43%.3f vs s34=$r34%.3f")
+    // measured 0.86 at seed 7: the 16-codeword int8 ADC blurs WITHIN-
+    // cluster ordering before the re-rank (s34 scores the same candidates
+    // full-width and gets 1.00) — the price of 64x code compression; the
+    // bar matches s33's single-probe tier
+    assert(r43 >= 0.8, f"s43 IVF-PQ recall@5 $r43%.3f < 0.8")
+    // structural contract: every returned neighbor lives in one of the
+    // query's 2 probed cells — the corpus outside them was never scored
+    val asg = Similarity.ivfAssign0(spark, dir)
+    val cellOf = asg.filter(org.apache.spark.sql.functions.col("rnk") === 1)
+      .select("vec_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = asg.filter(org.apache.spark.sql.functions.expr("rnk <= 2 and vec_id < 10"))
+      .select("vec_id", "c_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    for (r <- Similarity.s43IvfPqKnn.fn(spark, dir).collect())
+      assert(probed(r.getLong(0)).contains(cellOf(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} of ${r.getLong(0)} outside probed cells")
+  }
+
   test("x98: each representative is its cell's true argmax member") {
     import org.apache.spark.sql.functions.col
     val reps = Similarity.x98ClusterReps.fn(spark, sfDir).collect()
