@@ -883,9 +883,64 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** x109: the EPOCH/REPEAT allocation plan — the data-mix recipe table
+    * a pretraining run is configured from (the published-model pattern:
+    * oversampled small high-quality sources repeat for several epochs,
+    * the web crawl runs under one). Per source: tokens allocated under a
+    * temperature-weighted target (w_s = ⌊√n_s⌋, the τ = 0.5 companion
+    * of x102's admission sampler) at CONSTANT total volume (budget =
+    * the corpus token total), hard-capped at [[EpochCap]] epochs, plus
+    * the implied epoch count in integer ppm. x102 answers "which rows
+    * survive a temperature DOWN-sample"; x109 answers "how many times
+    * does each source REPEAT" — the two halves of mix execution.
+    *
+    * Determinism: the weight is the quantized ⌊√n⌋ (sqrt is
+    * correctly-rounded IEEE, floor exact — bit-identical cross-engine),
+    * so Σw is INTEGER and every allocation is pure bigint arithmetic —
+    * no double summation order anywhere. Bound: b·w stays < 2⁶³ up to
+    * ~10¹² tokens per source; past that, rescale the weight quantum.
+    * Scale: the only corpus-scale work is one column-pruned token-count
+    * aggregation; the plan itself is S rows with two 1-row broadcasts. */
+  val x109EpochPlan = Q(
+    "x109_epoch_plan",
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                  FROM documents),
+       cnt AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n FROM d GROUP BY source),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS b FROM cnt),
+       wgt AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+               FROM cnt),
+       sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM wgt)
+       SELECT source, n AS n_tokens, w AS weight,
+              CAST(b * w // sumw AS BIGINT) AS raw_alloc,
+              CAST(least(4 * n, b * w // sumw) AS BIGINT) AS alloc_tokens,
+              CAST(CASE WHEN b * w // sumw > 4 * n THEN 1 ELSE 0 END AS BIGINT) AS capped,
+              CAST(least(4 * n, b * w // sumw) * 1000000 // n AS BIGINT) AS epochs_ppm
+       FROM wgt, tot, sw ORDER BY source""") { (spark, dir) =>
+    val cnt = T(spark, dir, "documents")
+      .selectExpr("source", "cast(size(split(text, ' ')) as bigint) as n_tok")
+      .groupBy("source").agg(sum(col("n_tok")).cast("long").as("n"))
+    val tot = cnt.agg(sum(col("n")).cast("long").as("b"))
+    val wgt = cnt.withColumn("w",
+      floor(sqrt(col("n").cast("double"))).cast("long"))
+    val sw = wgt.agg(sum(col("w")).cast("long").as("sumw"))
+    wgt.crossJoin(broadcast(tot)).crossJoin(broadcast(sw))
+      .select(col("source"), col("n").as("n_tokens"), col("w").as("weight"),
+        expr("b * w div sumw").as("raw_alloc"),
+        expr(s"least($EpochCap * n, b * w div sumw)").as("alloc_tokens"),
+        expr(s"cast(case when b * w div sumw > $EpochCap * n then 1 else 0 end as bigint)")
+          .as("capped"),
+        expr(s"least($EpochCap * n, b * w div sumw) * 1000000 div n")
+          .as("epochs_ppm"))
+      .orderBy("source")
+  }
+
+  /** Max repeat factor for [[x109EpochPlan]] (both dialects; the oracle
+    * inlines the literal 4). */
+  private val EpochCap = 4L
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
-    x106CurriculumOrder, x108DatasetCard, x110ProfileDrift)
+    x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift)
 }

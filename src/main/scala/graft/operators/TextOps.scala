@@ -976,16 +976,24 @@ object TextOps {
     val docs = T(spark, dir, "documents")
     val enc = bpeLoop(docs, BpeK)._2
       .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+    bpeScore(docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w")),
+      enc).orderBy("doc_id")
+  }
+
+  /** The t44 scoring transform against a FROZEN encode state (w, n_sub)
+    * — shared by the batch query and the streaming twin (BpeStreamSpec
+    * pins stream == batch): the model side is static/broadcast, the
+    * token stream is the only moving part — t34's model-application-
+    * streams contract applied to the tokenizer. */
+  private[graft] def bpeScore(tok: org.apache.spark.sql.DataFrame,
+      enc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tok.filter(length(col("w")) > 0)
       .join(broadcast(enc), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_sub")).as("n_subwords"),
         sum(when(col("n_sub") === 1L, 1L).otherwise(0L)).as("n_single"),
         expr("sum(n_sub) * 1000000 div count(1)").as("subwords_per_token_ppm"))
-      .orderBy("doc_id")
-  }
 
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,

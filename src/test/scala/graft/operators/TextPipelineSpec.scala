@@ -181,6 +181,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.values.exists(_._3 > 0) && out.values.exists(v => v._3 < v._2),
       "positive control: the rate spectrum must both keep and drop")
   }
+  test("x109: plan invariants — budget floor, epoch cap, capped flag") {
+    val rows = Pipeline.x109EpochPlan.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val b = rows.map(_.getLong(1)).sum // budget = corpus token total
+    val rawSum = rows.map(_.getLong(3)).sum
+    assert(rawSum <= b, s"floor-division allocations must never exceed the budget ($rawSum > $b)")
+    for (r <- rows) {
+      val (n, raw, alloc, capped, ppm) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(alloc === math.min(4 * n, raw), s"${r.getString(0)}: alloc rule")
+      assert((capped === 1L) === (raw > 4 * n), s"${r.getString(0)}: capped flag")
+      assert(ppm <= 4000000L, s"${r.getString(0)}: epoch cap in ppm")
+      assert(ppm === alloc * 1000000L / n, s"${r.getString(0)}: ppm derivation")
+    }
+    // the temperature must actually bend the distribution: the smallest
+    // source gets MORE epochs than the largest (sqrt flattening)
+    val byN = rows.sortBy(_.getLong(1))
+    assert(byN.head.getLong(6) > byN.last.getLong(6),
+      "smallest source must repeat more than the largest")
+  }
+
   test("t41 CMS: forced collisions still over-estimate, never under") {
     import spark.implicits._
     // W=2 buckets guarantees collisions among 6 tokens; the estimate must
