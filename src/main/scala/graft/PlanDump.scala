@@ -34,7 +34,8 @@ object PlanDump {
     "d40_containment", "q84_zscore_normalize", "m46_media_components", "q85_equidepth_hist", "m47_scene_cuts",
     "q86_period_over_period", "t42_lang_confusion", "d41_minhash_calibration",
     "s42_vector_audit", "x110_profile_drift", "q87_topk_with_ties", "q88_ri_audit",
-    "q89_session_window", "t43_bpe_merges", "t44_bpe_encode", "s43_ivfpq_knn")
+    "q89_session_window", "t43_bpe_merges", "t44_bpe_encode", "s43_ivfpq_knn",
+    "x109_epoch_plan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -495,6 +495,41 @@ class PlanSpec extends SparkSpec {
       "df and corpus stats must broadcast, never shuffle the token stream")
   }
 
+  test("q89: native session windows = ONE user exchange + map-side partial counts") {
+    val p = plan("q89_session_window")
+    assert(p.contains("MergingSessions"),
+      "the built-in must plan the streaming-capable session merge operator")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1 &&
+      p.contains("partial_count"),
+      "counts combine map-side before the one user_id shuffle")
+  }
+
+  test("t44: the encode state broadcasts; per-doc sums are partial-aggregated") {
+    val p = plan("t44_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded encode side must be the broadcast build side")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc aggregation must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s43: IVF-PQ has no cartesian anywhere; codebook and query subs broadcast") {
+    val p = plan("s43_ivfpq_knn")
+    assert(!p.contains("CartesianProduct"),
+      "candidates come from the cell equi-join, never an all-pairs scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "centroids, codebook and query sub-vectors all ride broadcasts")
+  }
+
+  test("x109: the plan is one partial-aggregated scan + two 1-row broadcasts") {
+    val p = plan("x109_epoch_plan")
+    assert(p.contains("partial_sum"), "token counts combine map-side")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"plan must not rescan the corpus per broadcast, got $scans scans")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findFirstIn(p).isDefined,
+      "budget and weight totals ride 1-row broadcasts")
+  }
+
   test("q88: all four violation classes plan as anti-joins, never cross joins") {
     val p = plan("q88_ri_audit")
     assert("LeftAnti".r.findAllIn(p).size >= 4,
