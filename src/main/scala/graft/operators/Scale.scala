@@ -611,7 +611,74 @@ object Scale {
       .orderBy("o_orderpriority")
   }
 
+  /** One-time text-format re-layouts of a lineitem projection (CSV and
+    * JSON-lines), written to tmpdir keyed by the source dir (the
+    * [[bucketedTables]] guard pattern). Explicit schemas on read — at
+    * 100 TB schema INFERENCE is a full extra scan of the corpus, so
+    * the engine never relies on it; both formats stay splittable (CSV
+    * single-line records, JSON as JSONL), so the scans parallelize
+    * like parquet, minus the columnar pruning these queries don't need. */
+  private[operators] def textLayouts(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val (csvP, jsonP) = (s"$tmp/graft_csv_li_$key", s"$tmp/graft_json_li_$key")
+    val src = T(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_shipdate"))
+    if (!new java.io.File(csvP).exists())
+      src.write.mode("overwrite").option("header", "true").csv(csvP)
+    if (!new java.io.File(jsonP).exists())
+      src.write.mode("overwrite").json(jsonP)
+    (csvP, jsonP)
+  }
+
+  private val liTextSchema = "l_orderkey bigint, l_linenumber int, " +
+    "l_returnflag string, l_quantity double, l_shipdate date"
+
+  /** The round-trip aggregate both text-source queries and their oracle
+    * share: if the write→read round trip loses or reformats ANY value
+    * (double shortest-repr, date ISO form, delimiter quoting), the
+    * per-flag sums/extremes diverge from the parquet-direct oracle and
+    * the row hash goes red — the gate IS the losslessness contract. */
+  private def roundTripAgg(df: DataFrame): DataFrame = {
+    import Num._
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("sum_key"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  private val roundTripOracle =
+    """SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** q90: CSV source/sink round trip — lineitem written as headered CSV
+    * and read back with an EXPLICIT schema, then aggregated; the oracle
+    * computes the same aggregate straight from the parquet table, so a
+    * lossy double/date/quoting round trip cannot pass. */
+  val q90CsvRoundtrip = Q("q90_csv_roundtrip", roundTripOracle) { (spark, dir) =>
+    val (csvP, _) = textLayouts(spark, dir)
+    roundTripAgg(spark.read.schema(liTextSchema)
+      .option("header", "true").csv(csvP))
+  }
+
+  /** q91: JSON-lines source/sink round trip — same contract as
+    * [[q90CsvRoundtrip]] over `spark.read.json` (one JSON object per
+    * line keeps the scan splittable; explicit schema skips inference). */
+  val q91JsonRoundtrip = Q("q91_json_roundtrip", roundTripOracle) { (spark, dir) =>
+    val (_, jsonP) = textLayouts(spark, dir)
+    roundTripAgg(spark.read.schema(liTextSchema).json(jsonP))
+  }
+
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
     q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout,
-    q68ZOrderLayout, q69IntervalJoin, x100IncrementalAgg, q72UpsertMerge)
+    q68ZOrderLayout, q69IntervalJoin, x100IncrementalAgg, q72UpsertMerge,
+    q90CsvRoundtrip, q91JsonRoundtrip)
 }

@@ -530,6 +530,14 @@ class PlanSpec extends SparkSpec {
       "budget and weight totals ride 1-row broadcasts")
   }
 
+  test("q90/q91: text sources scan with explicit schemas, partial-aggregated") {
+    for ((name, fmt) <- Seq("q90_csv_roundtrip" -> "csv", "q91_json_roundtrip" -> "json")) {
+      val p = plan(name).toLowerCase
+      assert(p.contains(s"scan $fmt"), s"$name must scan $fmt")
+      assert(p.contains("partial"), s"$name aggregation must combine map-side")
+    }
+  }
+
   test("q88: all four violation classes plan as anti-joins, never cross joins") {
     val p = plan("q88_ri_audit")
     assert("LeftAnti".r.findAllIn(p).size >= 4,
