@@ -469,8 +469,71 @@ object Events {
       .orderBy("user_id", "sess_start")
   }
 
+  /** q92: RECURSIVE CTE session chains — Spark 4's native
+    * `WITH RECURSIVE` (SPARK-24497) exercised on a real path problem:
+    * every session-start event walks its successor chain (the user's
+    * next event within the 30-min gap) and the chain aggregate must
+    * reproduce q52's session sizes and durations exactly — three
+    * independent formulations of one contract (q52 lag windows, q89
+    * session_window, q92 recursion; RecursiveChainSpec pins q92 == q52
+    * row-for-row).
+    *
+    * The recursion is ACYCLIC BY CONSTRUCTION (successor timestamps
+    * strictly advance, NULL at chain end), which matters because Spark
+    * rejects UNION-distinct inside recursive CTEs — UNION ALL on a
+    * cyclic graph would never terminate. Each event joins exactly one
+    * chain, so the total recursive work is ONE row per event and the
+    * recursion depth is the longest session (4 at sf0.1; the level
+    * limit guards runaways). Both engines run the IDENTICAL statement
+    * modulo `div`/`//`. Scale posture: each recursion level is one
+    * (user_id, event_id)-keyed join — fine when sessions are short
+    * (depth bounds rounds); for unbounded chains the window/
+    * session_window forms remain the scale path, same relationship as
+    * d34's loop vs its recursive oracle. */
+  val q92RecursiveChain = Q(
+    "q92_recursive_chain",
+    """WITH RECURSIVE x AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+       s AS (SELECT user_id, event_id, tsn,
+                    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nid,
+                    LEAD(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nts,
+                    LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pts
+             FROM x),
+       chain(user_id, root_id, event_id, tsn, root_tsn) AS (
+         SELECT user_id, event_id, event_id, tsn, tsn FROM s
+         WHERE pts IS NULL OR tsn - pts > 1800000000000
+         UNION ALL
+         SELECT c.user_id, c.root_id, s.nid, s.nts, c.root_tsn
+         FROM chain c JOIN s ON s.user_id = c.user_id AND s.event_id = c.event_id
+         WHERE s.nid IS NOT NULL AND s.nts - s.tsn <= 1800000000000)
+       SELECT user_id, root_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST((MAX(tsn) - MIN(root_tsn)) // 1000000000 AS BIGINT) AS dur_s
+       FROM chain GROUP BY user_id, root_id
+       ORDER BY user_id, root_id""") { (spark, dir) =>
+    T(spark, dir, "events").selectExpr("user_id", "event_id", "ts as tsn")
+      .createOrReplaceTempView("q92_events")
+    spark.sql(
+      """WITH RECURSIVE
+         s AS (SELECT user_id, event_id, tsn,
+                      LEAD(event_id) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nid,
+                      LEAD(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nts,
+                      LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pts
+               FROM q92_events),
+         chain(user_id, root_id, event_id, tsn, root_tsn) AS (
+           SELECT user_id, event_id, event_id, tsn, tsn FROM s
+           WHERE pts IS NULL OR tsn - pts > 1800000000000
+           UNION ALL
+           SELECT c.user_id, c.root_id, s.nid, s.nts, c.root_tsn
+           FROM chain c JOIN s ON s.user_id = c.user_id AND s.event_id = c.event_id
+           WHERE s.nid IS NOT NULL AND s.nts - s.tsn <= 1800000000000)
+         SELECT user_id, root_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST((MAX(tsn) - MIN(root_tsn)) div 1000000000 AS BIGINT) AS dur_s
+         FROM chain GROUP BY user_id, root_id
+         ORDER BY user_id, root_id""")
+  }
+
   val all: Seq[Q] =
     Seq(q51EventWindows, q52Sessionization, q57ResampleFfill, q70Funnel,
       q71SlidingWindows, q73WindowedDedup, q78CohortRetention,
-      q79GapDetection, q80Scd2History, q86PeriodOverPeriod, q89SessionWindow)
+      q79GapDetection, q80Scd2History, q86PeriodOverPeriod, q89SessionWindow,
+      q92RecursiveChain)
 }

@@ -620,21 +620,27 @@ object Scale {
     * like parquet, minus the columnar pruning these queries don't need. */
   private[operators] def textLayouts(
       spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = sourceKey(dir, "lineitem")
     val tmp = System.getProperty("java.io.tmpdir")
     val (csvP, jsonP) = (s"$tmp/graft_csv_li_$key", s"$tmp/graft_json_li_$key")
     val src = T(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("l_shipdate"))
-    if (!new java.io.File(csvP).exists())
+    if (!new java.io.File(s"$csvP/_SUCCESS").exists())
       src.write.mode("overwrite").option("header", "true").csv(csvP)
-    if (!new java.io.File(jsonP).exists())
+    if (!new java.io.File(s"$jsonP/_SUCCESS").exists())
       src.write.mode("overwrite").json(jsonP)
     (csvP, jsonP)
   }
 
+  /** The explicit read schema for the three re-laid-out formats.
+    * l_shipdate is TIMESTAMP_NTZ — the testdata ships the column as a
+    * (midnight) timestamp, and claiming DATE here would silently
+    * truncate on the text formats and hard-fail on ORC (no
+    * bigint→date evolution); the round-trip gate demands the NATIVE
+    * type end-to-end. */
   private val liTextSchema = "l_orderkey bigint, l_linenumber int, " +
-    "l_returnflag string, l_quantity double, l_shipdate date"
+    "l_returnflag string, l_quantity double, l_shipdate timestamp_ntz"
 
   /** The round-trip aggregate both text-source queries and their oracle
     * share: if the write→read round trip loses or reformats ANY value
@@ -677,8 +683,28 @@ object Scale {
     roundTripAgg(spark.read.schema(liTextSchema).json(jsonP))
   }
 
+  /** q93: ORC source/sink round trip — the third columnar format beside
+    * parquet (ORC ships in Spark; predicate pushdown and column pruning
+    * work like parquet's). Same gate as [[q90CsvRoundtrip]]: the oracle
+    * aggregates the parquet original, so any value drift in the
+    * write->read round trip goes hash-red. DuckDB cannot read ORC, which
+    * is exactly why the oracle takes the recompute-from-parquet form. */
+  val q93OrcRoundtrip = Q("q93_orc_roundtrip", roundTripOracle) { (spark, dir) =>
+    val key = sourceKey(dir, "lineitem")
+    val orcP = s"${System.getProperty("java.io.tmpdir")}/graft_orc_li_$key"
+    // zlib, not the zstd default: ORC's zstd needs a native codec absent
+    // from this runtime (write succeeds, read fails) — and _SUCCESS-gate
+    // the layout so a torn write is rewritten, not trusted
+    if (!new java.io.File(s"$orcP/_SUCCESS").exists())
+      T(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_shipdate"))
+        .write.mode("overwrite").option("compression", "zlib").orc(orcP)
+    roundTripAgg(spark.read.schema(liTextSchema).orc(orcP))
+  }
+
   val all: Seq[Q] = Seq(q26SaltedJoin, q63PartitionPrunedScan,
     q64BucketedJoin, q65RangeJoin, q66RuntimeFilter, q67RangeLayout,
     q68ZOrderLayout, q69IntervalJoin, x100IncrementalAgg, q72UpsertMerge,
-    q90CsvRoundtrip, q91JsonRoundtrip)
+    q90CsvRoundtrip, q91JsonRoundtrip, q93OrcRoundtrip)
 }
