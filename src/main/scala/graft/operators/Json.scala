@@ -115,6 +115,52 @@ object Json {
       .orderBy("event_id")
   }
 
+  /** q94: VARIANT semi-structured extraction — Spark 4's open-ended
+    * semi-structured type (`parse_json` → binary VARIANT → typed
+    * `variant_get` path extraction), the engine-native answer to
+    * schema-on-read JSON at scale: parse ONCE into the binary encoding,
+    * extract many paths without re-tokenizing the text per path (the
+    * get_json_object q53 uses re-parses the string on every call).
+    * Each row's props payload is enriched into a nested document
+    * (object + array) built from the row's own columns, parsed to
+    * VARIANT, and three paths are extracted typed — a nested long, the
+    * original k, and an array element. The oracle builds the SAME
+    * logical document with DuckDB's JSON type and extracts the same
+    * paths, so the comparison pins semantics, not wire format.
+    * Scale: parse+extract is map-only codegen'd work; the aggregate is
+    * one partial-merged shuffle. */
+  val q94VariantExtract = Q(
+    "q94_variant_extract",
+    """WITH j AS (SELECT event_type,
+                        concat('{"meta":{"user":', CAST(user_id AS VARCHAR),
+                               ',"k":', json_extract_string(props, '$.k'),
+                               '},"tags":["', event_type, '","evt"]}') AS payload
+                 FROM events),
+       x AS (SELECT event_type,
+                    CAST(json_extract(payload, '$.meta.user') AS BIGINT) AS vu,
+                    CAST(json_extract(payload, '$.meta.k') AS BIGINT) AS vk,
+                    json_extract_string(payload, '$.tags[0]') AS tag
+             FROM j)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(vk) AS BIGINT) AS sum_k,
+              COUNT(DISTINCT vu) AS n_users,
+              MIN(tag) AS tag0
+       FROM x GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    T(spark, dir, "events")
+      .selectExpr("event_type",
+        """parse_json(concat('{"meta":{"user":', cast(user_id as string),
+           ',"k":', get_json_object(props, '$.k'),
+           '},"tags":["', event_type, '","evt"]}')) as v""")
+      .selectExpr("event_type",
+        "cast(variant_get(v, '$.meta.user', 'long') as long) as vu",
+        "cast(variant_get(v, '$.meta.k', 'long') as long) as vk",
+        "variant_get(v, '$.tags[0]', 'string') as tag")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("vk")).as("sum_k"),
+        countDistinct(col("vu")).as("n_users"), min(col("tag")).as("tag0"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q53JsonExtract, q27Percentiles, q30ApproxPercentile,
-    q62JsonShape)
+    q62JsonShape, q94VariantExtract)
 }

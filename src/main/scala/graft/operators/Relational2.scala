@@ -800,9 +800,38 @@ object Relational2 {
       .orderBy("violation")
   }
 
+  /** q95: correlated LATERAL subquery — per-nation top-2 customers via
+    * `, LATERAL (SELECT ... WHERE correlated ORDER BY ... LIMIT 2)`, the
+    * SQL form users port from Postgres/DuckDB. The statement is
+    * IDENTICAL on both engines; correctness is that Spark's lateral
+    * decorrelation (DecorrelateInnerQuery — rewrites the per-row
+    * subquery into a ranked join, q60's contract extended to LIMIT
+    * under correlation) produces exactly the literal per-row semantics
+    * DuckDB executes. Deterministic tie-break (acctbal DESC, name).
+    * Scale: post-decorrelation this is the q05 per-group top-k shape —
+    * one shuffle + rank, never an N×M nested loop; PlanSpec pins no
+    * cartesian and a window/limit in the plan. */
+  val q95LateralTopk = Q(
+    "q95_lateral_topk",
+    """SELECT n_name, c_name, c_acctbal FROM nation n,
+       LATERAL (SELECT c_name, c_acctbal FROM customer
+                WHERE c_nationkey = n.n_nationkey
+                ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+       ORDER BY n_name, c_acctbal DESC, c_name""") { (spark, dir) =>
+    T(spark, dir, "nation").createOrReplaceTempView("q95_nation")
+    T(spark, dir, "customer").createOrReplaceTempView("q95_customer")
+    spark.sql(
+      """SELECT n_name, c_name, c_acctbal FROM q95_nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM q95_customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+         ORDER BY n_name, c_acctbal DESC, c_name""")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
-    q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist, q88RiAudit)
+    q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist, q88RiAudit,
+    q95LateralTopk)
 }

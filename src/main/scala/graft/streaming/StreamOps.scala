@@ -70,6 +70,18 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** The BUILT-IN dedup tier beside [[dedupFirstSeen]]: Spark's
+    * `dropDuplicatesWithinWatermark` keeps the first ARRIVAL per key,
+    * with dedup guaranteed only inside the watermark horizon — the same
+    * bounded-state posture dedupFirstSeen implements by hand (explicit
+    * event-time timeout). Reach for the built-in when first-arrival
+    * semantics suffice; the custom tier gives first-by-EVENT-TIME
+    * within a batch and tombstone control. StreamingSpec pins both to
+    * the same answer on an in-order fixture, cross-batch. The caller
+    * sets the watermark (same contract as dedupFirstSeen). */
+  def dedupWithinWatermark(events: DataFrame, keyCol: String): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq(keyCol))
+
   /** Streaming exact dedup (ingestion-time): emits the first *emitted*
     * occurrence of each key (e.g. a content hash) within the
     * watermark+timeout horizon — the `flatMapGroupsWithState` custom-state

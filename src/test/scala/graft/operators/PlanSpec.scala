@@ -538,6 +538,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q95: LATERAL decorrelates to a ranked join, never a per-row loop") {
+    val p = plan("q95_lateral_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the correlated LIMIT subquery must be decorrelated")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-nation LIMIT must run as a group limit (map-side before the shuffle)")
+  }
+
+  test("q94: variant parse+extract stays map-only ahead of one partial agg") {
+    val p = plan("q94_variant_extract")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the aggregate must combine map-side")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
+      "one scan: parse-once VARIANT must not force extra passes")
+  }
+
   test("q88: all four violation classes plan as anti-joins, never cross joins") {
     val p = plan("q88_ri_audit")
     assert("LeftAnti".r.findAllIn(p).size >= 4,

@@ -138,6 +138,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in dropDuplicatesWithinWatermark matches the custom dedup on in-order arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, String)]
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(h: String, m: Long, p: String) = (h, new Timestamp(base + m * 60000L), p)
+    val events = stream.toDS().toDF("h", "ts", "payload").withWatermark("ts", "1 hour")
+    val q = StreamOps.dedupWithinWatermark(events, "h")
+      .writeStream.format("memory").queryName("builtin_dedup")
+      .outputMode("append").start()
+    try {
+      // same fixture as the flatMapGroupsWithState test: in-batch dup,
+      // then a cross-batch dup the built-in's state must remember
+      stream.addData(Seq(ev("h1", 0, "a"), ev("h1", 1, "a-dup"), ev("h2", 2, "b")))
+      q.processAllAvailable()
+      stream.addData(Seq(ev("h1", 3, "a-dup2"), ev("h3", 4, "c")))
+      q.processAllAvailable()
+      val out = spark.table("builtin_dedup").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(out === Map("h1" -> "a", "h2" -> "b", "h3" -> "c"),
+        "first arrival per key, duplicates suppressed across batches")
+    } finally q.stop()
+  }
+
   test("MinHashAgg merges correctly across micro-batches (streaming aggregation)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
