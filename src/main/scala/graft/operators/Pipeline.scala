@@ -938,9 +938,49 @@ object Pipeline {
     * inlines the literal 4). */
   private val EpochCap = 4L
 
+  /** x111: leave-one-source-out ABLATION profile — for every source,
+    * what the corpus looks like WITHOUT it: remaining docs/tokens, the
+    * source's own token share, and the remaining mean document length.
+    * The planning table behind source-ablation experiments (x109 plans
+    * how much of each source goes IN; x111 quantifies what taking one
+    * OUT removes — together the mix-design loop). Pure integer
+    * arithmetic off ONE aggregation: per-source totals plus a 1-row
+    * corpus-total broadcast; exclusion is subtraction, never a second
+    * scan per source (the naive form is S scans — the trap this
+    * operator exists to avoid at 100 TB). */
+  val x111AblationProfile = Q(
+    "x111_ablation_profile",
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                  FROM documents),
+       cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+               FROM d GROUP BY source),
+       tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tt FROM cnt)
+       SELECT source, n_docs, n_tokens,
+              CAST(n_tokens * 1000000 // tt AS BIGINT) AS share_ppm,
+              CAST(td - n_docs AS BIGINT) AS docs_excl,
+              CAST(tt - n_tokens AS BIGINT) AS tokens_excl,
+              CAST((tt - n_tokens) // (td - n_docs) AS BIGINT) AS mean_tok_excl
+       FROM cnt, tot ORDER BY source""") { (spark, dir) =>
+    val cnt = T(spark, dir, "documents")
+      .selectExpr("source", "cast(size(split(text, ' ')) as bigint) as n_tok")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = cnt.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tt").as("share_ppm"),
+        (col("td") - col("n_docs")).as("docs_excl"),
+        (col("tt") - col("n_tokens")).as("tokens_excl"),
+        expr("(tt - n_tokens) div (td - n_docs)").as("mean_tok_excl"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
-    x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift)
+    x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
+    x111AblationProfile)
 }

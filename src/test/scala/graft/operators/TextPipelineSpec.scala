@@ -202,6 +202,21 @@ class TextPipelineSpec extends SparkSpec {
       "smallest source must repeat more than the largest")
   }
 
+  test("x111: exclusion columns are exact complements of the totals") {
+    val rows = Pipeline.x111AblationProfile.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val td = rows.map(_.getLong(1)).sum
+    val tt = rows.map(_.getLong(2)).sum
+    for (r <- rows) {
+      assert(r.getLong(4) === td - r.getLong(1), s"${r.getString(0)}: docs_excl")
+      assert(r.getLong(5) === tt - r.getLong(2), s"${r.getString(0)}: tokens_excl")
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / tt, s"${r.getString(0)}: share")
+    }
+    // floor-division shares must sum to <= 1e6 and within S of it
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+  }
+
   test("t41 CMS: forced collisions still over-estimate, never under") {
     import spark.implicits._
     // W=2 buckets guarantees collisions among 6 tokens; the estimate must
