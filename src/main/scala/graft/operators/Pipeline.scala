@@ -33,9 +33,12 @@ object Pipeline {
     * verified pair) → per-language corpus stats. Every stage reuses an
     * oracle-checked operator's exact formula, and the composed result is
     * itself oracle-checked. */
-  val x90CorpusPipeline = Q(
-    "x90_corpus_pipeline",
-    s"""WITH tok AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t, text
+  /** The x90 oracle's CTE chain (quality gate → exact dedup → capped
+    * minhash-LSH near-dup removal → `corpus`), shared verbatim with
+    * [[x112PipelineFunnel]] so the funnel audits the IDENTICAL
+    * pipeline definition. */
+  private val x90DuckCtes =
+    s"""tok AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t, text
                     FROM documents),
         -- quality gate (t23 criteria)
         q AS (SELECT doc_id, lang, n_chars, t, text FROM tok
@@ -67,40 +70,91 @@ object Pipeline {
                  WHERE CAST(len(list_intersect(sa.th, sb.th)) AS DOUBLE)
                        / (len(sa.th) + len(sb.th) - len(list_intersect(sa.th, sb.th))) >= 0.5),
         corpus AS (SELECT qd.* FROM qd LEFT JOIN dups ON qd.doc_id = dups.b_id
-                   WHERE dups.b_id IS NULL)
+                   WHERE dups.b_id IS NULL)"""
+
+  val x90CorpusPipeline = Q(
+    "x90_corpus_pipeline",
+    s"""WITH $x90DuckCtes
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS total_tokens
         FROM corpus GROUP BY lang ORDER BY lang""") { (spark, dir) =>
-    // quality gate (t23 criteria) via the native single-pass token_quality
-    // predicate: written over the projected `t`, projection collapse would
-    // substitute split(text) into the pushed filter three times — the whole
-    // corpus tokenized 3x inside the scan. token_quality makes one byte
-    // pass per document (no arrays), stays codegen'd, and survivors are
-    // tokenized once in the post-filter projection.
+    corpusStages(spark, dir)._3
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(expr("cast(size(t) as bigint)")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  /** The x90 pipeline's Spark stages (quality-filtered, exact-deduped,
+    * final near-deduped corpus) — shared by x90's stats and x112's
+    * funnel so both report the SAME pipeline.
+    *
+    * Quality gate (t23 criteria) via the native single-pass
+    * token_quality predicate: written over the projected `t`,
+    * projection collapse would substitute split(text) into the pushed
+    * filter three times — the whole corpus tokenized 3x inside the
+    * scan. token_quality makes one byte pass per document (no arrays),
+    * stays codegen'd, and survivors are tokenized once in the
+    * post-filter projection. Near-dup pairs via the d28 minhash
+    * pipeline over the filtered corpus; shingle hashes come from the
+    * shared JVM kernel (Dedup.shingleHashesFrom — same derivation as
+    * the oracle's list_distinct(list_transform(s, H))) and pass
+    * through the SAME hot-shingle DF cap as d27/d28 before the
+    * signatures AND the verification sets — the cap is what keeps the
+    * band buckets (and so the candidate join) sub-quadratic at
+    * 100 TB. */
+  private def corpusStages(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val q = T(spark, dir, "documents")
       .filter(graft.functions.TokenQuality(col("text"), 20, 120, 0.25))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         split(col("text"), " ").as("t"))
       .cache()
-    // exact dedup keep-list
     val keep = q.groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val qd = q.join(keep, "doc_id").cache()
-    // near-dup pairs via the d28 minhash pipeline over the filtered corpus;
-    // shingle hashes come from the shared JVM kernel (Dedup.shingleHashesFrom
-    // — same derivation as the oracle's list_distinct(list_transform(s, H)))
-    // and pass through the SAME hot-shingle DF cap as d27/d28 before the
-    // signatures AND the verification sets — the cap is what keeps the band
-    // buckets (and so the candidate join) sub-quadratic at 100 TB
     val hs = Dedup.shingleHashesFrom(qd).cache()
     val sh = Dedup.cappedShingleSets(hs).cache()
     val dups = Dedup.lshVerifiedPairs(sh).select("b_id").distinct()
-    // final corpus = quality-deduped minus near-dup higher ids
-    qd.join(dups, qd("doc_id") === dups("b_id"), "left_anti")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
-        sum(expr("cast(size(t) as bigint)")).as("total_tokens"))
-      .orderBy("lang")
+    val corpus = qd.join(dups, qd("doc_id") === dups("b_id"), "left_anti")
+    (q, qd, corpus)
+  }
+
+  /** x112: the curation-pipeline FUNNEL report — per stage of x90
+    * (input → quality gate → exact dedup → near-dup removal) the
+    * surviving doc count and the retention in ppm of the input: the
+    * observability artifact a data team reads after every pipeline run
+    * ("where did the corpus go?"). The stages ARE x90's (shared
+    * [[corpusStages]] / shared oracle CTE chain), so the funnel can
+    * never describe a different pipeline than the one that ships.
+    * Four counting aggregates over the already-cached stage frames +
+    * a 1-row input-total broadcast; output is 4 rows. */
+  val x112PipelineFunnel = Q(
+    "x112_pipeline_funnel",
+    s"""WITH $x90DuckCtes,
+        i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM documents),
+        f AS (SELECT 0 AS stage_no, 'input' AS stage,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+              UNION ALL SELECT 1, 'quality', COUNT(*) FROM q
+              UNION ALL SELECT 2, 'exact_dedup', COUNT(*) FROM qd
+              UNION ALL SELECT 3, 'near_dedup', COUNT(*) FROM corpus)
+        SELECT CAST(stage_no AS BIGINT) AS stage_no, stage, n_docs,
+               CAST(n_docs * 1000000 // n0 AS BIGINT) AS retained_ppm
+        FROM f, i ORDER BY stage_no""") { (spark, dir) =>
+    val (q, qd, corpus) = corpusStages(spark, dir)
+    val input = T(spark, dir, "documents")
+    def row(no: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    val f = row(0L, "input", input)
+      .unionByName(row(1L, "quality", q))
+      .unionByName(row(2L, "exact_dedup", qd))
+      .unionByName(row(3L, "near_dedup", corpus))
+    val i = input.agg(count(lit(1)).as("n0"))
+    f.crossJoin(broadcast(i))
+      .select(col("stage_no"), col("stage"), col("n_docs"),
+        expr("n_docs * 1000000 div n0").as("retained_ppm"))
+      .orderBy("stage_no")
   }
 
   /** Source-balanced dataset mixing: deterministically downsample every
@@ -982,5 +1036,5 @@ object Pipeline {
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
-    x111AblationProfile)
+    x111AblationProfile, x112PipelineFunnel)
 }

@@ -995,9 +995,37 @@ object TextOps {
         sum(when(col("n_sub") === 1L, 1L).otherwise(0L)).as("n_single"),
         expr("sum(n_sub) * 1000000 div count(1)").as("subwords_per_token_ppm"))
 
+  /** t45: canonical text NORMALIZATION — the cleaning map every corpus
+    * goes through before hashing/dedup (lowercase, collapse whitespace
+    * runs, trim), emitted with before/after lengths, a changed flag and
+    * the md5 of the canonical form (the content key exact dedup would
+    * run on post-cleaning — d26 on raw text and d26-on-t45 differ
+    * exactly where normalization collapses variants, which is the
+    * point). Map-only, codegen'd built-ins, no shuffle; the oracle runs
+    * the same three functions in DuckDB (regexp_replace needs the 'g'
+    * flag there — Spark's is global by default, a classic silent
+    * cross-dialect divergence this oracle row pins). */
+  val t45Normalize = Q(
+    "t45_normalize",
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+       CAST(length(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS BIGINT) AS n_norm,
+       CAST(CASE WHEN lower(trim(regexp_replace(text, ' +', ' ', 'g'))) = text
+                 THEN 0 ELSE 1 END AS BIGINT) AS changed,
+       md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS norm_md5
+       FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .withColumn("norm", lower(trim(regexp_replace(col("text"), " +", " "))))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(col("norm")).cast("long").as("n_norm"),
+        when(col("norm") === col("text"), 0L).otherwise(1L).as("changed"),
+        md5(col("norm").cast("binary")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
-    t42LangConfusion, t43BpeMerges, t44BpeEncode)
+    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize)
 }
