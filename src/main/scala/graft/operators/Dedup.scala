@@ -1305,8 +1305,57 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** The shared d43 arithmetic — ONE string parsed by BOTH engines, so
+    * every multiply happens in the same IEEE order and the doubles are
+    * bit-identical (pow() is NOT correctly-rounded and may differ per
+    * engine; explicit association is): p_band = s^r unrolled per r,
+    * p_detect = 1 - (1-p_band)^b unrolled per b. */
+  private val d43Select =
+    """SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+              CAST(i * 5 AS BIGINT) AS s_pct,
+              CASE r WHEN 2 THEN s * s
+                     WHEN 3 THEN (s * s) * s
+                     ELSE ((s * s) * s) * ((s * s) * s) END AS p_band,
+              CASE b WHEN 2 THEN 1.0 - (q(r, s) * q(r, s))
+                     WHEN 4 THEN 1.0 - ((q(r, s) * q(r, s)) * (q(r, s) * q(r, s)))
+                     ELSE 1.0 - (((q(r, s) * q(r, s)) * (q(r, s) * q(r, s)))
+                               * ((q(r, s) * q(r, s)) * (q(r, s) * q(r, s)))) END
+                AS p_detect"""
+
+  /** d43: LSH PARAMETER PLANNER — the detection-probability table behind
+    * the engine's banding choice: for each candidate (bands b, rows r)
+    * config and each Jaccard level s, the band-collision probability
+    * s^r and the any-band detection probability 1 − (1−s^r)^b — the
+    * S-curve a dedup designer reads to pick the b/r that catches
+    * s ≥ 0.5 pairs while starving s ≤ 0.2 noise (the production config
+    * b=4, r=3 sits in the table beside its alternatives; d41 then
+    * CALIBRATES the chosen estimator against real pairs — d43 plans,
+    * d41 audits). Pure closed form: a 3-config × 20-level grid, zero
+    * data touched; both dialects share the literal arithmetic string so
+    * the doubles hash-match (no pow(), explicit multiply association). */
+  val d43LshPlanner = Q(
+    "d43_lsh_planner",
+    s"""WITH cfg(b, r) AS (VALUES (2, 6), (4, 3), (8, 2)),
+        lv AS (SELECT i, CAST(i AS DOUBLE) / 20.0 AS s
+               FROM range(1, 21) t(i)),
+        g AS (SELECT b, r, i, s FROM cfg, lv)
+        ${d43Select.replace("q(r, s)",
+          "(1.0 - (CASE r WHEN 2 THEN s * s WHEN 3 THEN (s * s) * s " +
+            "ELSE ((s * s) * s) * ((s * s) * s) END))")}
+        FROM g ORDER BY b, r, s_pct""") { (spark, dir) =>
+    val cfg = spark.sql("SELECT * FROM VALUES (2, 6), (4, 3), (8, 2) AS cfg(b, r)")
+    val lv = spark.range(1, 21).selectExpr("cast(id as int) as i",
+      "cast(id as double) / 20.0 as s")
+    cfg.crossJoin(lv).createOrReplaceTempView("d43_g")
+    spark.sql(
+      s"""${d43Select.replace("q(r, s)",
+           "(1.0 - (CASE r WHEN 2 THEN s * s WHEN 3 THEN (s * s) * s " +
+             "ELSE ((s * s) * s) * ((s * s) * s) END))")}
+         FROM d43_g ORDER BY b, r, s_pct""")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
-    d41MinhashCalibration,
+    d41MinhashCalibration, d43LshPlanner,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
     d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)

@@ -194,4 +194,21 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(_.getLong(1) == 0L),
       "fixture must reject at least one batch doc or the test is vacuous")
   }
+
+  test("d43: detection S-curve is monotone; b=4,r=3 separates 0.5 from 0.2") {
+    val rows = Dedup.d43LshPlanner.fn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(4))).toMap
+    assert(rows.size === 60)
+    // monotone in s within every config
+    for (((b, r), grp) <- rows.groupBy { case ((b, r, _), _) => (b, r) }) {
+      val curve = grp.toSeq.sortBy(_._1._3).map(_._2)
+      assert(curve.zip(curve.tail).forall { case (a, c) => a <= c },
+        s"config ($b,$r) curve must be monotone")
+    }
+    // the production config catches true near-dups and starves noise
+    val at50 = rows((4L, 3L, 50L))
+    val at20 = rows((4L, 3L, 20L))
+    assert(at50 > 0.4, s"s=0.5 detection $at50 too low")
+    assert(at20 < 0.05, s"s=0.2 detection $at20 must stay negligible")
+  }
 }
