@@ -1341,8 +1341,59 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** s44: HYBRID two-stage retrieval — BM25 lexical candidates, then an
+    * embedding-cosine re-rank: the production RAG retrieval shape
+    * (cheap sparse recall over the whole corpus, expensive dense
+    * precision over 20 candidates). Stage 1 is t37's scorer VERBATIM
+    * (shared [[graft.operators.TextOps.bm25Scores]]/bm25DuckCtes —
+    * hybrid and pure-lexical can never disagree about the lexical
+    * score); stage 2 joins the candidates' embeddings (vec_id aligns
+    * with doc_id in the testdata) and re-ranks by exact cosine against
+    * the deterministic stand-in query embedding (vec_id 0 — where a
+    * real system embeds the query text). Output carries BOTH ranks, so
+    * the reorder the dense stage applies is itself visible data.
+    *
+    * Scale: stage 1 is t37's TakeOrdered posture corpus-wide; stage 2
+    * touches exactly 20 vectors — the per-query cost a re-ranker adds
+    * is O(candidates · dim), independent of corpus size, which is the
+    * entire argument for the two-stage shape. The 20-row brnk window
+    * is a single tiny partition by construction. */
+  val s44HybridRetrieval = Q(
+    "s44_hybrid_retrieval",
+    s"""WITH ${graft.operators.TextOps.bm25DuckCtes},
+        $duckVecs,
+        cand AS (SELECT doc_id, score,
+                        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS brnk
+                 FROM bmscore ORDER BY brnk LIMIT 20),
+        qv AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+        rr AS (SELECT c.doc_id, c.brnk,
+                      ${Cosine.duckDot("qv.v", "n.v")} / (qv.nrm * n.nrm) AS cos
+               FROM cand c JOIN e n ON c.doc_id = n.vec_id, qv),
+        fin AS (SELECT doc_id, CAST(brnk AS BIGINT) AS bm25_rank, cos,
+                       ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+                FROM rr)
+        SELECT doc_id, bm25_rank, cos, CAST(rnk AS BIGINT) AS rnk
+        FROM fin WHERE rnk <= 5 ORDER BY rnk""") { (spark, dir) =>
+    val cand = graft.operators.TextOps.bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("brnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val e = vecs(spark, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("v").as("vq"), col("nrm").as("nq"))
+    val wTop = Window.orderBy(col("cos").desc, col("doc_id"))
+    cand
+      .join(e.select(col("vec_id").as("doc_id"), col("v").as("vn"), col("nrm").as("nn")), "doc_id")
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .select(col("doc_id"), col("brnk").as("bm25_rank"), col("cos"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, s41IvfStats, s42VectorAudit, s43IvfPqKnn)
+    x107Pagerank, s41IvfStats, s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval)
 }

@@ -547,9 +547,11 @@ object TextOps {
     * |terms| rows per doc; the top-10 is a TakeOrdered (per-partition
     * heads, never a global sort). Per-term scores add in a FIXED literal
     * order, so the double total needs no decimal rounding detour. */
-  val t37Bm25 = Q(
-    "t37_bm25",
-    s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  /** The BM25 scoring CTE chain (ends in `bmscore(doc_id, score)`) —
+    * shared by the t37 oracle and s44's hybrid-retrieval oracle so
+    * both score with the identical lexical formula. */
+  private[graft] val bm25DuckCtes =
+    s"""dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
                     FROM documents),
         st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
                FROM dl),
@@ -567,11 +569,23 @@ object TextOps {
         agg AS (SELECT doc_id,
                        ${Bm25Terms.zipWithIndex.map { case (t, i) =>
                          s"MAX(CASE WHEN w = '$t' THEN s END) AS s$i" }.mkString(", ")}
-                FROM sc GROUP BY doc_id)
-        SELECT doc_id,
+                FROM sc GROUP BY doc_id),
+        bmscore AS (SELECT doc_id,
                ${Bm25Terms.indices.map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")} AS score
-        FROM agg
+        FROM agg)"""
+
+  val t37Bm25 = Q(
+    "t37_bm25",
+    s"""WITH $bm25DuckCtes
+        SELECT doc_id, score FROM bmscore
         ORDER BY score DESC, doc_id LIMIT 10""") { (spark, dir) =>
+    bm25Scores(spark, dir).orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
+  /** The Spark BM25 scorer (doc_id, score) — t37's body, shared with
+    * s44's hybrid first stage. */
+  private[graft] def bm25Scores(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val docs = T(spark, dir, "documents")
     val dl = docs.selectExpr("doc_id",
       "cast(size(split(text, ' ')) as bigint) as dl")
@@ -599,8 +613,6 @@ object TextOps {
         Bm25Terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
           .reduce(_ + _))
       .select("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
   }
 
   /** Vocabulary size for [[t38VocabOov]]. */
