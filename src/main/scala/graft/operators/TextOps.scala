@@ -1035,9 +1035,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t46: the Gopher-style RULE SUITE — the published multi-rule
+    * document filter (Rae et al.'s quality heuristics re-expressed on
+    * this corpus' scale): word-count band, mean-word-length band,
+    * minimum stop-word evidence (>= 2 occurrences of a fixed 5-word
+    * stop list — the "is this prose at all" test), and a distinct-token
+    * floor (exact integer form n_distinct·2 >= n — no ratio doubles
+    * needed). Each rule emits its own flag so a data team can see WHICH
+    * rule kills a document, plus the conjunctive keep — t23 is the
+    * compact 2-rule gate x90 pipelines; t46 is the full audit table.
+    * Map-only, one tokenization pass per dialect, no shuffle. */
+  val t46GopherRules = Q(
+    "t46_gopher_rules",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc
+                  FROM documents),
+       f AS (SELECT doc_id,
+                    CAST(len(t) AS BIGINT) AS n_tokens,
+                    CAST(CASE WHEN len(t) BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+                    CAST(CASE WHEN CAST(nc - len(t) + 1 AS DOUBLE) / len(t) BETWEEN 3.0 AND 10.0
+                              THEN 1 ELSE 0 END AS BIGINT) AS r_meanwordlen,
+                    CAST(CASE WHEN len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'in'))) >= 2
+                              THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+                    CAST(CASE WHEN len(list_distinct(t)) * 2 >= len(t)
+                              THEN 1 ELSE 0 END AS BIGINT) AS r_distinct
+             FROM d)
+       SELECT doc_id, n_tokens, r_wordcount, r_meanwordlen, r_stopwords, r_distinct,
+              CAST(r_wordcount * r_meanwordlen * r_stopwords * r_distinct AS BIGINT) AS keep
+       FROM f ORDER BY doc_id""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        length(col("text")).as("nc"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(size(col("t")).between(20, 90), 1L).otherwise(0L).as("r_wordcount"),
+        when(((col("nc") - size(col("t")) + 1).cast("double") / size(col("t")))
+          .between(3.0, 10.0), 1L).otherwise(0L).as("r_meanwordlen"),
+        when(expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'to', 'in'))) >= 2"),
+          1L).otherwise(0L).as("r_stopwords"),
+        when(expr("size(array_distinct(t)) * 2 >= size(t)"), 1L)
+          .otherwise(0L).as("r_distinct"))
+      .withColumn("keep",
+        (col("r_wordcount") * col("r_meanwordlen") *
+          col("r_stopwords") * col("r_distinct")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
-    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize)
+    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize, t46GopherRules)
 }
