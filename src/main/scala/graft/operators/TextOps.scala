@@ -1045,9 +1045,11 @@ object TextOps {
     * rule kills a document, plus the conjunctive keep — t23 is the
     * compact 2-rule gate x90 pipelines; t46 is the full audit table.
     * Map-only, one tokenization pass per dialect, no shuffle. */
-  val t46GopherRules = Q(
-    "t46_gopher_rules",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc
+  /** t46's rule CTE chain (ends in `f` with the per-rule flags) —
+    * shared with x113's kill-rate matrix so the audit aggregates the
+    * IDENTICAL rule definitions. */
+  private[graft] val gopherDuckCtes =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc
                   FROM documents),
        f AS (SELECT doc_id,
                     CAST(len(t) AS BIGINT) AS n_tokens,
@@ -1058,7 +1060,11 @@ object TextOps {
                               THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
                     CAST(CASE WHEN len(list_distinct(t)) * 2 >= len(t)
                               THEN 1 ELSE 0 END AS BIGINT) AS r_distinct
-             FROM d)
+             FROM d)"""
+
+  val t46GopherRules = Q(
+    "t46_gopher_rules",
+    s"""WITH $gopherDuckCtes
        SELECT doc_id, n_tokens, r_wordcount, r_meanwordlen, r_stopwords, r_distinct,
               CAST(r_wordcount * r_meanwordlen * r_stopwords * r_distinct AS BIGINT) AS keep
        FROM f ORDER BY doc_id""") { (spark, dir) =>
@@ -1080,9 +1086,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x113: per-source RULE KILL-RATE matrix — the question a data team
+    * asks right after t46 ("which sources die to which rule"): per
+    * source, the doc count, each rule's kill count, the surviving
+    * count and keep rate in ppm. Composes the REGISTERED t46 operator
+    * wholesale (x112's pattern — the audit can never describe rules
+    * the filter doesn't ship) joined to the source column; one
+    * partial-aggregated pass over the flag frame. A rule that
+    * disproportionately kills one source is either a bad rule or a bad
+    * source — this table is where that argument starts. */
+  val x113KillMatrix = Q(
+    "x113_kill_matrix",
+    s"""WITH $gopherDuckCtes,
+        j AS (SELECT f.*, d2.source FROM f JOIN documents d2 ON f.doc_id = d2.doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(1 - r_wordcount) AS BIGINT) AS kill_wordcount,
+               CAST(SUM(1 - r_meanwordlen) AS BIGINT) AS kill_meanwordlen,
+               CAST(SUM(1 - r_stopwords) AS BIGINT) AS kill_stopwords,
+               CAST(SUM(1 - r_distinct) AS BIGINT) AS kill_distinct,
+               CAST(SUM(r_wordcount * r_meanwordlen * r_stopwords * r_distinct) AS BIGINT) AS n_keep,
+               CAST(SUM(r_wordcount * r_meanwordlen * r_stopwords * r_distinct)
+                      * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+        FROM j GROUP BY source ORDER BY source""") { (spark, dir) =>
+    t46GopherRules.fn(spark, dir)
+      .join(T(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("r_wordcount")).as("kill_wordcount"),
+        sum(lit(1L) - col("r_meanwordlen")).as("kill_meanwordlen"),
+        sum(lit(1L) - col("r_stopwords")).as("kill_stopwords"),
+        sum(lit(1L) - col("r_distinct")).as("kill_distinct"),
+        sum(col("keep")).as("n_keep"))
+      .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
-    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize, t46GopherRules)
+    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize, t46GopherRules, x113KillMatrix)
 }
