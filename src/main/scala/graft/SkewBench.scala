@@ -246,6 +246,15 @@ object SkewBench {
     // into ≤ 2^16-row partitions; the interleave position stays map-only
     // over the S-row totals broadcast — rank is never a key
     "x106_curriculum_order",
+    // s44 under the pile: the dup text's terms dominate the tf counts but
+    // the partials absorb them per (doc, term); candidates are a FIXED 20
+    // rows regardless of corpus heat, and the dense stage touches exactly
+    // those — the two-stage shape is skew-immune by construction
+    "s44_hybrid_retrieval",
+    // x113 under the pile: the flag frame is map-only per doc; the dup
+    // docs land in one source's partial counts — absorbed map-side like
+    // every counting aggregate here
+    "x113_kill_matrix",
     // x108 under the pile: identical texts share one md5, so the
     // expand-distinct partials collapse the 10k copies to one
     // (source, lang, hash) row map-side; group keys stay (source, lang)

@@ -1031,10 +1031,62 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** x114: corpus-version CHURN audit — the doc-level complement of
+    * x105 (which shards changed) and x110 (did the distribution move):
+    * per (class, source), how many documents were ADDED, REMOVED,
+    * CHANGED (same id, different content hash) or KEPT between two
+    * corpus versions. Versions are synthesized deterministically from
+    * the hash bucket (q72's pattern, x110's bucket convention): v1
+    * excludes bucket 5 (those arrive in v2 = added), v2 excludes
+    * bucket 7 (removed) and edits bucket 3's text (changed) — all four
+    * classes non-empty and both dialects build the identical versions.
+    * Shape: one FULL OUTER join on doc_id comparing content hashes —
+    * at 100 TB both sides shuffle once on the id and the hash compare
+    * is per-row; the output is |sources|·4 rows of counts. */
+  val x114ChurnAudit = Q(
+    "x114_churn_audit",
+    s"""WITH d AS (SELECT doc_id, source, text,
+                          ${H.d("CAST(doc_id AS VARCHAR)")} % 20 AS b
+                   FROM documents),
+        v1 AS (SELECT doc_id, source, md5(text) AS h FROM d WHERE b <> 5),
+        v2 AS (SELECT doc_id, source,
+                      CASE WHEN b = 3 THEN md5(text || ' v2-edit') ELSE md5(text) END AS h
+               FROM d WHERE b <> 7),
+        j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                     COALESCE(v1.source, v2.source) AS source,
+                     CASE WHEN v1.doc_id IS NULL THEN 'added'
+                          WHEN v2.doc_id IS NULL THEN 'removed'
+                          WHEN v1.h <> v2.h THEN 'changed'
+                          ELSE 'kept' END AS class
+              FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT class, source, COUNT(*) AS n
+        FROM j GROUP BY class, source ORDER BY class, source""") { (spark, dir) =>
+    val d = T(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "text",
+        s"${H.s("cast(doc_id as string)")} % 20 as b")
+      .cache() // both versions derive from one scan
+    val v1 = d.filter(col("b") =!= 5)
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+    val v2 = d.filter(col("b") =!= 7)
+      .select(col("doc_id"), col("source"),
+        when(col("b") === 3,
+          md5(concat(col("text"), lit(" v2-edit")).cast("binary")))
+          .otherwise(md5(col("text").cast("binary"))).as("h"))
+    v1.as("a").join(v2.as("c"), col("a.doc_id") === col("c.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.source"), col("c.source")).as("source"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("c.doc_id").isNull, "removed")
+          .when(col("a.h") =!= col("c.h"), "changed")
+          .otherwise("kept").as("class"))
+      .groupBy("class", "source").agg(count(lit(1)).as("n"))
+      .orderBy("class", "source")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
-    x111AblationProfile, x112PipelineFunnel)
+    x111AblationProfile, x112PipelineFunnel, x114ChurnAudit)
 }
