@@ -1354,8 +1354,50 @@ object Dedup {
          FROM d43_g ORDER BY b, r, s_pct""")
   }
 
+  /** d45: FINGERPRINT COLLISION audit — is t25's cheap order-sensitive
+    * poly hash (mod 1e9+7) safe as a dedup key? Per corpus: doc count,
+    * distinct exact content hashes (md5, the truth), distinct poly
+    * fingerprints, and the number of CONTENT-DISTINCT documents whose
+    * poly fingerprint collides with a different content (the unsafe
+    * event: a cheap-key dedup would wrongly merge them). On clean data
+    * collisions should be 0 — but the audit is the evidence, not the
+    * assumption (birthday bound at 1e9+7 bites around ~3·10⁴ distinct
+    * texts: at 100 TB you MUST see this number before trusting the
+    * cheap key, and it tells you to widen the modulus). Two counting
+    * aggregations over (md5, poly) pairs — no joins, no text shuffled. */
+  val d45FingerprintAudit = Q(
+    "d45_fingerprint_audit",
+    s"""WITH fp AS (SELECT md5(text) AS h,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ' '), x -> ${H.d("x")} % 1000000007)),
+                  (acc, v) -> (acc * 31 + v) % 1000000007) AS poly
+               FROM documents),
+        u AS (SELECT DISTINCT h, poly FROM fp),
+        pc AS (SELECT poly, COUNT(*) AS n_contents FROM u GROUP BY poly)
+        SELECT CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_docs,
+               CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_distinct_content,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_poly,
+               CAST(SUM(CASE WHEN n_contents > 1 THEN n_contents ELSE 0 END) AS BIGINT)
+                 AS n_colliding_contents
+        FROM pc""") { (spark, dir) =>
+    val fp = T(spark, dir, "documents").selectExpr(
+      "md5(text) as h",
+      s"aggregate(transform(split(text, ' '), x -> ${H.s("x")} % 1000000007)," +
+        s" cast(0 as bigint), (acc, v) -> (acc * 31 + v) % 1000000007) as poly")
+      .cache()
+    val u = fp.select("h", "poly").distinct().cache()
+    val pc = u.groupBy("poly").agg(count(lit(1)).as("n_contents"))
+    pc.agg(count(lit(1)).as("n_distinct_poly"),
+        sum(when(col("n_contents") > 1, col("n_contents")).otherwise(0L))
+          .as("n_colliding_contents"))
+      .crossJoin(broadcast(fp.agg(count(lit(1)).as("n_docs"))))
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n_distinct_content"))))
+      .select("n_docs", "n_distinct_content", "n_distinct_poly",
+        "n_colliding_contents")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
-    d41MinhashCalibration, d43LshPlanner,
+    d41MinhashCalibration, d43LshPlanner, d45FingerprintAudit,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
     d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)

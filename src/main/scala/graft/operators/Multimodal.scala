@@ -353,8 +353,50 @@ object Multimodal {
       .orderBy("doc_id", "frame")
   }
 
+  /** m48: FIXED-BLOCK chunk-dedup manifest — blob storage's block-level
+    * dedup audit: every media payload (text bytes as the stand-in blob,
+    * m41's convention) is cut into fixed 64-byte blocks, each block
+    * content-hashed, and the corpus-level manifest reports how much
+    * block-level redundancy exists (the savings a content-addressed
+    * blob store would realize — the coarse cousin of content-defined
+    * chunking, whose rolling-hash boundaries don't fit a SQL oracle;
+    * fixed blocks are what parquet page dedup and most object stores
+    * actually do). One explode + two counting aggregations; no joins,
+    * blocks never leave their task until the count partials. */
+  val m48ChunkManifest = Q(
+    "m48_chunk_manifest",
+    """WITH c AS (SELECT doc_id, i,
+                         md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS ch,
+                         length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS clen
+                  FROM documents,
+                       unnest(generate_series(0, CAST((length(text) - 1) // 64 AS BIGINT))) t(i))
+       SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM c) AS BIGINT) AS n_blobs,
+              CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+              CAST(SUM(clen) AS BIGINT) AS total_bytes,
+              CAST((COUNT(*) - COUNT(DISTINCT ch)) * 1000000 // COUNT(*) AS BIGINT)
+                AS dup_chunk_ppm
+       FROM c""") { (spark, dir) =>
+    val c = T(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) - 1) div 64)")).as("i"))
+      .select(col("doc_id"),
+        md5(expr("cast(substring(text, cast(i * 64 + 1 as int), 64) as binary)")).as("ch"),
+        length(expr("substring(text, cast(i * 64 + 1 as int), 64)")).as("clen"))
+      .cache()
+    c.agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_distinct_chunks"),
+        sum(col("clen")).cast("long").as("total_bytes"))
+      .crossJoin(broadcast(
+        c.agg(countDistinct(col("doc_id")).as("n_blobs"))))
+      .select(col("n_blobs"), col("n_chunks"), col("n_distinct_chunks"),
+        col("total_bytes"),
+        expr("(n_chunks - n_distinct_chunks) * 1000000 div n_chunks")
+          .as("dup_chunk_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup,
       m46MediaComponents,
-      m45AudioFrames, m47SceneCuts)
+      m45AudioFrames, m47SceneCuts, m48ChunkManifest)
 }
