@@ -791,15 +791,28 @@ object Pipeline {
     *
     * Bit-equal to the single-window formulation (CurriculumRankSpec
     * pins it at W = 8, forcing every level live). */
-  val x106CurriculumOrder = Q(
-    "x106_curriculum_order",
-    """WITH r AS (SELECT doc_id, source, n_chars,
+  /** The x106 CTE prefix (per-source rank `rs` + global interleave
+    * `pos`) — shared with x115's shard cut. */
+  private val curriculumDuckCtes =
+    """r AS (SELECT doc_id, source, n_chars,
                          ROW_NUMBER() OVER (PARTITION BY source
                            ORDER BY n_chars DESC, doc_id) AS rs
-                  FROM documents)
-       SELECT doc_id, source, n_chars, CAST(rs AS BIGINT) AS rs,
+                  FROM documents),
+       o AS (SELECT doc_id, source, n_chars, CAST(rs AS BIGINT) AS rs,
               ROW_NUMBER() OVER (ORDER BY rs, source) - 1 AS pos
-       FROM r ORDER BY doc_id""") { (spark, dir) =>
+       FROM r)"""
+
+  val x106CurriculumOrder = Q(
+    "x106_curriculum_order",
+    s"""WITH $curriculumDuckCtes
+       SELECT doc_id, source, n_chars, rs, pos FROM o ORDER BY doc_id""") {
+    (spark, dir) => curriculumOrdered(spark, dir).orderBy("doc_id")
+  }
+
+  /** The curriculum-ordered frame (doc_id, source, n_chars, rs, pos) —
+    * x106's body, shared with x115's export-shard cut. */
+  private def curriculumOrdered(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val d = T(spark, dir, "documents").select("doc_id", "source", "n_chars")
     val ranked = curriculumRanked(d)
     // S-row totals ride as ONE broadcast array-of-structs; sort_array
@@ -815,7 +828,35 @@ object Pipeline {
           expr("aggregate(cnts, 0L, (a, x) -> a + " +
             "(case when x.s < source and x.n >= rs then 1L else 0L end))"))
       .select("doc_id", "source", "n_chars", "rs", "pos")
-      .orderBy("doc_id")
+  }
+
+  /** x115: CURRICULUM EXPORT SHARDS — x106's interleaved training order
+    * cut into fixed 100-doc shards, each summarized (docs, distinct
+    * sources, pos range, payload chars): the artifact a curriculum
+    * export actually ships — x104 manifests the hash-ordered export,
+    * x115 manifests the CURRICULUM-ordered one, and because the order
+    * round-robins sources at each rank, every early shard should mix
+    * sources (the n_sources column makes the no-source-starves-the-head
+    * property inspectable per shard). The shard cut is `pos div 100` —
+    * map-only over the closed-form position; per-shard rollups are one
+    * partial-merged aggregation. */
+  val x115CurriculumShards = Q(
+    "x115_curriculum_shards",
+    s"""WITH $curriculumDuckCtes
+       SELECT pos // 100 AS shard, COUNT(*) AS n_docs,
+              COUNT(DISTINCT source) AS n_sources,
+              CAST(MIN(pos) AS BIGINT) AS pos_min,
+              CAST(MAX(pos) AS BIGINT) AS pos_max,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       FROM o GROUP BY shard ORDER BY shard""") { (spark, dir) =>
+    curriculumOrdered(spark, dir)
+      .withColumn("shard", expr("pos div 100"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("pos")).as("pos_min"), max(col("pos")).as("pos_max"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy("shard")
   }
 
   /** x106's bucketed per-source rank kernel: rs = ROW_NUMBER()
@@ -1088,5 +1129,6 @@ object Pipeline {
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
-    x111AblationProfile, x112PipelineFunnel, x114ChurnAudit)
+    x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
+    x115CurriculumShards)
 }

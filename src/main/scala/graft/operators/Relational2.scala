@@ -828,10 +828,57 @@ object Relational2 {
          ORDER BY n_name, c_acctbal DESC, c_name""")
   }
 
+  /** q96: NULL-semantics parity battery — one oracle row pinning the
+    * NULL edge rules ports break on, each as its own column over a
+    * 5-row inline fixture (both dialects build the identical VALUES —
+    * no table needed): aggregates skip NULLs but COUNT(*) doesn't;
+    * COUNT(DISTINCT) ignores NULLs; null-safe equality (Spark `<=>`,
+    * standard IS NOT DISTINCT FROM) vs `=`; NULL propagation through
+    * arithmetic; COALESCE pickup; CASE's NULL-is-false arm; and
+    * GREATEST/LEAST ignoring NULLs (a spot engines genuinely differ —
+    * both these engines skip NULLs rather than propagate). Every result
+    * is CAST to BIGINT per the oracle typing rule. */
+  val q96NullSemantics = Q(
+    "q96_null_semantics",
+    """WITH t(k, v) AS (VALUES (1, 10), (2, NULL), (3, 30), (4, NULL), (5, 10))
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+              CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+              CAST(SUM(v) AS BIGINT) AS sum_skips_nulls,
+              CAST(MIN(v) AS BIGINT) AS min_skips_nulls,
+              CAST(SUM(CASE WHEN v = 10 THEN 1 ELSE 0 END) AS BIGINT) AS eq_matches,
+              CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS nullsafe_null_matches,
+              CAST(SUM(CASE WHEN v + 1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS arith_propagates,
+              CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS coalesce_sum,
+              CAST(SUM(CASE WHEN v > 15 THEN 1 ELSE 0 END) AS BIGINT)
+                AS case_null_is_false,
+              CAST(MAX(GREATEST(v, 5)) AS BIGINT) AS greatest_skips_nulls
+       FROM t""") { (spark, dir) =>
+    spark.sql(
+      """WITH t(k, v) AS (VALUES (1, 10), (2, NULL), (3, 30), (4, NULL), (5, 10))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+                CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+                CAST(SUM(v) AS BIGINT) AS sum_skips_nulls,
+                CAST(MIN(v) AS BIGINT) AS min_skips_nulls,
+                CAST(SUM(CASE WHEN v = 10 THEN 1 ELSE 0 END) AS BIGINT) AS eq_matches,
+                CAST(SUM(CASE WHEN v <=> NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nullsafe_null_matches,
+                CAST(SUM(CASE WHEN v + 1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS arith_propagates,
+                CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS coalesce_sum,
+                CAST(SUM(CASE WHEN v > 15 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS case_null_is_false,
+                CAST(MAX(GREATEST(v, 5)) AS BIGINT) AS greatest_skips_nulls
+         FROM t""")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
     q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist, q88RiAudit,
-    q95LateralTopk)
+    q95LateralTopk, q96NullSemantics)
 }
