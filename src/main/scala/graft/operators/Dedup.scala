@@ -1396,8 +1396,74 @@ object Dedup {
         "n_colliding_contents")
   }
 
+  /** d46: PREFIX-FILTERING set-similarity join (AllPairs/PPJoin) — the
+    * third exact-Jaccard candidate strategy beside d27's full inverted
+    * index and d28's LSH: order every doc's (capped) shingles by GLOBAL
+    * rarity (df ASC, h ASC) and index only each doc's first
+    * n − ⌈t·n⌉ + 1 shingles. Completeness is the classic prefix-filter
+    * lemma: for any pair with J ≥ t, the globally-smallest COMMON
+    * shingle must sit inside BOTH prefixes (if it missed x's prefix,
+    * every common shingle would live in x's suffix of size ⌈t·n⌉ − 1 <
+    * t·n ≤ |∩| — contradiction), so the prefix-to-prefix equi-join
+    * loses nothing; Dedup spec pins d46's rows EQUAL to d27's.
+    * Scale: the index halves per doc at t = 0.5 and, more importantly,
+    * candidates form only through RARE shingles (each prefix token's
+    * pairs ≤ its df² / 2 ≤ cap²/2 — the frequent tokens that dominate
+    * d27's runs never enter the index); verification then touches only
+    * surviving candidate pairs. */
+  val d46PrefixJoin = Q(
+    "d46_prefix_join",
+    s"""WITH $duckShingles,
+        $duckCappedSets,
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex2 GROUP BY doc_id),
+        rk AS (SELECT ex2.doc_id, ex2.h,
+                      ROW_NUMBER() OVER (PARTITION BY ex2.doc_id
+                        ORDER BY dfreq.df, ex2.h) AS rnk
+               FROM ex2 JOIN dfreq ON ex2.h = dfreq.h),
+        pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN sz ON rk.doc_id = sz.doc_id
+                 WHERE rk.rnk <= sz.n_sh - ((sz.n_sh + 1) // 2) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
+        pairs AS (SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+                  FROM cand c JOIN ex2 ea ON ea.doc_id = c.a_id
+                              JOIN ex2 eb ON eb.doc_id = c.b_id AND eb.h = ea.h
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ORDER BY a_id, b_id""") { (spark, dir) =>
+    val hs = shingleHashes(spark, dir).cache()
+    val ex = cappedShingleIndex(hs).cache()
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val pref = ex.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(wDoc))
+      .join(sz, "doc_id")
+      .filter(col("rnk") <= expr("n_sh - ((n_sh + 1) div 2) + 1"))
+      .select("doc_id", "h")
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
-    d41MinhashCalibration, d43LshPlanner, d45FingerprintAudit,
+    d41MinhashCalibration, d43LshPlanner, d45FingerprintAudit, d46PrefixJoin,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
     d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)

@@ -211,4 +211,15 @@ class DedupSpec extends SparkSpec {
     assert(at50 > 0.4, s"s=0.5 detection $at50 too low")
     assert(at20 < 0.05, s"s=0.2 detection $at20 must stay negligible")
   }
+
+  test("d46 prefix-filter join returns exactly d27's pairs (completeness + precision)") {
+    def pairs(q: Q) = q.fn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(5)))).toMap
+    val full = pairs(Dedup.d27NgramJaccard)
+    val pref = pairs(Dedup.d46PrefixJoin)
+    assert(full.nonEmpty)
+    assert(pref === full,
+      "the prefix filter must prune candidates, never results - the " +
+        "globally-min common shingle lands in both prefixes")
+  }
 }
