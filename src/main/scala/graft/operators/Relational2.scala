@@ -875,10 +875,49 @@ object Relational2 {
          FROM t""")
   }
 
+  /** q97: TEMPORAL-semantics parity battery — q96's companion for the
+    * other classic porting breakage class, pinned on the nastiest
+    * fixture date there is (2000-02-29, a leap day in a century year):
+    * field extraction, day-of-week NAMING (the numeric dow conventions
+    * genuinely differ across engines — DuckDB counts Sunday=0, Spark
+    * Sunday=1 — so the portable form is the name, and this row pins
+    * that), month-end clamping of add-months (Jan 31 + 1 month must
+    * land on Feb 29), last_day, leap-aware date differences,
+    * month truncation, and the epoch round trip. Everything surfaces
+    * as VARCHAR/BIGINT so the driver hash compares rendered semantics,
+    * not engine-internal temporal types. Both sessions run UTC. */
+  val q97TemporalSemantics = Q(
+    "q97_temporal_semantics",
+    """SELECT
+         CAST(year(DATE '2000-02-29') AS BIGINT) AS y,
+         CAST(month(DATE '2000-02-29') AS BIGINT) AS mo,
+         CAST(day(DATE '2000-02-29') AS BIGINT) AS d,
+         dayname(DATE '2000-02-29') AS dow_name,
+         CAST(last_day(DATE '2000-02-01') AS VARCHAR) AS feb_last,
+         CAST(DATE '2000-01-31' + INTERVAL 1 MONTH AS DATE)::VARCHAR AS jan31_plus_month,
+         CAST(date_diff('day', DATE '2000-02-28', DATE '2000-03-01') AS BIGINT) AS leap_span_days,
+         CAST(CAST(date_trunc('month', TIMESTAMP '2000-02-29 13:45:10') AS TIMESTAMP) AS VARCHAR) AS month_trunc,
+         CAST(epoch(TIMESTAMP '2000-02-29 00:00:00') AS BIGINT) AS epoch_s,
+         CAST(to_timestamp(951782400)::TIMESTAMP AS VARCHAR) AS from_epoch""") {
+    (spark, dir) =>
+    spark.sql(
+      """SELECT
+           CAST(year(DATE '2000-02-29') AS BIGINT) AS y,
+           CAST(month(DATE '2000-02-29') AS BIGINT) AS mo,
+           CAST(day(DATE '2000-02-29') AS BIGINT) AS d,
+           date_format(DATE '2000-02-29', 'EEEE') AS dow_name,
+           CAST(last_day(DATE '2000-02-01') AS STRING) AS feb_last,
+           CAST(add_months(DATE '2000-01-31', 1) AS STRING) AS jan31_plus_month,
+           CAST(datediff(DATE '2000-03-01', DATE '2000-02-28') AS BIGINT) AS leap_span_days,
+           CAST(date_trunc('month', TIMESTAMP '2000-02-29 13:45:10') AS STRING) AS month_trunc,
+           CAST(unix_timestamp(TIMESTAMP '2000-02-29 00:00:00') AS BIGINT) AS epoch_s,
+           CAST(timestamp_seconds(951782400) AS STRING) AS from_epoch""")
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
     q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist, q88RiAudit,
-    q95LateralTopk, q96NullSemantics)
+    q95LateralTopk, q96NullSemantics, q97TemporalSemantics)
 }
