@@ -35,7 +35,7 @@ object PlanDump {
     "q86_period_over_period", "t42_lang_confusion", "d41_minhash_calibration",
     "s42_vector_audit", "x110_profile_drift", "q87_topk_with_ties", "q88_ri_audit",
     "q89_session_window", "t43_bpe_merges", "t44_bpe_encode", "s43_ivfpq_knn",
-    "x109_epoch_plan", "q90_csv_roundtrip", "q91_json_roundtrip", "q92_recursive_chain", "q93_orc_roundtrip", "q94_variant_extract", "q95_lateral_topk", "x111_ablation_profile", "x112_pipeline_funnel", "t45_normalize", "d43_lsh_planner", "s44_hybrid_retrieval", "t46_gopher_rules", "x113_kill_matrix", "x114_churn_audit", "d45_fingerprint_audit", "m48_chunk_manifest", "q96_null_semantics", "x115_curriculum_shards", "d46_prefix_join", "q97_temporal_semantics")
+    "x109_epoch_plan", "q90_csv_roundtrip", "q91_json_roundtrip", "q92_recursive_chain", "q93_orc_roundtrip", "q94_variant_extract", "q95_lateral_topk", "x111_ablation_profile", "x112_pipeline_funnel", "t45_normalize", "d43_lsh_planner", "s44_hybrid_retrieval", "t46_gopher_rules", "x113_kill_matrix", "x114_churn_audit", "d45_fingerprint_audit", "m48_chunk_manifest", "q96_null_semantics", "x115_curriculum_shards", "d46_prefix_join", "q97_temporal_semantics", "q98_string_semantics")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -914,10 +914,36 @@ object Relational2 {
            CAST(timestamp_seconds(951782400) AS STRING) AS from_epoch""")
   }
 
+  /** The q98 battery — ONE statement both engines parse (probed
+    * identical on all nine edges): negative-start substring, partial
+    * lpad fill, 1-based instr, translate, repeat, reverse, standard
+    * TRIM(BOTH ... FROM ...), split_part, and instr on an overlapping
+    * pattern (first match). */
+  private val q98Sql =
+    """SELECT substring('abcdef', -3, 2) AS sub_neg,
+              lpad('x', 5, 'ab') AS lpad_fill,
+              CAST(instr('hello world', 'o') AS BIGINT) AS instr_1based,
+              translate('abcabc', 'ab', 'xy') AS translated,
+              repeat('ab', 3) AS repeated,
+              reverse('abc') AS reversed,
+              trim(BOTH 'x' FROM 'xxhixx') AS trimmed_chars,
+              split_part('a,b,c', ',', 2) AS split_mid,
+              CAST(instr('banana', 'na') AS BIGINT) AS instr_overlap"""
+
+  /** q98: STRING-semantics parity battery — q96/q97's companion for the
+    * third breakage class. The statement is shared VERBATIM between
+    * the dialects, so the oracle row pins that these nine edge
+    * behaviors (negative substring origins, pad truncation, 1-based
+    * search, overlapping-pattern first match, char-set trim) are
+    * engine-identical — the edges a port silently shifts by one. */
+  val q98StringSemantics = Q("q98_string_semantics", q98Sql) { (spark, dir) =>
+    spark.sql(q98Sql)
+  }
+
   val all: Seq[Q] = Seq(q21LeftJoin, q22GroupingSets, q23ArrayFns,
     q24RangeFrame, q25ApproxDistinct, d32MinhashAgg, q28Pivot, q29Unpivot,
     q58Ntile, q59MapFns, q60CorrelatedSubquery, q61RankDenseRank,
     q74StatMoments, q75MultisetOps, q76ShareOfTotal, q81WinsorizedAgg,
     q83MadOutliers, q84ZscoreNormalize, q85EquidepthHist, q88RiAudit,
-    q95LateralTopk, q96NullSemantics, q97TemporalSemantics)
+    q95LateralTopk, q96NullSemantics, q97TemporalSemantics, q98StringSemantics)
 }
