@@ -17,7 +17,7 @@ object SparkEntry {
   def allQueries: Seq[Q] = {
     val qs = Relational.all ++ Relational2.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Events.all ++ ProtoOps.all ++
-      Scale.all ++ Json.all ++ AsOf.all ++ Pipeline.all
+      Scale.all ++ Json.all ++ AsOf.all ++ Pipeline.all ++ TpcH.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs
