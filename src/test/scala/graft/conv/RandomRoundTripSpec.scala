@@ -17,32 +17,31 @@ class RandomRoundTripSpec extends SparkSpec {
 
   private val reg = Schemas.registry
 
-  private val configs = Seq(
-    GraftConfig(),
-    GraftConfig(enumType = EnumRepr.StringRepr, timestampUnit = TimeUnit.Seconds,
-      timeOfDayUnit = TimeUnit.Micros, durationUnit = TimeUnit.Millis),
-    GraftConfig(mapAsList = true, listNullable = true, mapNullable = true))
+  /** The FULL 35-config × 3-message-type random matrix, mirroring the
+    * reference's parametrization (tests/test_conversion.py:54-96 ×
+    * test_with_random :127-134): RANDOM messages — not just the
+    * deterministic fixtures — exercise every config row, because the
+    * 35-way interaction bugs (presence × unit truncation × nullability
+    * knobs × map/list shape) live exactly in the random space. The
+    * deterministic-fixture twin of this matrix is RoundTripSpec; the
+    * config list is SHARED ([[RoundTripSpec.configs]]) so the two
+    * matrices cannot drift. Row counts per config are smaller than the
+    * 3-config spec ran before (the matrix is 35× wider); seeds stay
+    * fixed so failures reproduce. */
+  private val matrixTypes = Seq(
+    ("ExampleMessage", 4, 2L),           // widest field surface
+    ("NestedExampleMessage", 3, 2L),     // nesting + presence masks
+    ("SuperNestedExampleMessage", 2, 1L)) // deep recursion shell
 
-  for (cfg <- configs) {
-    test(s"random ExampleMessage round trip [$cfg]") {
-      val md = Schemas.msg("ExampleMessage")
-      for (seed <- 1L to 5L) {
-        val msgs = sample(Gen.listOfN(8, genMessage(md)), seed)
+  for ((cfg, i) <- RoundTripSpec.configs.zipWithIndex; (name, n, seeds) <- matrixTypes) {
+    test(s"random $name round trip [config ${i + 1}/35]") {
+      val md = Schemas.msg(name)
+      for (seed <- 1L to seeds) {
+        val msgs = sample(Gen.listOfN(n, genMessage(md)), seed)
         val df = Protarrow.messagesToDataFrame(spark, msgs, md, cfg, reg)
         val back = Protarrow.dataFrameToMessages(df, md, cfg, reg)
         assert(back === msgs.map(Truncation.truncate(_, cfg)), s"seed $seed")
       }
-    }
-  }
-
-  test("random SuperNestedExampleMessage round trip (regenerated fixture — " +
-    "reference jsonl is absent from the checkout, FIXTURES.md §1)") {
-    val md = Schemas.msg("SuperNestedExampleMessage")
-    for (seed <- 1L to 3L) {
-      val msgs = sample(Gen.listOfN(2, genMessage(md)), seed)
-      val df = Protarrow.messagesToDataFrame(spark, msgs, md, GraftConfig(), reg)
-      val back = Protarrow.dataFrameToMessages(df, md, GraftConfig(), reg)
-      assert(back === msgs.map(Truncation.truncate(_, GraftConfig())), s"seed $seed")
     }
   }
 

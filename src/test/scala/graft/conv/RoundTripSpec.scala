@@ -31,52 +31,7 @@ class RoundTripSpec extends SparkSpec {
     }
   }
 
-  /** The full 35-config matrix, one entry per reference row IN ORDER
-    * (tests/test_conversion.py:60-96). Storage-level knobs (large_* widths,
-    * dictionary enums, Arrow tz/field-name metadata) are documented Spark
-    * collapses — the point of running them all is precisely to prove the
-    * no-ops are no-ops: every one must still round-trip bit-identically.
-    * Rows 8-11 (no-tz timestamps) collapse onto rows 12-15 (UTC) because
-    * Spark TimestampType is always an instant; they are still run. */
-  val configs: Seq[GraftConfig] = Seq(
-    /* 1 */ GraftConfig(),
-    /* 2 */ GraftConfig(enumType = EnumRepr.Binary),
-    /* 3 */ GraftConfig(enumType = EnumRepr.StringRepr),
-    /* 4 */ GraftConfig(enumType = EnumRepr.DictBinary),
-    /* 5 */ GraftConfig(enumType = EnumRepr.DictString),
-    /* 6 */ GraftConfig(enumType = EnumRepr.LargeBinary,
-      binaryType = GraftConfig.Width.Large),
-    /* 7 */ GraftConfig(enumType = EnumRepr.LargeString,
-      stringType = GraftConfig.Width.Large),
-    /* 8 */ GraftConfig(timestampUnit = TimeUnit.Seconds),
-    /* 9 */ GraftConfig(timestampUnit = TimeUnit.Millis),
-    /* 10 */ GraftConfig(timestampUnit = TimeUnit.Micros),
-    /* 11 */ GraftConfig(timestampUnit = TimeUnit.Nanos),
-    /* 12 */ GraftConfig(timestampUnit = TimeUnit.Seconds, timestampTz = "UTC"),
-    /* 13 */ GraftConfig(timestampUnit = TimeUnit.Millis, timestampTz = "UTC"),
-    /* 14 */ GraftConfig(timestampUnit = TimeUnit.Micros, timestampTz = "UTC"),
-    /* 15 */ GraftConfig(timestampUnit = TimeUnit.Nanos, timestampTz = "UTC"),
-    /* 16 */ GraftConfig(timestampUnit = TimeUnit.Nanos,
-      timestampTz = "America/New_York"), // tz is arrow metadata; instants unchanged
-    /* 17 */ GraftConfig(timeOfDayUnit = TimeUnit.Nanos),
-    /* 18 */ GraftConfig(timeOfDayUnit = TimeUnit.Micros),
-    /* 19 */ GraftConfig(timeOfDayUnit = TimeUnit.Millis),
-    /* 20 */ GraftConfig(timeOfDayUnit = TimeUnit.Seconds),
-    /* 21 */ GraftConfig(durationUnit = TimeUnit.Seconds),
-    /* 22 */ GraftConfig(durationUnit = TimeUnit.Millis),
-    /* 23 */ GraftConfig(durationUnit = TimeUnit.Micros),
-    /* 24 */ GraftConfig(durationUnit = TimeUnit.Nanos),
-    /* 25 */ GraftConfig(listNullable = true),
-    /* 26 */ GraftConfig(mapNullable = true),
-    /* 27 */ GraftConfig(mapValueNullable = true),
-    /* 28 */ GraftConfig(listValueNullable = true),
-    /* 29 */ GraftConfig(listValueName = "list_value"), // names: metadata-only
-    /* 30 */ GraftConfig(mapValueName = "map_value"),
-    /* 31 */ GraftConfig(fieldNumberKey = Some("PARQUET:field_id")),
-    /* 32 */ GraftConfig(stringType = GraftConfig.Width.Large),
-    /* 33 */ GraftConfig(binaryType = GraftConfig.Width.Large),
-    /* 34 */ GraftConfig(mapAsList = true),
-    /* 35 */ GraftConfig(listArrayType = GraftConfig.Width.Large))
+  val configs: Seq[GraftConfig] = RoundTripSpec.configs
 
   /** Truncate temporal fields to what the config (and µs timestamps) can
     * hold, mirroring tests/random_generator.py:158-227. */
@@ -256,4 +211,56 @@ object Truncation {
     else if (f.repeated) v.asInstanceOf[Vector[Any]].map(one(_, t))
     else one(v, t)
   }
+}
+
+/** Companion holding the shared 35-config matrix so the
+  * deterministic-fixture matrix (this spec) and the random matrix
+  * (RandomRoundTripSpec) parametrize over the SAME list. */
+object RoundTripSpec {
+  /** The full 35-config matrix, one entry per reference row IN ORDER
+    * (tests/test_conversion.py:60-96). Storage-level knobs (large_* widths,
+    * dictionary enums, Arrow tz/field-name metadata) are documented Spark
+    * collapses — the point of running them all is precisely to prove the
+    * no-ops are no-ops: every one must still round-trip bit-identically.
+    * Rows 8-11 (no-tz timestamps) collapse onto rows 12-15 (UTC) because
+    * Spark TimestampType is always an instant; they are still run. */
+  val configs: Seq[GraftConfig] = Seq(
+    /* 1 */ GraftConfig(),
+    /* 2 */ GraftConfig(enumType = EnumRepr.Binary),
+    /* 3 */ GraftConfig(enumType = EnumRepr.StringRepr),
+    /* 4 */ GraftConfig(enumType = EnumRepr.DictBinary),
+    /* 5 */ GraftConfig(enumType = EnumRepr.DictString),
+    /* 6 */ GraftConfig(enumType = EnumRepr.LargeBinary,
+      binaryType = GraftConfig.Width.Large),
+    /* 7 */ GraftConfig(enumType = EnumRepr.LargeString,
+      stringType = GraftConfig.Width.Large),
+    /* 8 */ GraftConfig(timestampUnit = TimeUnit.Seconds),
+    /* 9 */ GraftConfig(timestampUnit = TimeUnit.Millis),
+    /* 10 */ GraftConfig(timestampUnit = TimeUnit.Micros),
+    /* 11 */ GraftConfig(timestampUnit = TimeUnit.Nanos),
+    /* 12 */ GraftConfig(timestampUnit = TimeUnit.Seconds, timestampTz = "UTC"),
+    /* 13 */ GraftConfig(timestampUnit = TimeUnit.Millis, timestampTz = "UTC"),
+    /* 14 */ GraftConfig(timestampUnit = TimeUnit.Micros, timestampTz = "UTC"),
+    /* 15 */ GraftConfig(timestampUnit = TimeUnit.Nanos, timestampTz = "UTC"),
+    /* 16 */ GraftConfig(timestampUnit = TimeUnit.Nanos,
+      timestampTz = "America/New_York"), // tz is arrow metadata; instants unchanged
+    /* 17 */ GraftConfig(timeOfDayUnit = TimeUnit.Nanos),
+    /* 18 */ GraftConfig(timeOfDayUnit = TimeUnit.Micros),
+    /* 19 */ GraftConfig(timeOfDayUnit = TimeUnit.Millis),
+    /* 20 */ GraftConfig(timeOfDayUnit = TimeUnit.Seconds),
+    /* 21 */ GraftConfig(durationUnit = TimeUnit.Seconds),
+    /* 22 */ GraftConfig(durationUnit = TimeUnit.Millis),
+    /* 23 */ GraftConfig(durationUnit = TimeUnit.Micros),
+    /* 24 */ GraftConfig(durationUnit = TimeUnit.Nanos),
+    /* 25 */ GraftConfig(listNullable = true),
+    /* 26 */ GraftConfig(mapNullable = true),
+    /* 27 */ GraftConfig(mapValueNullable = true),
+    /* 28 */ GraftConfig(listValueNullable = true),
+    /* 29 */ GraftConfig(listValueName = "list_value"), // names: metadata-only
+    /* 30 */ GraftConfig(mapValueName = "map_value"),
+    /* 31 */ GraftConfig(fieldNumberKey = Some("PARQUET:field_id")),
+    /* 32 */ GraftConfig(stringType = GraftConfig.Width.Large),
+    /* 33 */ GraftConfig(binaryType = GraftConfig.Width.Large),
+    /* 34 */ GraftConfig(mapAsList = true),
+    /* 35 */ GraftConfig(listArrayType = GraftConfig.Width.Large))
 }
