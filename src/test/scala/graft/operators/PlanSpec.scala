@@ -603,4 +603,65 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial") || p.contains("Partial"),
       "histograms and outlier counts must combine map-side")
   }
+
+  test("d46: prefix join shape — per-doc rank window, candidate dedup, " +
+    "equi-joins only (no nested loop / cartesian)") {
+    val p = plan("d46_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must form only through the prefix equi-join on h")
+    val a = analyzed("d46_prefix_join")
+    assert(a.contains("row_number"),
+      "the per-doc global-rarity rank window (df ASC, h ASC) must exist")
+    assert(a.contains("Deduplicate"),
+      "candidate pairs must DISTINCT before the verify join (bounded by the " +
+        "prefix-filter lemma, then touched once each)")
+  }
+
+  // ---- TPC-H 22 plan gates -------------------------------------------
+  // The scalar-subquery queries carry a 1-row broadcast (Q11 total,
+  // Q15 max, Q22 avg balance) that plans as a BroadcastNestedLoopJoin
+  // over ONE row — constant work, the documented pattern (q81/q83). All
+  // other queries must be pure hash/sort-merge equi-joins.
+  private val tpchScalarBroadcast = Set("q41_tpch11", "q45_tpch15", "q50c_tpch22")
+
+  test("tpch: zero CartesianProduct across all 22; nested-loop only as " +
+    "the 1-row scalar broadcast") {
+    for (q <- TpcH.all) {
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"), s"${q.name} must never cross-join")
+      if (!tpchScalarBroadcast(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} must join on keys only")
+    }
+  }
+
+  test("tpch01: date filter pushed into the lineitem scan, map-side partials") {
+    val p = plan("q31_tpch01")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused lineitem columns must not be read")
+    assert(p.contains("partial") || p.contains("Partial"))
+  }
+
+  test("tpch05: region/nation dimensions broadcast into the star join") {
+    val p = plan("q35_tpch05")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation and region must broadcast — never shuffle the fact side for a dim")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "the order-date window must reach the orders scan")
+  }
+
+  test("tpch08: both nation maps and region broadcast; PROMO filter pushed " +
+    "to the part scan") {
+    val p = plan("q38_tpch08")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(p.contains("EqualTo(p_type,PROMO)"),
+      "the part-type predicate must be a pushed parquet filter")
+  }
+
+  test("tpch18: the >300-qty HAVING stays a semi join (no row multiplication " +
+    "before the re-aggregation)") {
+    val p = plan("q48_tpch18")
+    assert(p.contains("LeftSemi") || p.contains("left_semi") ||
+      analyzed("q48_tpch18").contains("LeftSemi"))
+  }
 }
