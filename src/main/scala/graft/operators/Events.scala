@@ -446,12 +446,12 @@ object Events {
        l AS (SELECT user_id, event_id, tsu,
                     LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
              FROM x),
-       f AS (SELECT user_id, tsu,
+       f AS (SELECT user_id, event_id, tsu,
                     CASE WHEN prev IS NULL OR tsu - prev > 1800000000
                          THEN 1 ELSE 0 END AS is_new
              FROM l),
        s AS (SELECT user_id, tsu,
-                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
              FROM f)
        SELECT user_id, MIN(tsu) AS sess_start,

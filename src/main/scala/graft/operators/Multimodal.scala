@@ -369,7 +369,8 @@ object Multimodal {
                          md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS ch,
                          length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS clen
                   FROM documents,
-                       unnest(generate_series(0, CAST((length(text) - 1) // 64 AS BIGINT))) t(i))
+                       unnest(generate_series(0, CAST((length(text) - 1) // 64 AS BIGINT))) t(i)
+                  WHERE length(text) > 0)
        SELECT CAST((SELECT COUNT(DISTINCT doc_id) FROM c) AS BIGINT) AS n_blobs,
               CAST(COUNT(*) AS BIGINT) AS n_chunks,
               CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
@@ -377,7 +378,13 @@ object Multimodal {
               CAST((COUNT(*) - COUNT(DISTINCT ch)) * 1000000 // COUNT(*) AS BIGINT)
                 AS dup_chunk_ppm
        FROM c""") { (spark, dir) =>
+    // empty docs excluded on BOTH sides: DuckDB's (len-1)//64 floors to
+    // -1 (empty series, zero chunks) while Spark's div truncates to 0
+    // (one empty chunk) — the explicit length>0 guard makes the two
+    // dialects agree instead of relying on their integer-division
+    // rounding to coincide.
     val c = T(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(0, (length(text) - 1) div 64)")).as("i"))
       .select(col("doc_id"),

@@ -917,7 +917,16 @@ object TextOps {
 
   /** The t43 oracle: K unrolled BPE rounds in DuckDB SQL (contract at
     * [[t43BpeMerges]]). Program-generated — each round is the same CTE
-    * block over the previous round's (word, pos, symbol) rows. */
+    * block over the previous round's (word, pos, symbol) rows.
+    * Merge exhaustion: bb$i re-aggregates the ≤1-row best-pair CTE
+    * (MIN over zero rows = one NULL row), so when no pair remains the
+    * round's cross join becomes a pass-through (hit is never 1 against
+    * NULL) instead of emptying every later round — mirroring
+    * [[bpeLoop]]'s `exhausted` semantics, which keeps the last
+    * non-empty state. The aggregate form (not UNION + NOT EXISTS —
+    * which DuckDB planned catastrophically, re-evaluating the probe per
+    * row) keeps each round O(corpus). t43's merge-table finals still
+    * read b$i, so exhausted rounds emit no merge row on either side. */
   private[graft] def bpeOracleSql(k: Int): String = {
     def round(i: Int): String = {
       val prev = s"r${i - 1}"
@@ -925,10 +934,11 @@ object TextOps {
          (SELECT w, cnt, s, LEAD(s) OVER (PARTITION BY w ORDER BY p) AS ns FROM $prev)
          WHERE ns IS NOT NULL GROUP BY s, ns),
        b$i AS (SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+       bb$i AS (SELECT MIN(x) AS x, MIN(y) AS y FROM b$i),
        m$i AS (SELECT r.w, r.cnt, r.p, r.s, b.x AS bx, b.y AS by,
                 CASE WHEN r.s = b.x AND LEAD(r.s) OVER (PARTITION BY r.w ORDER BY r.p) = b.y
                      THEN 1 ELSE 0 END AS hit
-         FROM $prev r, b$i b),
+         FROM $prev r, bb$i b),
        i$i AS (SELECT *, p - ROW_NUMBER() OVER (PARTITION BY w, hit ORDER BY p) AS isl FROM m$i),
        o$i AS (SELECT *, CASE WHEN hit = 1 THEN ROW_NUMBER() OVER (PARTITION BY w, hit, isl ORDER BY p) ELSE 0 END AS ord FROM i$i),
        g$i AS (SELECT *, CASE WHEN hit = 1 AND ord % 2 = 1 THEN 1 ELSE 0 END AS st FROM o$i),

@@ -529,9 +529,12 @@ object StreamOps {
       // at-least-once foreachBatch: a re-executed epoch arrives under
       // the same batchId — skip it so the index never double-appends
       // (same guard as CmsAccumulator; the sink must be idempotent or
-      // batchId-keyed for full exactly-once, per the d37 scaladoc)
+      // batchId-keyed for full exactly-once, per the d37 scaladoc).
+      // lastBatchId is advanced only AFTER sink + state append succeed:
+      // if either throws, Spark retries the epoch under the same
+      // batchId and the guard must let the retry through, not drop the
+      // batch's verdicts and index rows on the floor.
       if (batchId <= lastBatchId) return
-      lastBatchId = batchId
       val (verdicts, bsets, bbands) =
         graft.operators.Dedup.incrementalAdmit(batch, sets, bands, hotDf)
       sink(verdicts)
@@ -539,6 +542,7 @@ object StreamOps {
       bands = bands.unionByName(bbands).ckptRound
       bsets.unpersist()
       bbands.unpersist()
+      lastBatchId = batchId
     }
   }
 
