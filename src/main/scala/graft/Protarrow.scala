@@ -112,28 +112,80 @@ object Protarrow {
   }
 
   /** Distributed encode from wire-format bytes (micro-batch/Kafka shape —
-    * the reference's streaming use case, docs/faq.md:20-25). */
+    * the reference's streaming use case, docs/faq.md:20-25). `mode`
+    * controls corrupt-record tolerance ([[graft.conv.IngestMode]]):
+    * FAILFAST raises on the first undecodable payload (default, the
+    * reference's behavior); PERMISSIVE appends a BINARY
+    * `_corrupt_record` column carrying the raw bytes of rejects;
+    * DROPMALFORMED skips them. */
   def fromProtoBinary(ds: Dataset[Array[Byte]], md: PMessageDesc,
       cfg: GraftConfig = GraftConfig(),
-      reg: ProtoRegistry = WellKnown.registry): DataFrame = {
+      reg: ProtoRegistry = WellKnown.registry,
+      mode: IngestMode = IngestMode.FailFast): DataFrame = {
     val spark = ds.sparkSession
     val schema = messageTypeToSchema(md, cfg, reg)
     val writer = Codecs.rowWriter(md, cfg, reg)
-    val rdd = ds.rdd.mapPartitions(_.map(b => writer(ProtoWire.decode(b, md, reg))))
-    spark.createDataFrame(rdd, schema)
+    permissiveScan[Array[Byte]](spark, ds.rdd, schema, mode,
+      org.apache.spark.sql.types.BinaryType,
+      b => writer(ProtoWire.decode(b, md, reg)), identity)
   }
 
   /** Proto-JSONL scan (the fixture-loader shape,
-    * tests/test_conversion.py:99-105): schema-directed distributed parse. */
+    * tests/test_conversion.py:99-105): schema-directed distributed parse.
+    * `mode` controls corrupt-record tolerance ([[graft.conv.IngestMode]]):
+    * FAILFAST raises on the first unparseable line (default, matching the
+    * reference's json_format.Parse behavior); PERMISSIVE appends a STRING
+    * `_corrupt_record` column carrying the raw line of rejects (NULL on
+    * good rows, other fields NULL on rejects — `spark.read.json`
+    * semantics); DROPMALFORMED skips bad lines. */
   def readProtoJsonl(spark: SparkSession, path: String, md: PMessageDesc,
       cfg: GraftConfig = GraftConfig(),
-      reg: ProtoRegistry = WellKnown.registry): DataFrame = {
+      reg: ProtoRegistry = WellKnown.registry,
+      mode: IngestMode = IngestMode.FailFast): DataFrame = {
     val schema = messageTypeToSchema(md, cfg, reg)
     val writer = Codecs.rowWriter(md, cfg, reg)
-    val rdd = spark.read.textFile(path).rdd.mapPartitions { lines =>
-      lines.filter(_.trim.nonEmpty).map(l => writer(ProtoJson.parse(l, md, reg)))
+    val lines = spark.read.textFile(path).rdd
+      .mapPartitions(_.filter(_.trim.nonEmpty))
+    permissiveScan[String](spark, lines, schema, mode,
+      org.apache.spark.sql.types.StringType,
+      l => writer(ProtoJson.parse(l, md, reg)), identity)
+  }
+
+  /** Shared malformed-record machinery for the ingest scans: wraps the
+    * per-record parse in the [[IngestMode]] contract. The catch is
+    * per-record INSIDE mapPartitions — the partition iterator keeps
+    * streaming, so tolerance costs nothing on the happy path and no
+    * executor-side buffering anywhere. */
+  private def permissiveScan[A](spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[A], schema: StructType, mode: IngestMode,
+      corruptType: org.apache.spark.sql.types.DataType,
+      parse: A => Row, raw: A => Any): DataFrame = {
+    import org.apache.spark.sql.types.StructField
+    import scala.util.control.NonFatal
+    mode match {
+      case IngestMode.FailFast =>
+        spark.createDataFrame(rdd.mapPartitions(_.map(parse)), schema)
+      case IngestMode.DropMalformed =>
+        spark.createDataFrame(
+          rdd.mapPartitions(_.flatMap { a =>
+            try Iterator.single(parse(a))
+            catch { case NonFatal(_) => Iterator.empty }
+          }), schema)
+      case IngestMode.Permissive =>
+        val n = schema.fields.length
+        // reject rows surface NULL in every proto field, so the scan's
+        // top-level nullability relaxes — exactly what spark.read.json's
+        // PERMISSIVE schema does (good rows keep their nested shapes)
+        val out = StructType(schema.fields.map(_.copy(nullable = true)) :+
+          StructField(IngestMode.CorruptColumn, corruptType, nullable = true))
+        spark.createDataFrame(
+          rdd.mapPartitions(_.map { a =>
+            try Row.fromSeq(parse(a).toSeq :+ null)
+            catch {
+              case NonFatal(_) => Row.fromSeq(Seq.fill[Any](n)(null) :+ raw(a))
+            }
+          }), out)
     }
-    spark.createDataFrame(rdd, schema)
   }
 
   /** SURVEY §7.4 risk 4: Spark cannot write empty-struct columns
@@ -228,12 +280,39 @@ object Protarrow {
       * raises, like the reference's IndexError (message_extractor.py).
       * "Row i" follows the DataFrame's current row order — deterministic
       * for sorted or single-partition frames; impose an orderBy first if
-      * the frame's order is partition-dependent. */
+      * the frame's order is partition-dependent.
+      *
+      * COST: O(i) per call — each lookup re-runs the plan through
+      * `limit(i + 1)` and collects that prefix. Fine for a point probe;
+      * for repeated lookups against one frame use [[materialize]], whose
+      * handle is O(1) per row (the reference's equivalent also reads
+      * from a materialized table, message_extractor.py:156-162). */
     def readTableRow(df: DataFrame, i: Int): DynamicMessage = {
       val rows = df.limit(i + 1).collect()
       if (rows.length <= i) throw new IndexOutOfBoundsException(
         s"row $i of a ${rows.length}-row DataFrame")
       reader(rows(i))
+    }
+
+    /** Collect the frame ONCE into an O(1)-per-row handle — the
+      * random-access twin of [[readTableRow]] for repeated probes.
+      * Driver-bounded by construction (the handle holds the collected
+      * rows): materialize only frames meant for point lookup — a
+      * dimension slice, a top-k result — never a fact table; the
+      * distributed row-wise path is `df.mapPartitions` over
+      * [[MessageExtractor.apply]]. */
+    def materialize(df: DataFrame): Materialized =
+      new Materialized(df.collect())
+
+    /** Cached-rows extractor: `readRow(i)` is an array index + decode. */
+    final class Materialized private[MessageExtractor] (rows: Array[Row])
+        extends Serializable {
+      def size: Int = rows.length
+      def readRow(i: Int): DynamicMessage = {
+        if (i < 0 || i >= rows.length) throw new IndexOutOfBoundsException(
+          s"row $i of a ${rows.length}-row materialized extractor")
+        reader(rows(i))
+      }
     }
   }
 }

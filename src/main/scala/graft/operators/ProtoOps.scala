@@ -100,7 +100,38 @@ object ProtoOps {
       .toDF("n_rows", "n_back", "n_match")
   }
 
-  val all: Seq[Q] = Seq(pa61CastNormalize, pa62ProtoJsonlScan, pa63WireRoundtrip)
+  /** Permissive ingest over a corpus with injected malformed lines —
+    * the corrupt-record tolerance tier ([[graft.conv.IngestMode]]) made
+    * driver-checkable. The fixture is the 20-row ExampleMessage jsonl
+    * plus 3 deterministic garbage lines ([[Fixtures.materializeCorrupt]]);
+    * the PERMISSIVE scan must keep all 23 rows with exactly the 3
+    * rejects quarantined in `_corrupt_record`, and the DROPMALFORMED
+    * twin must keep exactly the 20 good rows. Oracle follows the pa63
+    * convention: the constants this fixture must produce — any
+    * tolerance regression (a reject killing the scan, a good row
+    * misclassified) shifts a count and goes red. */
+  val pa64PermissiveScan = Q(
+    "pa64_permissive_scan",
+    """SELECT CAST(23 AS BIGINT) AS n_total, CAST(20 AS BIGINT) AS n_ok,
+       CAST(3 AS BIGINT) AS n_rejected, CAST(20 AS BIGINT) AS n_drop_rows""") {
+    (spark, _) =>
+    val path = Fixtures.materializeCorrupt("ExampleMessage")
+    val md = Schemas.msg("ExampleMessage")
+    val reg = Schemas.registry
+    val perm = Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), reg,
+      graft.conv.IngestMode.Permissive)
+    val dropped = Protarrow.readProtoJsonl(spark, path, md, GraftConfig(), reg,
+      graft.conv.IngestMode.DropMalformed)
+    val c = graft.conv.IngestMode.CorruptColumn
+    perm.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col(c).isNotNull, 1L).otherwise(0L)).as("n_rejected"))
+      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_drop_rows"))))
+  }
+
+  val all: Seq[Q] =
+    Seq(pa61CastNormalize, pa62ProtoJsonlScan, pa63WireRoundtrip, pa64PermissiveScan)
 }
 
 /** Classpath fixtures → temp files (spark.read needs paths). The path is
@@ -122,6 +153,40 @@ object Fixtures {
     try {
       try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
+    target.toString
+  }
+
+  /** The malformed lines injected by [[materializeCorrupt]] — three
+    * distinct failure shapes: truncated JSON, a non-JSON line, and a
+    * JSON-shaped line that is not an object. Deterministic so the pa64
+    * oracle constants are stable. */
+  val CorruptLines: Seq[String] = Seq(
+    """{"int32_value": 12, "string_value": "trunca""",
+    """this is not json at all""",
+    """[1, 2, 3]""")
+
+  /** [[materialize]] + injected malformed lines, for the permissive
+    * ingest tier (pa64). Bad lines are interleaved (head, middle, tail)
+    * so tolerance is exercised at every partition position, not just
+    * EOF. Same atomic-move discipline as [[materialize]]. */
+  def materializeCorrupt(name: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val clean = Paths.get(materialize(name))
+    val good = Files.readAllLines(clean).asScala.filter(_.trim.nonEmpty).toVector
+    val mid = good.size / 2
+    val lines = (CorruptLines.head +: good.take(mid)) ++
+      (CorruptLines(1) +: good.drop(mid)) :+ CorruptLines(2)
+    val target = Paths.get("/tmp", s"graft_fixture_${name}_corrupt.jsonl")
+    val tmp = Files.createTempFile(Paths.get("/tmp"),
+      s"graft_fixture_${name}_corrupt", ".tmp")
+    try {
+      Files.write(tmp, lines.asJava)
       Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     } catch {
