@@ -135,4 +135,19 @@ class ParquetSafeSpec extends SparkSpec {
     assert(ex.readTableRow(df, 0) === msgs.head)
     intercept[IndexOutOfBoundsException] { ex.readTableRow(df, 5) }
   }
+
+  test("materialized extractor: O(1) handle agrees with readTableRow on " +
+    "every row and raises on out-of-range") {
+    val mdx = Schemas.msg("ExampleMessage")
+    val path = graft.operators.Fixtures.materialize("ExampleMessage")
+    val df = Protarrow.readProtoJsonl(spark, path, mdx, GraftConfig(), reg)
+      .withColumn("_rid", monotonically_increasing_id())
+      .orderBy("_rid").drop("_rid")
+    val ex = new Protarrow.MessageExtractor(df.schema, mdx, GraftConfig(), reg)
+    val h = ex.materialize(df)
+    assert(h.size === 20)
+    for (i <- Seq(0, 3, 19)) assert(h.readRow(i) === ex.readTableRow(df, i))
+    intercept[IndexOutOfBoundsException] { h.readRow(20) }
+    intercept[IndexOutOfBoundsException] { h.readRow(-1) }
+  }
 }
