@@ -347,12 +347,19 @@ object SkewBench {
     emb.unionByName(vdups)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // lineitem: every 5th row's key remapped to one hot order key
+    // lineitem: every 5th row's key remapped to one hot order key.
+    // Written as 32 files: AQE's skew split cuts on MAP-OUTPUT
+    // boundaries, and a single-row-group file is one effective mapper —
+    // the hot reducer's bytes would all sit in one unsplittable chunk
+    // and OptimizeSkewedJoin would correctly refuse (measured: map
+    // sizes [0, 686k, 0, 0] at sf0.1). A 100 TB fact table always has
+    // thousands of mappers; 32 files is that reality at bench scale.
     val li = t("lineitem")
     val hotKey = li.agg(min("l_orderkey")).head().getLong(0)
     li.withColumn("l_orderkey",
       when(pmod(col("l_linenumber") + col("l_partkey"), lit(5)) === 0,
         lit(hotKey)).otherwise(col("l_orderkey")))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // orders/customer unchanged (q26's build side; q88's FK targets)
@@ -369,6 +376,65 @@ object SkewBench {
       when(pmod(col("event_id"), lit(10)) === 0, lit(hotTs))
         .otherwise(col("ts")))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** The BUILT-IN alternative to q26's manual salt: AQE's skew-join
+    * split on the same hostile hot key (q26's manual salt stays the
+    * oracle-checked form — this measures Spark's runtime re-plan doing
+    * the same job without touching the query). Thresholds are lowered
+    * for bench scale: the defaults target 256 MB production partitions,
+    * while the DupFactor pile here is tens of MB — the RATIO (hot ≫
+    * factor × median) is what production skew looks like. Runs the
+    * UNSALTED q26 join shape and returns (seconds, splitFired) from the
+    * post-execution adaptive plan; confs are restored afterwards so no
+    * other bench line inherits the tuning. */
+  def aqeSkewJoin(spark: SparkSession, outDir: String): (Double, Boolean) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def skewJoins(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => skewJoins(a.executedPlan)
+      case s: QueryStageExec => skewJoins(s.plan)
+      case j: SortMergeJoinExec if j.isSkewJoin => j +: j.children.flatMap(skewJoins)
+      case j: ShuffledHashJoinExec if j.isSkewJoin => j +: j.children.flatMap(skewJoins)
+      case other => other.children.flatMap(skewJoins)
+    }
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // the hot partition is ~135k two-column rows ≈ 500 KB compressed;
+      // thresholds scale to that (defaults assume 256 MB partitions)
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // both broadcast paths off: the dim side is small enough to
+      // broadcast, which would dodge the shuffle this line measures
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet(s"$outDir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val qe = joined.queryExecution
+      val sec = time { qe.toRdd.count(); () }
+      (sec, skewJoins(qe.executedPlan).nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -397,11 +463,25 @@ object SkewBench {
         }
       }
     }
+    // the AQE-split twin of q26 (unsalted join, runtime re-plan): timed
+    // under the same bound, plus a flag proving the split actually fired
+    spark.sharedState.cacheManager.clearCache()
+    val (aqeSec, aqeFired) =
+      try aqeSkewJoin(spark, outDir)
+      catch { case e: Throwable =>
+        errors("aqe_skew_join") =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+        (0.0, false)
+      }
+    results("aqe_skew_join") = aqeSec
+    if (!aqeFired && !errors.contains("aqe_skew_join"))
+      errors("aqe_skew_join") = "AQE skew-join split did not fire"
+
     val violations = results.filter(_._2 > BoundSec).keys.toSeq ++ errors.keys
     val qs = results.map { case (k, v) => JsonOut.str(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }.mkString("{", ",", "}")
     val vs = violations.map(JsonOut.str).mkString("[", ",", "]")
-    println(s"""{"metric":"skew_total","value":${results.values.sum},"unit":"sec","bound_sec":$BoundSec,"dup_factor":$DupFactor,"queries":$qs,"errors":$es,"violations":$vs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"skew_total","value":${results.values.sum},"unit":"sec","bound_sec":$BoundSec,"dup_factor":$DupFactor,"aqe_skew_split":$aqeFired,"queries":$qs,"errors":$es,"violations":$vs,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }
