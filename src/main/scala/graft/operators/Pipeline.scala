@@ -664,6 +664,14 @@ object Pipeline {
                bit_xor(h) AS checksum,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         FROM g GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
+    manifestFrame(spark, dir).orderBy("shard")
+  }
+
+  /** The x104 manifest as a frame — shared by the manifest query and the
+    * export round-trip audit ([[x116ShardExport]]) so the expectation
+    * and the export derive from ONE plan. */
+  private[operators] def manifestFrame(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     globalIndexFrame(spark, dir)
       .withColumn("shard", expr(s"(global_idx - 1) div $ShardSize"))
       .groupBy("shard")
@@ -672,7 +680,82 @@ object Pipeline {
         max(col("global_idx")).as("max_idx"),
         expr("bit_xor(h)").as("checksum"),
         sum(col("n_chars")).as("n_chars_total"))
+
+  /** Physically write the x99-ordered corpus as x104's shards: one
+    * directory per shard (`shard=N/`), rows sorted by global_idx inside
+    * each file so a reader streams the shard sequentially. Overwrites —
+    * the export itself is part of what x116 exercises each run. */
+  private[operators] def exportShards(
+      spark: org.apache.spark.sql.SparkSession, dir: String, out: String): Unit = {
+    val docs = T(spark, dir, "documents").select(col("doc_id"), col("text"))
+    globalIndexFrame(spark, dir).select(col("doc_id"), col("global_idx"))
+      .join(docs, "doc_id")
+      .withColumn("shard", expr(s"(global_idx - 1) div $ShardSize"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("global_idx"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+  }
+
+  /** Re-read the exported shards and verify them against the manifest
+    * computed from the SOURCE: doc counts, payload bytes, index-range
+    * contiguity, and the XOR checksum — recomputed from the RE-READ
+    * text (not a stored hash column), so a corrupted or substituted
+    * payload flips checksum_ok even when counts survive. A missing
+    * shard surfaces through the full-outer join as a row of zeros. */
+  private[operators] def auditShards(
+      spark: org.apache.spark.sql.SparkSession, dir: String, out: String): DataFrame = {
+    val ra = spark.read.parquet(out)
+      .select(col("shard").cast("long").as("shard"), col("text"), col("global_idx"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("r_docs"),
+        expr(s"bit_xor(${H.s("text")})").as("r_checksum"),
+        sum(length(col("text")).cast("long")).as("r_bytes"),
+        min(col("global_idx")).as("r_min"),
+        max(col("global_idx")).as("r_max"))
+    manifestFrame(spark, dir).join(ra, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("r_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("r_bytes"), lit(0L)).as("n_bytes"),
+        (col("checksum") <=> col("r_checksum")).cast("long").as("checksum_ok"),
+        (col("n_chars_total") <=> col("r_bytes")).cast("long").as("bytes_ok"),
+        ((col("r_min") <=> col("min_idx")) && (col("r_max") <=> col("max_idx")) &&
+          col("min_idx") === col("shard") * ShardSize + 1 &&
+          col("max_idx") - col("min_idx") + 1 === col("r_docs"))
+          .cast("long").as("range_ok"))
       .orderBy("shard")
+  }
+
+  /** x116: the shard export made EXECUTABLE end-to-end — x104 computes
+    * what the shards should contain; this writes them to disk
+    * ([[exportShards]]), re-reads them, and proves the round trip
+    * ([[auditShards]]): per-shard doc counts, payload byte totals,
+    * contiguous index ranges, and XOR checksums recomputed from the
+    * re-read payloads all match the source-derived manifest. The oracle
+    * is the manifest the source must produce with every verdict flag
+    * true — any loss, duplication, reorder, or corruption in the
+    * write→read path flips a flag or shifts a count and goes red.
+    *
+    * Scale: the export is one shuffle on shard id (contiguous in the
+    * x99 order, so shards are balanced by construction at ShardSize
+    * granularity) and the audit is one aggregation per side of a
+    * manifest-sized join — both mergeable, nothing driver-side. The
+    * /tmp layout is keyed by source content ([[Scale.sourceKey]]) like
+    * every derived layout in the repo. */
+  val x116ShardExport = Q(
+    "x116_shard_export",
+    s"""WITH d AS (SELECT doc_id, n_chars, ${H.d("text")} AS h FROM documents),
+        g AS (SELECT doc_id, n_chars, h,
+                     ROW_NUMBER() OVER (ORDER BY h, doc_id) AS gi FROM d)
+        SELECT (gi - 1) // $ShardSize AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+               CAST(1 AS BIGINT) AS checksum_ok,
+               CAST(1 AS BIGINT) AS bytes_ok,
+               CAST(1 AS BIGINT) AS range_ok
+        FROM g GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_${Scale.sourceKey(dir, "documents")}"
+    exportShards(spark, dir, out)
+    auditShards(spark, dir, out)
   }
 
   /** Hash-shard width for [[x105ManifestDiff]]: 64 content shards. */
@@ -1127,7 +1210,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
-    x103ClusterSplit, x104ShardManifest, x105ManifestDiff,
+    x103ClusterSplit, x104ShardManifest, x105ManifestDiff, x116ShardExport,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
     x115CurriculumShards)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The executable shard-export round trip (x116): write the x99-ordered
+  * corpus as x104's shards, re-read, and verify counts/bytes/ranges/XOR
+  * checksums against the source-derived manifest — plus the negative
+  * cases that prove the audit actually bites (a lost shard and a
+  * tampered payload must flip verdicts). */
+class ExportSpec extends SparkSpec {
+
+  private def freshOut() =
+    java.nio.file.Files.createTempDirectory("graft_export_spec").toString + "/shards"
+
+  test("export → re-read → audit: every shard fully verified") {
+    val out = freshOut()
+    Pipeline.exportShards(spark, sfDir, out)
+    val audit = Pipeline.auditShards(spark, sfDir, out).cache()
+    val m = Pipeline.manifestFrame(spark, sfDir).cache()
+    assert(audit.count() === m.count(), "one audit row per manifest shard")
+    assert(audit.filter(col("checksum_ok") =!= 1 || col("bytes_ok") =!= 1 ||
+      col("range_ok") =!= 1).count() === 0, "all verdicts must pass")
+    // totals conserved through the round trip
+    val docs = T(spark, sfDir, "documents")
+    assert(audit.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    assert(audit.agg(sum("n_bytes")).head().getLong(0) ===
+      docs.agg(sum(length(col("text")).cast("long"))).head().getLong(0))
+    // the layout is one directory per shard
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length.toLong === m.count())
+  }
+
+  test("a lost shard surfaces as a zero row with every verdict failed") {
+    val out = freshOut()
+    Pipeline.exportShards(spark, sfDir, out)
+    // destroy shard 0's directory
+    val dir0 = new java.io.File(out, "shard=0")
+    assert(dir0.exists())
+    dir0.listFiles().foreach(_.delete()); assert(dir0.delete())
+    val bad = Pipeline.auditShards(spark, sfDir, out)
+      .filter(col("shard") === 0).head()
+    assert(bad.getAs[Long]("n_docs") === 0L)
+    assert(bad.getAs[Long]("checksum_ok") === 0L)
+    assert(bad.getAs[Long]("bytes_ok") === 0L)
+    assert(bad.getAs[Long]("range_ok") === 0L)
+    // and the other shards still verify
+    assert(Pipeline.auditShards(spark, sfDir, out)
+      .filter(col("shard") =!= 0 && (col("checksum_ok") =!= 1 ||
+        col("bytes_ok") =!= 1 || col("range_ok") =!= 1)).count() === 0)
+  }
+
+  test("a tampered payload flips checksum_ok even when counts survive") {
+    val out = freshOut()
+    Pipeline.exportShards(spark, sfDir, out)
+    // rewrite shard 1 with one payload byte-flipped but same length:
+    // counts and byte totals survive, the content checksum must not
+    val s1 = spark.read.parquet(s"$out/shard=1")
+    val tampered = s1.withColumn("text",
+      when(col("global_idx") === s1.agg(min("global_idx")).head().getLong(0),
+        concat(lit("X"), expr("substring(text, 2, length(text) - 1)")))
+        .otherwise(col("text")))
+    val tmp = freshOut()
+    tampered.write.mode("overwrite").parquet(tmp)
+    val d1 = new java.io.File(out, "shard=1")
+    d1.listFiles().foreach(_.delete()); d1.delete()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(out, "shard=1"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val row = Pipeline.auditShards(spark, sfDir, out)
+      .filter(col("shard") === 1).head()
+    assert(row.getAs[Long]("bytes_ok") === 1L, "same byte length — bytes survive")
+    assert(row.getAs[Long]("range_ok") === 1L, "indices untouched")
+    assert(row.getAs[Long]("checksum_ok") === 0L,
+      "the recomputed-from-payload XOR must catch the substitution")
+  }
+}
