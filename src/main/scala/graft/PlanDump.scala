@@ -35,7 +35,12 @@ object PlanDump {
     "q86_period_over_period", "t42_lang_confusion", "d41_minhash_calibration",
     "s42_vector_audit", "x110_profile_drift", "q87_topk_with_ties", "q88_ri_audit",
     "q89_session_window", "t43_bpe_merges", "t44_bpe_encode", "s43_ivfpq_knn",
-    "x109_epoch_plan", "q90_csv_roundtrip", "q91_json_roundtrip", "q92_recursive_chain", "q93_orc_roundtrip", "q94_variant_extract", "q95_lateral_topk", "x111_ablation_profile", "x112_pipeline_funnel", "t45_normalize", "d43_lsh_planner", "s44_hybrid_retrieval", "t46_gopher_rules", "x113_kill_matrix", "x114_churn_audit", "d45_fingerprint_audit", "m48_chunk_manifest", "q96_null_semantics", "x115_curriculum_shards", "d46_prefix_join", "q97_temporal_semantics", "q98_string_semantics")
+    "x109_epoch_plan", "q90_csv_roundtrip", "q91_json_roundtrip", "q92_recursive_chain", "q93_orc_roundtrip", "q94_variant_extract", "q95_lateral_topk", "x111_ablation_profile", "x112_pipeline_funnel", "t45_normalize", "d43_lsh_planner", "s44_hybrid_retrieval", "t46_gopher_rules", "x113_kill_matrix", "x114_churn_audit", "d45_fingerprint_audit", "m48_chunk_manifest", "q96_null_semantics", "x115_curriculum_shards", "d46_prefix_join", "q97_temporal_semantics", "q98_string_semantics",
+    "q31_tpch01", "q32_tpch02", "q33_tpch03", "q34_tpch04", "q35_tpch05",
+    "q36_tpch06", "q37_tpch07", "q38_tpch08", "q39_tpch09", "q40_tpch10",
+    "q41_tpch11", "q42_tpch12", "q43_tpch13", "q44_tpch14", "q45_tpch15",
+    "q46_tpch16", "q47_tpch17", "q48_tpch18", "q49_tpch19", "q50_tpch20",
+    "q50b_tpch21", "q50c_tpch22", "x116_shard_export", "pa64_permissive_scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -45,10 +50,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else defaults
+    // an absolute-path first arg overrides the data dir (e.g. pointing at
+    // the VolumeBench 10x corpus to diff plans across scales)
+    val (dir, rest) = args.headOption.filter(_.startsWith("/"))
+      .map(d => (d, args.tail.toSeq)).getOrElse(("/root/testdata/sf0.001", args.toSeq))
+    val names = if (rest.nonEmpty) rest else defaults
     for (n <- names) {
       println(s"===== $n")
-      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      println(SparkEntry.queries(n)(spark, dir)
         .queryExecution.explainString(SimpleMode))
     }
     spark.stop()

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical near-linear-scaling gauntlet: the one claim the per-round
+  * bench argues only from plan shape is "survives 100×" — this main
+  * MEASURES it. It synthesizes a [[Mult]]× corpus from the SF tables
+  * (deterministic replicas, derived like SkewBench's hostile tables),
+  * runs the top-cost operator tier at BOTH scales, and reports each
+  * query's per-row cost ratio
+  *
+  *     cost_ratio = t_big / (Mult × t_base)
+  *
+  * — 1.0 is perfectly linear scaling, and the gate is
+  * [[CostRatioBound]] (1.5×, the round-8 brief's bound; sub-linear
+  * ratios < 1 are common because fixed per-query overheads amortize).
+  * It also counts Exchange/BroadcastExchange nodes in each query's
+  * pre-execution plan at both scales: a query that picks up a NEW
+  * exchange at 10× (e.g. a "dimension" crossing the broadcast
+  * threshold into a shuffle join) is exactly the 100×-scale regression
+  * the plan gates cannot see at one SF, and is flagged as a violation.
+  *
+  * Replica design — the corpus must grow 10× WITHOUT changing the
+  * workload's asymptotic character:
+  *  - documents: every word of replica k is suffixed `_rk`, so replicas
+  *    share NO shingles with each other or the original — near-dup
+  *    DENSITY stays constant and dedup pair output scales exactly
+  *    linearly (tiny perturbations instead would put every doc in a
+  *    10-clique: quadratic OUTPUT, measuring the corpus, not the
+  *    engine). n_chars is recomputed from the mutated text.
+  *  - embeddings: per-component deterministic jitter (±0.5e-3 scale),
+  *    preserving cluster geometry/labels while avoiding 10× exact-dup
+  *    piles that the quadratic-output contracts (d31/m44) exclude.
+  *  - lineitem/orders: order keys offset per replica (FK preserved);
+  *    part/supplier/customer keys untouched, so dimension fan-in grows
+  *    10× — the realistic direction.
+  *  - events: event/user ids offset per replica — 10× users, constant
+  *    per-user history, the workload a bigger deployment actually has.
+  *
+  * Tables are written once to /tmp keyed by source content
+  * ([[graft.operators.Scale.sourceKey]]) and reused; dims are copied
+  * verbatim. Prints ONE JSON line (volumebench record shape).
+  */
+object VolumeBench {
+
+  val Mult = 10
+  val CostRatioBound = 1.5
+  /** The audited top-cost tier (the round-7 verdict's list). */
+  val Queries = Seq(
+    "d46_prefix_join", "d35_components_star", "m46_media_components",
+    "q81_winsorized_agg", "q83_mad_outliers", "q85_equidepth_hist",
+    "x103_cluster_split", "x107_graph_pagerank", "s43_ivfpq_knn",
+    "x90_corpus_pipeline")
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Synthesize the Mult× tables into `outDir` (idempotent per source
+    * content — gated on the _SUCCESS marker). */
+  def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    if (new java.io.File(s"$outDir/_SUCCESS").exists()) return
+    def t(n: String): DataFrame = spark.read.parquet(s"$sfDir/$n.parquet")
+    val reps = spark.range(0, Mult).select(col("id").cast("long").as("rep"))
+
+    // documents: word-suffix mutation per replica (see header)
+    val docs = t("documents")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        expr("array_join(transform(split(text, ' '), " +
+          "w -> if(rep = 0, w, concat(w, '_r', rep))), ' ')").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings: deterministic per-component jitter per replica
+    val emb = t("embeddings")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * maxVec).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x + " +
+          "(pmod(hash(vec_id, rep, i), 1000) - 500) * 1.0e-6 as float))")
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // orders/lineitem: order-key offsets per replica, FK preserved
+    val ord = t("orders")
+    val maxOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    ord.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOrd)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    t("lineitem").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrd)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // events: id/user offsets per replica (ts via T — epoch-nano long)
+    val ev = graft.operators.T(spark, sfDir, "events")
+    val maxEvt = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEvt)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUser)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // dims copied verbatim
+    for (n <- Seq("region", "nation", "customer", "supplier", "part"))
+      t(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+
+    new java.io.FileOutputStream(s"$outDir/_SUCCESS").close()
+  }
+
+  private def exchanges(df: DataFrame): Int = {
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    "(?m)(BroadcastExchange|Exchange )".r.findAllIn(p).size
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val volDir = sys.env.getOrElse("SPARK_GRAFT_VOLUME_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_volume_" +
+        graft.operators.Scale.sourceKey(sfDir, "documents") + s"_x$Mult")
+    val genSec = time { generate(spark, sfDir, volDir) }
+
+    val only = args.headOption.map(_.split(",").toSet)
+    val names = Queries.filter(n => only.forall(_.contains(n)))
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    names.foreach { name =>
+      try {
+        // warm-up at the base SF absorbs codegen/class-load constants so
+        // t1 measures the engine, not the JIT
+        spark.sharedState.cacheManager.clearCache()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        spark.sharedState.cacheManager.clearCache()
+        val d1 = SparkEntry.queries(name)(spark, sfDir)
+        val e1 = exchanges(d1)
+        val t1 = time { d1.count(); () }
+        spark.sharedState.cacheManager.clearCache()
+        val d10 = SparkEntry.queries(name)(spark, volDir)
+        val e10 = exchanges(d10)
+        val t10 = time { d10.count(); () }
+        val ratio = t10 / (Mult * t1)
+        results(name) = Map("t_base" -> t1, "t_big" -> t10,
+          "cost_ratio" -> ratio, "exch_base" -> e1.toDouble,
+          "exch_big" -> e10.toDouble)
+      } catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+      }
+    }
+    val violations =
+      results.collect { case (n, m)
+        if m("cost_ratio") > CostRatioBound => s"$n:cost_ratio" }.toSeq ++
+      results.collect { case (n, m)
+        if m("exch_big") > m("exch_base") => s"$n:new_exchange" }.toSeq ++
+      errors.keys
+    val qs = results.map { case (k, m) =>
+      JsonOut.str(k) + ":" + m.map { case (f, v) => JsonOut.str(f) + ":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
+      .mkString("{", ",", "}")
+    val vs = violations.map(JsonOut.str).mkString("[", ",", "]")
+    val total = results.values.map(_("t_big")).sum
+    println(s"""{"metric":"volume_total","value":$total,"unit":"sec","mult":$Mult,"cost_ratio_bound":$CostRatioBound,"gen_sec":$genSec,"queries":$qs,"errors":$es,"violations":$vs,"sf":"$sfDir"}""")
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

@@ -74,7 +74,7 @@ object Scale {
     * be worse: the cached layout would silently serve STALE ROWS and the
     * oracle (which reads the live table) would hash-mismatch. A content
     * fingerprint makes regenerated sources land on a fresh layout path. */
-  private[operators] def sourceKey(dir: String, table: String): String = {
+  private[graft] def sourceKey(dir: String, table: String): String = {
     val f = new java.io.File(s"$dir/$table.parquet")
     val stats: Seq[(String, Long, Long)] =
       if (f.isDirectory)

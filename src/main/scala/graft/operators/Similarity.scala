@@ -1314,8 +1314,15 @@ object Similarity {
     val qsub = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    // cell restriction FIRST: only cand0's (q, n) pairs ever reach ADC
-    val cand = cand0.join(codes, "n_id")
+    // cell restriction FIRST: only cand0's (q, n) pairs ever reach ADC.
+    // The codes side is CORPUS-sized (N×M rows) — without the merge hint
+    // Catalyst broadcasts it at small SF and flips to a shuffle join once
+    // it crosses the threshold (the VolumeBench 10x run caught exactly
+    // that flip: 13 -> 14 exchanges). Pinning shuffle-merge makes the
+    // plan scale-invariant — the shape that survives 100 TB — and AQE
+    // still specializes it back to a local broadcast at runtime when the
+    // exchange turns out tiny.
+    val cand = cand0.join(codes.hint("merge"), "n_id")
       .join(broadcast(cb), Seq("s", "c"))
       .join(broadcast(qsub), Seq("q_id", "s"))
       .withColumn("ds", expr(

@@ -23,65 +23,6 @@ object ScaleSpec {
   * broadcast joins have no shuffle at all. */
 class ScaleSpec extends SparkSpec {
 
-  test("AQE skew-join split fires on a hot key and preserves the join result " +
-    "(the built-in tier beside q26's manual salt)") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    def skewJoins(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => skewJoins(a.executedPlan)
-      case s: QueryStageExec => skewJoins(s.plan)
-      case j: SortMergeJoinExec if j.isSkewJoin => j +: j.children.flatMap(skewJoins)
-      case j: ShuffledHashJoinExec if j.isSkewJoin => j +: j.children.flatMap(skewJoins)
-      case other => other.children.flatMap(skewJoins)
-    }
-    // hot key 0 holds half of 200k rows with ~100 B incompressible payload
-    // (MapStatus sizes are post-compression — a repeated literal would
-    // compress below the skew threshold and never trip the split)
-    val facts = spark.range(0, 200000).selectExpr(
-      "if(id % 2 = 0, 0L, id % 997) as key",
-      "concat(md5(cast(id as string)), md5(cast(id + 1 as string)), " +
-        "md5(cast(id + 2 as string))) as payload")
-    val dims = spark.range(0, 997).selectExpr("id as key", "id * 10 as value")
-    val c = spark.conf
-    val keys = Seq("spark.sql.adaptive.enabled",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val saved = keys.map(k => k -> c.getOption(k))
-    try {
-      c.set("spark.sql.adaptive.enabled", "true")
-      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
-      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
-      c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = facts.join(dims, "key")
-      val qe = joined.queryExecution
-      val n = qe.toRdd.count()
-      assert(n === 200000L, "inner join must keep every fact row")
-      assert(skewJoins(qe.executedPlan).nonEmpty,
-        "the skewed partition must be split at runtime (isSkewJoin join node)")
-      // result parity with the non-adaptive plain join
-      c.set("spark.sql.adaptive.enabled", "false")
-      val plain = facts.join(dims, "key").groupBy("key").count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      c.set("spark.sql.adaptive.enabled", "true")
-      val adaptive = facts.join(dims, "key").groupBy("key").count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(adaptive === plain)
-    } finally saved.foreach {
-      case (k, Some(v)) => c.set(k, v)
-      case (k, None) => c.unset(k)
-    }
-  }
-
   test("salted join == plain join, and spreads keys over salts") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
