@@ -1131,9 +1131,137 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t47: duplicate/top n-gram CHARACTER fractions — the repetition half
+    * of the Gopher rule set (Rae et al. 2021 §A1.1) that t29's count
+    * ratios and t46's lexical rules do not cover. Per document:
+    *  - top{2,3,4}_frac: characters claimed by the most frequent n-gram
+    *    (count × its char length, spaces between tokens excluded), over
+    *    n_chars. Argmax is pinned deterministic: (count DESC, char
+    *    length DESC, gram ASC).
+    *  - dup{5,10}_frac: characters of tokens covered by ANY n-gram
+    *    occurring ≥ 2 times — positional interval UNION via DISTINCT
+    *    (doc, pos), so overlapping duplicate grams never double-count
+    *    (the naive sum-over-grams form overshoots past 1.0 on exactly
+    *    the repetitive documents this metric exists to kill).
+    *
+    * Scale: one tokenization pass generates all five gram sizes in a
+    * single flatten-transform explode (~5 × n_tokens rows, map-side),
+    * one window count per (doc, n, gram) — partition-bounded by the
+    * document — and the coverage join is (doc, pos)-keyed, ≤ n_tokens
+    * rows per doc. No corpus-wide state; every stage partitions by
+    * doc_id. Guard order matters: Spark's sequence(1, n) with n < 1
+    * counts DOWN (d36's pinned footgun), so short docs take the
+    * if-empty branch before sequence() is evaluated. */
+  val t47DupNgramChars = Q(
+    "t47_dup_ngram_chars",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            length(text) AS nc FROM documents),
+        gs AS (SELECT doc_id, nc, 2 AS n, i AS pos,
+                      array_to_string(t[i:i+1], ' ') AS g
+               FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+               UNION ALL
+               SELECT doc_id, nc, 3 AS n, i AS pos,
+                      array_to_string(t[i:i+2], ' ') AS g
+               FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+               UNION ALL
+               SELECT doc_id, nc, 4 AS n, i AS pos,
+                      array_to_string(t[i:i+3], ' ') AS g
+               FROM tok, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+               UNION ALL
+               SELECT doc_id, nc, 5 AS n, i AS pos,
+                      array_to_string(t[i:i+4], ' ') AS g
+               FROM tok, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+               UNION ALL
+               SELECT doc_id, nc, 10 AS n, i AS pos,
+                      array_to_string(t[i:i+9], ' ') AS g
+               FROM tok, UNNEST(generate_series(1, len(t) - 9)) AS u(i)),
+        c AS (SELECT doc_id, nc, n, pos, g,
+                     COUNT(*) OVER (PARTITION BY doc_id, n, g) AS c
+              FROM gs),
+        top AS (SELECT doc_id, n,
+                       CAST(c * (length(g) - (n - 1)) AS DOUBLE) / nc AS frac,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                         ORDER BY c DESC, length(g) DESC, g) AS rk
+                FROM (SELECT DISTINCT doc_id, nc, n, g, c FROM c)
+                WHERE n IN (2, 3, 4)),
+        topp AS (SELECT doc_id,
+                        MAX(CASE WHEN n = 2 THEN frac END) AS top2,
+                        MAX(CASE WHEN n = 3 THEN frac END) AS top3,
+                        MAX(CASE WHEN n = 4 THEN frac END) AS top4
+                 FROM top WHERE rk = 1 GROUP BY doc_id),
+        cov AS (SELECT DISTINCT doc_id, n, pos + j AS p
+                FROM c, UNNEST(generate_series(0, n - 1)) AS v(j)
+                WHERE c >= 2 AND n IN (5, 10)),
+        tokpos AS (SELECT doc_id, i AS p, length(t[i]) AS wl
+                   FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)),
+        covp AS (SELECT doc_id,
+                        MAX(CASE WHEN n = 5 THEN cc END) AS c5,
+                        MAX(CASE WHEN n = 10 THEN cc END) AS c10
+                 FROM (SELECT cov.doc_id, cov.n, SUM(wl) AS cc
+                       FROM cov JOIN tokpos
+                         ON cov.doc_id = tokpos.doc_id AND cov.p = tokpos.p
+                       GROUP BY 1, 2) GROUP BY doc_id)
+        SELECT tok.doc_id, CAST(nc AS BIGINT) AS n_chars,
+               COALESCE(top2, CAST(0 AS DOUBLE)) AS top2_frac,
+               COALESCE(top3, CAST(0 AS DOUBLE)) AS top3_frac,
+               COALESCE(top4, CAST(0 AS DOUBLE)) AS top4_frac,
+               CAST(COALESCE(c5, 0) AS DOUBLE) / nc AS dup5_frac,
+               CAST(COALESCE(c10, 0) AS DOUBLE) / nc AS dup10_frac
+        FROM tok LEFT JOIN topp ON tok.doc_id = topp.doc_id
+                 LEFT JOIN covp ON tok.doc_id = covp.doc_id
+        ORDER BY tok.doc_id""") { (spark, dir) =>
+    val tok = T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        length(col("text")).as("nc"))
+    // single pass: all five gram sizes from one explode (oracle uses the
+    // readable 5-branch UNION — same rows, clarity over one-pass there)
+    val grams = tok.select(col("doc_id"), col("nc"), explode(expr(
+      "flatten(transform(array(2, 3, 4, 5, 10), n -> " +
+        "transform(if(size(t) >= n, sequence(1, size(t) - n + 1), " +
+        "array()), p -> named_struct(" +
+        "'n', n, 'pos', p, 'g', array_join(slice(t, p, n), ' ')))))")).as("e"))
+      .select(col("doc_id"), col("nc"), col("e.n").as("n"),
+        col("e.pos").as("pos"), col("e.g").as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val c = grams.withColumn("c",
+      count(lit(1)).over(Window.partitionBy("doc_id", "n", "g")))
+    val wTop = Window.partitionBy("doc_id", "n")
+      .orderBy(col("c").desc, length(col("g")).desc, col("g"))
+    val top = c.select("doc_id", "nc", "n", "g", "c").distinct()
+      .filter(col("n").isin(2, 3, 4))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .withColumn("frac", (col("c") * (length(col("g")) - (col("n") - 1)))
+        .cast("double") / col("nc"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("frac"))).as("top2"),
+        max(when(col("n") === 3, col("frac"))).as("top3"),
+        max(when(col("n") === 4, col("frac"))).as("top4"))
+    val cov = c.filter(col("c") >= 2 && col("n").isin(5, 10))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(pos, pos + n - 1)")).as("p")).distinct()
+    val tokpos = tok.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), length(col("col")).as("wl"))
+    val covp = cov.join(tokpos, Seq("doc_id", "p"))
+      .groupBy("doc_id", "n").agg(sum("wl").as("cc"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 5, col("cc"))).as("c5"),
+        max(when(col("n") === 10, col("cc"))).as("c10"))
+    tok.select("doc_id", "nc")
+      .join(top, Seq("doc_id"), "left")
+      .join(covp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nc").cast("long").as("n_chars"),
+        coalesce(col("top2"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3"), lit(0.0)).as("top3_frac"),
+        coalesce(col("top4"), lit(0.0)).as("top4_frac"),
+        (coalesce(col("c5"), lit(0L)).cast("double") / col("nc")).as("dup5_frac"),
+        (coalesce(col("c10"), lit(0L)).cast("double") / col("nc")).as("dup10_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t21TokenStats, t22LangProfile, t23QualityScore,
     t24LangId, t25Fingerprint, t26Keywords, t28TokenBpe, t29Repetition,
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
-    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize, t46GopherRules, x113KillMatrix)
+    t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize, t46GopherRules,
+    t47DupNgramChars, x113KillMatrix)
 }
