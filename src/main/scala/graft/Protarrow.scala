@@ -125,9 +125,9 @@ object Protarrow {
     val spark = ds.sparkSession
     val schema = messageTypeToSchema(md, cfg, reg)
     val writer = Codecs.rowWriter(md, cfg, reg)
-    permissiveScan[Array[Byte]](spark, ds.rdd, schema, mode,
+    permissiveScan(spark, ds.rdd, schema, mode,
       org.apache.spark.sql.types.BinaryType,
-      b => writer(ProtoWire.decode(b, md, reg)), identity)
+      b => ProtoWire.decode(b, md, reg), writer, (b: Array[Byte]) => b)
   }
 
   /** Proto-JSONL scan (the fixture-loader shape,
@@ -146,30 +146,34 @@ object Protarrow {
     val writer = Codecs.rowWriter(md, cfg, reg)
     val lines = spark.read.textFile(path).rdd
       .mapPartitions(_.filter(_.trim.nonEmpty))
-    permissiveScan[String](spark, lines, schema, mode,
+    permissiveScan(spark, lines, schema, mode,
       org.apache.spark.sql.types.StringType,
-      l => writer(ProtoJson.parse(l, md, reg)), identity)
+      l => ProtoJson.parse(l, md, reg), writer, (l: String) => l)
   }
 
   /** Shared malformed-record machinery for the ingest scans: wraps the
-    * per-record parse in the [[IngestMode]] contract. The catch is
+    * per-record DECODE step in the [[IngestMode]] contract. The catch is
     * per-record INSIDE mapPartitions — the partition iterator keeps
     * streaming, so tolerance costs nothing on the happy path and no
-    * executor-side buffering anywhere. */
-  private def permissiveScan[A](spark: SparkSession,
+    * executor-side buffering anywhere. Only the decode (`ProtoJson.parse`
+    * / `ProtoWire.decode`) is caught: a rowWriter/encoder failure is an
+    * ENGINE bug, not dirty data, and must propagate rather than be
+    * reclassified as a corrupt record. */
+  private def permissiveScan[A, M](spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[A], schema: StructType, mode: IngestMode,
       corruptType: org.apache.spark.sql.types.DataType,
-      parse: A => Row, raw: A => Any): DataFrame = {
+      decode: A => M, write: M => Row, raw: A => Any): DataFrame = {
     import org.apache.spark.sql.types.StructField
     import scala.util.control.NonFatal
     mode match {
       case IngestMode.FailFast =>
-        spark.createDataFrame(rdd.mapPartitions(_.map(parse)), schema)
+        spark.createDataFrame(
+          rdd.mapPartitions(_.map(a => write(decode(a)))), schema)
       case IngestMode.DropMalformed =>
         spark.createDataFrame(
           rdd.mapPartitions(_.flatMap { a =>
-            try Iterator.single(parse(a))
-            catch { case NonFatal(_) => Iterator.empty }
+            val m = try Some(decode(a)) catch { case NonFatal(_) => None }
+            m.iterator.map(write) // writer exceptions propagate
           }), schema)
       case IngestMode.Permissive =>
         val n = schema.fields.length
@@ -180,9 +184,10 @@ object Protarrow {
           StructField(IngestMode.CorruptColumn, corruptType, nullable = true))
         spark.createDataFrame(
           rdd.mapPartitions(_.map { a =>
-            try Row.fromSeq(parse(a).toSeq :+ null)
-            catch {
-              case NonFatal(_) => Row.fromSeq(Seq.fill[Any](n)(null) :+ raw(a))
+            val m = try Some(decode(a)) catch { case NonFatal(_) => None }
+            m match {
+              case Some(msg) => Row.fromSeq(write(msg).toSeq :+ null)
+              case None      => Row.fromSeq(Seq.fill[Any](n)(null) :+ raw(a))
             }
           }), out)
     }

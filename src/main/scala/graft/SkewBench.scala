@@ -313,7 +313,23 @@ object SkewBench {
     // q88's anti-joins key on the same hot l_orderkey — the pile is one
     // key whose rows all match (or all miss) the broadcast key side;
     // each class collapses to ONE count row
-    "q88_ri_audit")
+    "q88_ri_audit",
+    // TPC-H heavies under the hot l_orderkey pile (round-8 verdict #6):
+    // Q18 groups BY the hot order key — the 20% pile lands in ONE
+    // group whose SUM partial absorbs it map-side before the shuffle;
+    // the HAVING threshold then keeps the hot order (a genuinely big
+    // order is exactly what Q18 looks for), and the final join
+    // replicates it once, not per-row
+    "q48_tpch18",
+    // Q21's EXISTS/NOT-EXISTS self-joins key on the same hot order key:
+    // the multi-supplier probe collapses the pile to per-(order,supp)
+    // partials before the anti-join, so the hot key carries counts,
+    // never row pairs
+    "q50b_tpch21",
+    // Q9's profit rollup never keys on the order key — the hot pile
+    // spreads over (nation, year) groups whose decimal partials absorb
+    // it map-side; part/supplier joins key on their own uniform keys
+    "q39_tpch09")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
@@ -362,9 +378,10 @@ object SkewBench {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
-    // orders/customer unchanged (q26's build side; q88's FK targets)
-    t("orders").write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    t("customer").write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    // orders/customer unchanged (q26's build side; q88's FK targets);
+    // part/supplier/nation/region verbatim for the TPC-H heavies
+    for (n <- Seq("orders", "customer", "part", "supplier", "nation", "region"))
+      t(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
 
     // events: every 10th event collapses onto ONE nanosecond — a
     // flash-crowd instant that makes one q65 time bin maximally hot.

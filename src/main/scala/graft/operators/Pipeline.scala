@@ -692,18 +692,27 @@ object Pipeline {
       .join(docs, "doc_id")
       .withColumn("shard", expr(s"(global_idx - 1) div $ShardSize"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("global_idx"))
+      // shard FIRST: partitionBy's required ordering (shard) is then a
+      // satisfied prefix, so the writer inserts no extra sort and the
+      // documented "sorted by global_idx inside each file" property
+      // holds by construction, not by sort stability under spill
+      .sortWithinPartitions(col("shard"), col("global_idx"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
   }
 
   /** Re-read the exported shards and verify them against the manifest
     * computed from the SOURCE: doc counts, payload bytes, index-range
-    * contiguity, and the XOR checksum — recomputed from the RE-READ
+    * contiguity, the XOR checksum — recomputed from the RE-READ
     * text (not a stored hash column), so a corrupted or substituted
-    * payload flips checksum_ok even when counts survive. A missing
-    * shard surfaces through the full-outer join as a row of zeros. */
+    * payload flips checksum_ok even when counts survive — and
+    * INTRA-FILE ORDER: adjacent global_idx inversions in physical read
+    * order within each (file, read-split), so a writer that stops
+    * sorting inside shard files goes red instead of shipping silently.
+    * A missing shard surfaces through the full-outer join as a row of
+    * zeros. */
   private[operators] def auditShards(
       spark: org.apache.spark.sql.SparkSession, dir: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ra = spark.read.parquet(out)
       .select(col("shard").cast("long").as("shard"), col("text"), col("global_idx"))
       .groupBy("shard")
@@ -712,7 +721,21 @@ object Pipeline {
         sum(length(col("text")).cast("long")).as("r_bytes"),
         min(col("global_idx")).as("r_min"),
         max(col("global_idx")).as("r_max"))
+    // monotonically_increasing_id is increasing in physical read order
+    // within a partition; a parquet split is read in file order, so an
+    // unsorted file yields an adjacent inversion inside some
+    // (file, split) window. Keys are file×split → balanced at any scale.
+    val ordW = Window.partitionBy(col("f"), col("pid")).orderBy(col("pos"))
+    val inv = spark.read.parquet(out)
+      .select(col("shard").cast("long").as("shard"), col("global_idx"),
+        input_file_name().as("f"), spark_partition_id().as("pid"),
+        monotonically_increasing_id().as("pos"))
+      .withColumn("prev", lag(col("global_idx"), 1).over(ordW))
+      .groupBy("shard")
+      .agg(sum(when(col("prev") > col("global_idx"), 1L).otherwise(0L))
+        .as("inversions"))
     manifestFrame(spark, dir).join(ra, Seq("shard"), "full_outer")
+      .join(inv, Seq("shard"), "left_outer")
       .select(col("shard"),
         coalesce(col("r_docs"), lit(0L)).as("n_docs"),
         coalesce(col("r_bytes"), lit(0L)).as("n_bytes"),
@@ -721,7 +744,9 @@ object Pipeline {
         ((col("r_min") <=> col("min_idx")) && (col("r_max") <=> col("max_idx")) &&
           col("min_idx") === col("shard") * ShardSize + 1 &&
           col("max_idx") - col("min_idx") + 1 === col("r_docs"))
-          .cast("long").as("range_ok"))
+          .cast("long").as("range_ok"),
+        (coalesce(col("inversions"), lit(Long.MaxValue)) === 0L)
+          .cast("long").as("order_ok"))
       .orderBy("shard")
   }
 
@@ -751,9 +776,13 @@ object Pipeline {
                CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
                CAST(1 AS BIGINT) AS checksum_ok,
                CAST(1 AS BIGINT) AS bytes_ok,
-               CAST(1 AS BIGINT) AS range_ok
+               CAST(1 AS BIGINT) AS range_ok,
+               CAST(1 AS BIGINT) AS order_ok
         FROM g GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_${Scale.sourceKey(dir, "documents")}"
+    // applicationId in the path: two concurrent sessions over the same
+    // source can't race overwrite-vs-read on a shared /tmp layout
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
+      s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}"
     exportShards(spark, dir, out)
     auditShards(spark, dir, out)
   }
@@ -816,6 +845,95 @@ object Pipeline {
       .select(coalesce(col("shard"), col("shard2")).as("shard"),
         col("n_v1"), col("n_v2"), col("xor_v1"), col("xor_v2"))
       .orderBy("shard")
+  }
+
+  /** Content-hash-sharded corpus view shared by the x117 incremental
+    * export: `hshard` is x105's stable content band, `b` the arrival
+    * simulation bucket (b = 7 ⇒ the doc is in the v2 delta, ~5%). */
+  private[operators] def hashShardDocs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    T(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        expr(H.s("text")).as("h"),
+        expr(s"${H.s("cast(doc_id as string)")} % 20").as("b"))
+      .withColumn("hshard", expr(s"h div $HashShardW"))
+
+  /** Write `docs` as content-keyed hash shards (`hshard=N/` dirs, rows
+    * sorted by doc_id inside each file). `dynamic = true` switches to
+    * dynamic partition overwrite: ONLY the shards present in `docs` are
+    * replaced — the incremental path. */
+  private[operators] def writeHashShards(docs: DataFrame, out: String,
+      dynamic: Boolean): Unit = {
+    val w = docs.select(col("doc_id"), col("text"), col("hshard"))
+      .repartition(col("hshard"))
+      .sortWithinPartitions(col("hshard"), col("doc_id"))
+      .write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("hshard").parquet(out)
+  }
+
+  /** Audit the hash-shard layout at `out` against the FULL (v2) source:
+    * per shard the re-read doc count, the source-delta `changed` flag,
+    * and checksum/byte verdicts recomputed from the re-read payloads —
+    * x116's audit posture on the content-keyed layout. */
+  private[operators] def auditHashShards(
+      spark: org.apache.spark.sql.SparkSession, dir: String, out: String): DataFrame = {
+    val src = hashShardDocs(spark, dir)
+      .groupBy("hshard")
+      .agg(count(lit(1)).as("s_docs"), expr("bit_xor(h)").as("s_checksum"),
+        sum(col("n_chars")).as("s_bytes"),
+        max(when(col("b") === 7, 1L).otherwise(0L)).as("changed"))
+    val re = spark.read.parquet(out)
+      .select(col("hshard").cast("long").as("hshard"), col("text"))
+      .groupBy("hshard")
+      .agg(count(lit(1)).as("r_docs"),
+        expr(s"bit_xor(${H.s("text")})").as("r_checksum"),
+        sum(length(col("text")).cast("long")).as("r_bytes"))
+    src.join(re, Seq("hshard"), "full_outer")
+      .select(col("hshard").as("shard"),
+        coalesce(col("r_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("changed"), lit(0L)).as("changed"),
+        (col("s_checksum") <=> col("r_checksum")).cast("long").as("checksum_ok"),
+        (col("s_bytes") <=> col("r_bytes")).cast("long").as("bytes_ok"))
+      .orderBy("shard")
+  }
+
+  /** x117: INCREMENTAL shard export — x105's manifest diff made
+    * physical, closing the resumable-100-TB-export loop: corpus v1
+    * (docs outside the b=7 arrival bucket) is exported as content-keyed
+    * hash shards; the v2 delta then lands and ONLY the shards a delta
+    * doc hashes into are rewritten (with their full v2 content) via
+    * dynamic partition overwrite — every other shard file is untouched
+    * on disk (IncrementalExportSpec pins byte-identical untouched
+    * files, and that skipping the delta write leaves every changed
+    * shard red). The audit re-reads the merged layout and verifies
+    * counts/bytes/XOR checksums per shard against the full v2 source.
+    *
+    * Scale: the delta write shuffles ONLY the changed shards' docs
+    * (∝ delta footprint, not corpus); the audit is one mergeable
+    * aggregation per side. At 100 TB this is the difference between a
+    * nightly full re-export and touching 5% of shard files. */
+  val x117IncrementalExport = Q(
+    "x117_incremental_export",
+    s"""WITH d AS (SELECT doc_id, n_chars, ${H.d("text")} AS h,
+                          ${H.d("CAST(doc_id AS VARCHAR)")} % 20 AS b
+                   FROM documents)
+        SELECT h // $HashShardW AS shard,
+               COUNT(*) AS n_docs,
+               CAST(MAX(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+               CAST(1 AS BIGINT) AS checksum_ok,
+               CAST(1 AS BIGINT) AS bytes_ok
+        FROM d GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_increxport_" +
+      s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}"
+    val d = hashShardDocs(spark, dir)
+    writeHashShards(d.filter(col("b") =!= 7), out, dynamic = false)
+    // the delta arrives: rewrite only the shards it hashes into, with
+    // those shards' full v2 content
+    val changed = d.filter(col("b") === 7).select("hshard").distinct()
+    writeHashShards(d.join(changed, Seq("hshard"), "left_semi"), out,
+      dynamic = true)
+    auditHashShards(spark, dir, out)
   }
 
   /** The x103 assignment itself (doc_id, …, split) — shared with the
@@ -1211,6 +1329,7 @@ object Pipeline {
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
     x103ClusterSplit, x104ShardManifest, x105ManifestDiff, x116ShardExport,
+    x117IncrementalExport,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
     x115CurriculumShards)

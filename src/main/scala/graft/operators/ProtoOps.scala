@@ -130,8 +130,69 @@ object ProtoOps {
       .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_drop_rows"))))
   }
 
+  /** Physical parquet FIELD-ID round trip — the point of the reference's
+    * `b"PARQUET:field_id"` metadata (common.py:89-93,
+    * tests/test_conversion.py:952-962) carried all the way into storage:
+    * a proto-derived schema with [[GraftConfig.fieldNumberKey]] set to
+    * Spark's native `parquet.field.id` key writes the proto field
+    * numbers into the parquet footer
+    * (`spark.sql.parquet.fieldId.write.enabled`), and the re-read
+    * resolves columns BY ID under completely different names
+    * (`spark.sql.parquet.fieldId.read.enabled`) — schema-evolution-safe
+    * storage, the reason field ids exist. The query aggregates over the
+    * RENAMED id-resolved columns; if id resolution broke, every value
+    * would be NULL and the hash goes red. FieldIdSpec pins the negative
+    * (name-based read of the renamed schema yields nulls) and the
+    * nested case. */
+  val pa65ParquetFieldId = Q(
+    "pa65_parquet_field_id",
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+       FROM lineitem GROUP BY 1 ORDER BY flag""") { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val key = FieldIds.SparkKey
+    // both confs only act on schemas that carry parquet.field.id
+    // metadata, so session-wide enablement is inert everywhere else
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val md = PMessageDesc("graft.LineId", Seq(
+      PField("l_orderkey", 1, PInt64),
+      PField("l_returnflag", 2, PString)))
+    val schema = graft.conv.SchemaConversion.messageTypeToSchema(
+      md, GraftConfig(fieldNumberKey = Some(key)), WellKnown.registry)
+    val stamped = T(spark, dir, "lineitem").select(
+      col("l_orderkey").as("l_orderkey", schema("l_orderkey").metadata),
+      col("l_returnflag").as("l_returnflag", schema("l_returnflag").metadata))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fieldid_" +
+      s"${Scale.sourceKey(dir, "lineitem")}_${spark.sparkContext.applicationId}"
+    stamped.write.mode("overwrite").parquet(out)
+    // renamed read schema: same ids, different names — resolution is by id
+    val renamed = StructType(Seq(
+      StructField("ok", LongType, nullable = true, FieldIds.meta(1)),
+      StructField("flag", StringType, nullable = true, FieldIds.meta(2))))
+    spark.read.schema(renamed).parquet(out)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("sum_ok"))
+      .orderBy("flag")
+  }
+
   val all: Seq[Q] =
-    Seq(pa61CastNormalize, pa62ProtoJsonlScan, pa63WireRoundtrip, pa64PermissiveScan)
+    Seq(pa61CastNormalize, pa62ProtoJsonlScan, pa63WireRoundtrip,
+      pa64PermissiveScan, pa65ParquetFieldId)
+}
+
+/** Spark's native parquet field-id metadata key + a builder for read
+  * schemas that resolve by id. */
+object FieldIds {
+  /** The StructField metadata key Spark's parquet writer/reader honors
+    * (org.apache.spark.sql.execution.datasources.parquet.ParquetUtils).
+    * Passing it as [[graft.conv.GraftConfig.fieldNumberKey]] makes the
+    * proto field numbers physical parquet field ids. */
+  val SparkKey = "parquet.field.id"
+
+  def meta(id: Long): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SparkKey, id).build()
 }
 
 /** Classpath fixtures → temp files (spark.read needs paths). The path is

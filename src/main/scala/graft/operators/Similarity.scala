@@ -1399,8 +1399,190 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  // ---- IVF REBALANCE (s45/s46): the s41 → s34 loop closed ----
+  // s41's health report names runaway cells; the rebalance SPLITS the two
+  // hottest: each promotes its farthest member (min cosine to its
+  // centroid, ties by vec_id — deterministic, the classic split
+  // heuristic) to a NEW centroid, and the corpus re-assigns against the
+  // expanded set. One shared definition per dialect, like the quantizer.
+
+  /** DuckDB CTE chain over `e` + `cent` + `asg0`: `cent2` (the expanded
+    * centroid set) and `asg2` (the re-assignment ranking). */
+  private[operators] val duckRebalance =
+    s"""asgc AS (SELECT a.vec_id, a.c_id,
+                        ${Cosine.duckDot("a.v", "c.vc")} / (e.nrm * c.cnrm) AS ccos
+                 FROM asg0 a JOIN e ON a.vec_id = e.vec_id
+                             JOIN cent c ON a.c_id = c.c_id
+                 WHERE a.rnk = 1),
+        hot AS (SELECT c_id FROM (
+                  SELECT c_id, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_id) AS pr
+                  FROM asgc GROUP BY c_id) WHERE pr <= 2),
+        newc AS (SELECT nc FROM (
+                   SELECT a.vec_id AS nc,
+                          ROW_NUMBER() OVER (PARTITION BY a.c_id
+                            ORDER BY a.ccos ASC, a.vec_id) AS fr
+                   FROM asgc a JOIN hot h ON a.c_id = h.c_id
+                   WHERE a.vec_id >= 8) WHERE fr = 1),
+        cent2 AS (SELECT c_id, vc, cnrm FROM cent
+                  UNION ALL
+                  SELECT e.vec_id, e.v, e.nrm FROM e JOIN newc ON e.vec_id = newc.nc),
+        asg2 AS (SELECT e.vec_id, c.c_id,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY ${Cosine.duckDot("e.v", "c.vc")} / (e.nrm * c.cnrm) DESC,
+                                   c.c_id) AS rnk
+                 FROM e, cent2 c)"""
+
+  /** Spark twin of `cent2`: original seeds plus one promoted member per
+    * hot cell. K + 2 rows — always broadcast. */
+  private[operators] def rebalancedCents(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val asg = ivfAssign0(spark, dir).filter(col("rnk") === 1)
+    val wHot = Window.orderBy(col("n").desc, col("c_id"))
+    val hot = asg.groupBy("c_id").agg(count(lit(1)).as("n"))
+      .withColumn("pr", row_number().over(wHot)).filter(col("pr") <= 2)
+      .select("c_id")
+    val wFar = Window.partitionBy(col("c_id")).orderBy(col("ccos").asc, col("vec_id"))
+    val newc = asg.join(broadcast(hot), "c_id")
+      .filter(col("vec_id") >= 8) // never promote an existing centroid
+      .withColumn("fr", row_number().over(wFar)).filter(col("fr") === 1)
+      .select(col("vec_id").as("nc"))
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
+      .unionByName(e.join(broadcast(newc), col("vec_id") === col("nc"))
+        .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm")))
+  }
+
+  /** Spark twin of `asg2`: every vector ranked against the expanded
+    * centroid set (broadcast — the centroid set stays tiny). */
+  private[operators] def rebalancedAssign(spark: SparkSession, dir: String): DataFrame = {
+    val w2 = Window.partitionBy(col("vec_id")).orderBy(col("ccos2").desc, col("c_id"))
+    vecs(spark, dir).crossJoin(broadcast(rebalancedCents(spark, dir)))
+      .withColumn("ccos2", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
+      .withColumn("rnk", row_number().over(w2))
+      .select("vec_id", "c_id", "rnk")
+  }
+
+  /** s45: the rebalanced index's cell-population report — s41's stats
+    * AFTER the split, with `is_new` marking the promoted cells. The
+    * RebalanceSpec asserts the operation's point: the max cell share
+    * strictly drops. Scale: everything after the K-cell aggregate is
+    * K + 2 rows; the re-assignment is the same broadcast-centroid
+    * map-only pass s34 runs. */
+  val s45IvfRebalance = Q(
+    "s45_ivf_rebalance",
+    s"""WITH $duckVecs, $duckIvfAssign, $duckRebalance,
+        pop2 AS (SELECT c_id AS cell, COUNT(*) AS n FROM asg2 WHERE rnk = 1 GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS nt FROM e)
+        SELECT c.c_id AS cell, CAST(COALESCE(n, 0) AS BIGINT) AS n_vecs,
+               COALESCE(n, 0) * 1000000 // nt AS share_ppm,
+               CAST(CASE WHEN c.c_id >= 8 THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM (SELECT c_id FROM cent2) c LEFT JOIN pop2 ON c.c_id = pop2.cell, tot
+        ORDER BY cell""") { (spark, dir) =>
+    val pop2 = rebalancedAssign(spark, dir).filter(col("rnk") === 1)
+      .groupBy(col("c_id").as("cell")).agg(count(lit(1)).as("n0"))
+    val tot = vecs(spark, dir).agg(count(lit(1)).as("nt"))
+    rebalancedCents(spark, dir).select(col("c_id").as("cell"))
+      .join(pop2, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("n0"), lit(0L)).as("n_vecs"),
+        expr("coalesce(n0, 0) * 1000000 div nt").as("share_ppm"),
+        (col("cell") >= 8).cast("long").as("is_new"))
+      .orderBy("cell")
+  }
+
+  /** 2-probe top-5 search over a full assignment ranking — the s34 probe
+    * shape, shared by both sides of the s46 recall audit. */
+  private def probeTop5(e: DataFrame, asgRanked: DataFrame): DataFrame = {
+    val asg = asgRanked.filter(col("rnk") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val probe = asgRanked.filter(col("rnk") <= 2 && col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probe.join(asg, "cell").filter(col("n_id") =!= col("q_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")), "n_id")
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id")
+  }
+
+  /** s46: recall RE-AUDIT of the rebalance — per query (vec_id < 10)
+    * the number of exact brute-force top-5 neighbors the 2-probe search
+    * finds on the ORIGINAL index vs the REBALANCED one. The split's
+    * effect on answer quality is data, not a claim. Scale: truth and
+    * probes are query-side-bounded exactly like s32/s34. */
+  val s46RebalanceRecall = Q(
+    "s46_rebalance_recall",
+    s"""WITH $duckVecs, $duckIvfAssign, $duckRebalance,
+        truth AS (SELECT q_id, n_id FROM (
+                    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                             ORDER BY ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) DESC,
+                                      n.vec_id) AS rnk
+                    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+                    WHERE q.vec_id < 10) WHERE rnk <= 5),
+        asgA AS (SELECT vec_id AS n_id, c_id AS cell FROM asg0 WHERE rnk = 1),
+        probeA AS (SELECT vec_id AS q_id, c_id AS cell FROM asg0
+                   WHERE rnk <= 2 AND vec_id < 10),
+        topA AS (SELECT q_id, n_id FROM (
+                   SELECT c.q_id, c.n_id,
+                          ROW_NUMBER() OVER (PARTITION BY c.q_id
+                            ORDER BY ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) DESC,
+                                     c.n_id) AS rnk
+                   FROM (SELECT p.q_id, a.n_id FROM probeA p
+                         JOIN asgA a ON p.cell = a.cell AND a.n_id <> p.q_id) c
+                   JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id)
+                 WHERE rnk <= 5),
+        asgB AS (SELECT vec_id AS n_id, c_id AS cell FROM asg2 WHERE rnk = 1),
+        probeB AS (SELECT vec_id AS q_id, c_id AS cell FROM asg2
+                   WHERE rnk <= 2 AND vec_id < 10),
+        topB AS (SELECT q_id, n_id FROM (
+                   SELECT c.q_id, c.n_id,
+                          ROW_NUMBER() OVER (PARTITION BY c.q_id
+                            ORDER BY ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) DESC,
+                                     c.n_id) AS rnk
+                   FROM (SELECT p.q_id, a.n_id FROM probeB p
+                         JOIN asgB a ON p.cell = a.cell AND a.n_id <> p.q_id) c
+                   JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id)
+                 WHERE rnk <= 5),
+        hitsA AS (SELECT a.q_id, COUNT(*) AS hb FROM topA a
+                  JOIN truth t ON a.q_id = t.q_id AND a.n_id = t.n_id GROUP BY a.q_id),
+        hitsB AS (SELECT b.q_id, COUNT(*) AS ha FROM topB b
+                  JOIN truth t ON b.q_id = t.q_id AND b.n_id = t.n_id GROUP BY b.q_id)
+        SELECT q.vec_id AS q_id,
+               CAST(COALESCE(hb, 0) AS BIGINT) AS hits_before,
+               CAST(COALESCE(ha, 0) AS BIGINT) AS hits_after
+        FROM e q LEFT JOIN hitsA ON q.vec_id = hitsA.q_id
+                 LEFT JOIN hitsB ON q.vec_id = hitsB.q_id
+        WHERE q.vec_id < 10 ORDER BY q_id""") { (spark, dir) =>
+    val e = vecs(spark, dir)
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val truth = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")))
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")),
+        col("n_id") =!= col("q_id"))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id")
+    val topA = probeTop5(e, ivfAssign0(spark, dir).select("vec_id", "c_id", "rnk"))
+    val topB = probeTop5(e, rebalancedAssign(spark, dir))
+    val hitsA = topA.join(truth, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hb"))
+    val hitsB = topB.join(truth, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("ha"))
+    e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      .join(hitsA, Seq("q_id"), "left").join(hitsB, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hb"), lit(0L)).as("hits_before"),
+        coalesce(col("ha"), lit(0L)).as("hits_after"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, s41IvfStats, s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval)
+    x107Pagerank, s41IvfStats, s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval,
+    s45IvfRebalance, s46RebalanceRecall)
 }

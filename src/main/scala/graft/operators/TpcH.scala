@@ -762,4 +762,14 @@ object TpcH {
     tpch01, tpch02, tpch03, tpch04, tpch05, tpch06, tpch07, tpch08,
     tpch09, tpch10, tpch11, tpch12, tpch13, tpch14, tpch15, tpch16,
     tpch17, tpch18, tpch19, tpch20, tpch21, tpch22)
+
+  /** Queries whose selective predicates are DATA-DEPENDENTLY EMPTY at
+    * sf0.001 (~6k-row lineitem): DuckDB runs the identical oracleSql to
+    * 0 rows at sf0.001 and to 4 / 238 / 4 / 3 rows at sf0.01 (where the
+    * driver oracle is green). The smoke suite asserts emptiness at
+    * sf0.001 (so this exemption rots loudly if the data changes) AND
+    * non-emptiness at sf0.01 (so a vacuously-broken query can't hide
+    * behind the exemption). */
+  val emptyAtTinySf: Set[String] =
+    Set("q37_tpch07", "q41_tpch11", "q50_tpch20", "q50b_tpch21")
 }

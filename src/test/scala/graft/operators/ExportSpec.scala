@@ -20,7 +20,8 @@ class ExportSpec extends SparkSpec {
     val m = Pipeline.manifestFrame(spark, sfDir).cache()
     assert(audit.count() === m.count(), "one audit row per manifest shard")
     assert(audit.filter(col("checksum_ok") =!= 1 || col("bytes_ok") =!= 1 ||
-      col("range_ok") =!= 1).count() === 0, "all verdicts must pass")
+      col("range_ok") =!= 1 || col("order_ok") =!= 1).count() === 0,
+      "all verdicts must pass")
     // totals conserved through the round trip
     val docs = T(spark, sfDir, "documents")
     assert(audit.agg(sum("n_docs")).head().getLong(0) === docs.count())
@@ -73,5 +74,31 @@ class ExportSpec extends SparkSpec {
     assert(row.getAs[Long]("range_ok") === 1L, "indices untouched")
     assert(row.getAs[Long]("checksum_ok") === 0L,
       "the recomputed-from-payload XOR must catch the substitution")
+  }
+
+  test("an unsorted shard file flips order_ok while content verdicts survive") {
+    val out = freshOut()
+    Pipeline.exportShards(spark, sfDir, out)
+    // rewrite shard 1 with identical content in REVERSED global_idx
+    // order — counts/bytes/checksum/range all survive, order must not
+    val reversed = spark.read.parquet(s"$out/shard=1")
+      .repartition(1).sortWithinPartitions(col("global_idx").desc)
+    val tmp = freshOut()
+    reversed.write.mode("overwrite").parquet(tmp)
+    val d1 = new java.io.File(out, "shard=1")
+    d1.listFiles().foreach(_.delete()); d1.delete()
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(out, "shard=1"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val row = Pipeline.auditShards(spark, sfDir, out)
+      .filter(col("shard") === 1).head()
+    assert(row.getAs[Long]("checksum_ok") === 1L, "XOR is order-independent")
+    assert(row.getAs[Long]("bytes_ok") === 1L)
+    assert(row.getAs[Long]("range_ok") === 1L)
+    assert(row.getAs[Long]("order_ok") === 0L,
+      "intra-file inversions must flip order_ok")
+    // untouched shards keep order_ok = 1
+    assert(Pipeline.auditShards(spark, sfDir, out)
+      .filter(col("shard") =!= 1 && col("order_ok") =!= 1).count() === 0)
   }
 }

@@ -15,11 +15,24 @@ class RelationalSpec extends SparkSpec {
   }
 
   // every registered query (all modules) must run and return rows at the
-  // smallest SF — regressions surface without the oracle
+  // smallest SF — regressions surface without the oracle. Queries in
+  // TpcH.emptyAtTinySf are data-dependently empty at sf0.001 (DuckDB
+  // agrees on the same SQL): for those, pin emptiness at sf0.001 (the
+  // exemption rots loudly if the data changes) and non-emptiness at
+  // sf0.01 (a vacuously-broken query can't hide behind it).
   for (q <- SparkEntry.allQueries) {
-    test(s"${q.name} runs at sf0.001 and returns rows") {
-      val df = q.fn(spark, sfDir)
-      assert(df.count() > 0, s"${q.name} returned no rows")
+    if (TpcH.emptyAtTinySf(q.name)) {
+      test(s"${q.name} is empty at sf0.001 but returns rows at sf0.01") {
+        assert(q.fn(spark, sfDir).count() == 0,
+          s"${q.name} no longer empty at sf0.001 — drop it from emptyAtTinySf")
+        assert(q.fn(spark, "/root/testdata/sf0.01").count() > 0,
+          s"${q.name} returned no rows even at sf0.01")
+      }
+    } else {
+      test(s"${q.name} runs at sf0.001 and returns rows") {
+        val df = q.fn(spark, sfDir)
+        assert(df.count() > 0, s"${q.name} returned no rows")
+      }
     }
   }
 
