@@ -290,8 +290,13 @@ object Bench {
       "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(qsec)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // pa_* micro-points get a 1.0 s absolute floor: the sub-second
+    // dist/wire points carry documented executor-POJO deserialization
+    // jitter (2.5-4x swings on 0.2-0.4 s values — round-8 verdict), so
+    // a 2x trigger there is noise, not signal
+    def floor(k: String): Double = if (k.startsWith("pa_")) 1.0 else 0.5
     val regressions = results.collect {
-      case (k, v) if baseline.get(k).exists(b => v > 2 * b && v > 0.5) =>
+      case (k, v) if baseline.get(k).exists(b => v > 2 * b && v > floor(k)) =>
         k -> s"${"%.4f".format(v)} vs baseline ${"%.4f".format(baseline(k))}"
     }
     // Layout for the driver's 2000-char TAIL capture: the per-query map

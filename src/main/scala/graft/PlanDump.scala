@@ -40,7 +40,10 @@ object PlanDump {
     "q36_tpch06", "q37_tpch07", "q38_tpch08", "q39_tpch09", "q40_tpch10",
     "q41_tpch11", "q42_tpch12", "q43_tpch13", "q44_tpch14", "q45_tpch15",
     "q46_tpch16", "q47_tpch17", "q48_tpch18", "q49_tpch19", "q50_tpch20",
-    "q50b_tpch21", "q50c_tpch22", "x116_shard_export", "pa64_permissive_scan")
+    "q50b_tpch21", "q50c_tpch22", "x116_shard_export", "pa64_permissive_scan",
+    "pa65_parquet_field_id", "x117_incremental_export", "s45_ivf_rebalance",
+    "s46_rebalance_recall", "m49_media_components_scalable",
+    "x118_label_communities")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - `embeddings`: one vector duplicated 10,000× — the hottest possible
   *    LSH bucket / IVF cell; s33/s34 stay bounded because the query side
   *    is small (candidates ≤ |Q| × bucket), never bucket × bucket.
-  *  - `lineitem`: ~20 % of rows remapped to ONE order key; q26's salted
+  *  - `lineitem`: ~33 % of rows remapped to ONE order key; q26's salted
   *    join must spread that key over saltFactor reducers.
   *
   * d30/d31/m44 are excluded by contract, not leniency: their OUTPUT is
@@ -130,7 +130,7 @@ object SkewBench {
     // output is capped at PqRerank candidates regardless of how many
     // vectors share a code, and the re-rank touches only those
     "s38_pq_knn",
-    // x100's hostile input piles ~20% of lineitem onto one l_orderkey —
+    // x100's hostile input piles ~33% of lineitem onto one l_orderkey —
     // but the incremental merge never keys on the order key: both the
     // delta partials and the state merge group by l_returnflag (5
     // groups, map-side partials absorb the pile) and the distinct-pairs
@@ -315,7 +315,7 @@ object SkewBench {
     // each class collapses to ONE count row
     "q88_ri_audit",
     // TPC-H heavies under the hot l_orderkey pile (round-8 verdict #6):
-    // Q18 groups BY the hot order key — the 20% pile lands in ONE
+    // Q18 groups BY the hot order key — the 33% pile lands in ONE
     // group whose SUM partial absorbs it map-side before the shuffle;
     // the HAVING threshold then keeps the hot order (a genuinely big
     // order is exactly what Q18 looks for), and the final join
@@ -329,7 +329,22 @@ object SkewBench {
     // Q9's profit rollup never keys on the order key — the hot pile
     // spreads over (nation, year) groups whose decimal partials absorb
     // it map-side; part/supplier joins key on their own uniform keys
-    "q39_tpch09")
+    "q39_tpch09",
+    // s45 under the 10k-dup embedding is the rebalance's OWN adversarial
+    // case: the pile lands in one cell, the split targets exactly that
+    // cell, and the re-assignment is the same broadcast-centroid
+    // map-only pass as s34 — the hot cell is an aggregation group,
+    // never a join key
+    "s45_ivf_rebalance",
+    // s46's probes are query-side-bounded like s34 (candidates ≤
+    // |Q| × cell); the 10k-dup cell inflates candidate lists linearly,
+    // absorbed by the per-query top-5 window's rank shortcut
+    "s46_rebalance_recall",
+    // x117 under the 10k-dup doc: identical texts share one content
+    // hash, so ONE hash shard gains the pile — the delta write shuffles
+    // on hshard (the pile is one partition's sorted run) and the audit's
+    // COUNT/XOR/SUM partials absorb it map-side, x105's posture
+    "x117_incremental_export")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
@@ -363,17 +378,24 @@ object SkewBench {
     emb.unionByName(vdups)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // lineitem: every 5th row's key remapped to one hot order key.
+    // lineitem: every 3rd row's key remapped to one hot order key.
     // Written as 32 files: AQE's skew split cuts on MAP-OUTPUT
     // boundaries, and a single-row-group file is one effective mapper —
     // the hot reducer's bytes would all sit in one unsplittable chunk
     // and OptimizeSkewedJoin would correctly refuse (measured: map
     // sizes [0, 686k, 0, 0] at sf0.1). A 100 TB fact table always has
     // thousands of mappers; 32 files is that reality at bench scale.
+    // Every 3rd, not 5th: a 1-in-5 remap put the hot reducer at 1.99×
+    // the median — EXACTLY on the skewedPartitionFactor=2 cutoff, where
+    // the ±10% log-quantization of CompressedMapStatus sizes decided
+    // whether the split fired run to run (round 8 yes, round 9 no,
+    // measured: hot 240,047 rows vs median 120,744). A real hot key is
+    // decisively hot; 1-in-3 makes the hot reducer ~3× the median, so
+    // the split decision no longer rides on stats rounding.
     val li = t("lineitem")
     val hotKey = li.agg(min("l_orderkey")).head().getLong(0)
     li.withColumn("l_orderkey",
-      when(pmod(col("l_linenumber") + col("l_partkey"), lit(5)) === 0,
+      when(pmod(col("l_linenumber") + col("l_partkey"), lit(3)) === 0,
         lit(hotKey)).otherwise(col("l_orderkey")))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")

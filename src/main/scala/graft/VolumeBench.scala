@@ -47,13 +47,19 @@ object VolumeBench {
   val Mult = 10
   val CostRatioBound = 1.5
   /** The audited top-cost tier: the round-7 verdict's list plus the
-    * round-8 heavies (x116 shard export, TPC-H Q18/Q9, d39). */
+    * round-8 heavies (x116 shard export, TPC-H Q18/Q9, d39). m49 audits
+    * the media-components tier in place of m46: the round-9 honest
+    * in-timer measurement showed m46's 4×256-bucket pigeonhole join
+    * generating candidates quadratically (cost_ratio 1.8 at 10×) — m46
+    * is now contract-confined at base SF (the d30 precedent) and m49's
+    * 35-bit-matched candidate tables are the production tier. */
   val Queries = Seq(
-    "d46_prefix_join", "d35_components_star", "m46_media_components",
+    "d46_prefix_join", "d35_components_star", "m49_media_components_scalable",
     "q81_winsorized_agg", "q83_mad_outliers", "q85_equidepth_hist",
     "x103_cluster_split", "x107_graph_pagerank", "s43_ivfpq_knn",
     "x90_corpus_pipeline",
-    "x116_shard_export", "q48_tpch18", "q39_tpch09", "d39_best_keeper")
+    "x116_shard_export", "x117_incremental_export",
+    "q48_tpch18", "q39_tpch09", "d39_best_keeper")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -163,11 +169,15 @@ object VolumeBench {
         // min-of-3 on BOTH sides: a single host-noise spike on either
         // measurement distorts the ratio in either direction (round-8's
         // q83 base read 9.2 s vs its 3.9 s standing value)
+        // frame CONSTRUCTION goes inside the timer: the export operators
+        // (x116/x117) perform their physical writes eagerly at
+        // construction — timing only count() would measure the audit and
+        // skip the work (x116's base read 0.22 s vs its 2.7 s standing
+        // bench value when construction sat outside the timer)
         def minOf3(dir: String): Double =
           (1 to 3).map { _ =>
             spark.sharedState.cacheManager.clearCache()
-            val d = SparkEntry.queries(name)(spark, dir)
-            time { d.count(); () }
+            time { SparkEntry.queries(name)(spark, dir).count(); () }
           }.min
         val e1 = exchanges(SparkEntry.queries(name)(spark, sfDir))
         val t1 = minOf3(sfDir)

@@ -634,14 +634,21 @@ object Dedup {
   // multiset, order-insensitive). The vote formulas are shared with the
   // char-gram media variant ([[Multimodal.m44MediaNeardup]]) so the two
   // tiers cannot drift — only the gram source differs.
-  private[operators] def simhashSpark =
-    "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + " +
+  private[operators] def simhashSpark = simhashSparkBits(32)
+  /** Width-parameterized vote builder behind [[simhashSpark]] — the
+    * 56-bit media fingerprint ([[Multimodal.m49MediaComponentsScalable]])
+    * shares THIS builder rather than copying the formula, so the two
+    * widths cannot drift one edit at a time. */
+  private[operators] def simhashSparkBits(bits: Int): String =
+    s"aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, b) -> acc + " +
       "(case when 2 * size(filter(th, h -> (shiftright(h, b) & 1) = 1)) > size(th) " +
       "then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))"
   /** DuckDB dialect of [[simhashSpark]]'s vote over a list column `th`. */
-  private[operators] val duckSimVote =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(range(0, 32), b ->
+  private[operators] val duckSimVote = duckSimVoteBits(32)
+  /** DuckDB dialect of [[simhashSparkBits]]. */
+  private[operators] def duckSimVoteBits(bits: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(0, $bits), b ->
                     CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
                          THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
                          ELSE CAST(0 AS BIGINT) END)),

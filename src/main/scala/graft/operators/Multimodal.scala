@@ -222,6 +222,156 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Fingerprint geometry of the SCALABLE media tier ([[mediaPairs56]]):
+    * 56-bit phash (the widest md5 prefix both SQL engines handle in
+    * signed-bigint arithmetic, [[H.s56]]), split into [[NBlocks]] blocks
+    * of [[BlockBits]] bits; a pair at hamming ≤ [[Ham56]] corrupts at
+    * most Ham56 blocks, so at least NBlocks − Ham56 = 5 blocks survive
+    * intact — candidates are found by joining on every C(8,5) = 56
+    * five-block combination (35 matched bits each). The multi-block
+    * candidate-table scheme of Manku/Jain/Sarma, "Detecting
+    * Near-Duplicates for Web Crawling" (WWW 2007) §3. */
+  private[operators] val NBlocks = 8
+  private[operators] val BlockBits = 7
+  private[operators] val Ham56 = 3
+  /** The 56 five-block combinations, ascending, canonical order — the
+    * ONE definition both dialects' candidate tables are generated from. */
+  private[operators] val combos5: Seq[Seq[Int]] =
+    (0 until NBlocks).combinations(NBlocks - Ham56).map(_.toSeq).toSeq
+
+  /** 56-bit twin of [[phashKernel]] — same byte-4-gram vote loop, gram
+    * hashes widened to [[H.jvm56]]. Spec-pinned bit-equal to the
+    * expression form (which the m49 oracle mirrors in SQL). */
+  private[operators] def phash56Kernel(
+      it: Iterator[(Long, String)]): Iterator[(Long, Long)] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    it.map { case (id, text) =>
+      val votes = new Array[Int](56)
+      var n = 0
+      var i = 0
+      val L = text.length
+      while (i + 4 <= L) {
+        val h = H.jvm56(text.substring(i, i + 4), md5)
+        var b = 0
+        while (b < 56) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+        n += 1
+        i += 1
+      }
+      var ph = 0L
+      var b = 0
+      while (b < 56) {
+        if (2 * votes(b) > n) ph |= (1L << b)
+        b += 1
+      }
+      (id, ph)
+    }
+  }
+
+  /** Expression form of the 56-bit phash — the formula the m49 oracle
+    * mirrors and the spec baseline [[phash56Kernel]] is pinned bit-equal
+    * to (vote builder shared with the 32-bit tier via
+    * [[Dedup.simhashSparkBits]]). */
+  private[operators] def phash56ExprForm(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .filter(length(col("text")) >= 4)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, length(text) - 3), " +
+          s"i -> ${H.s56("substring(text, i, 4)")}) as th")
+      .selectExpr("doc_id", s"${Dedup.simhashSparkBits(56)} as phash")
+
+  /** Verified media pairs at hamming ≤ [[Ham56]] on the 56-bit phash via
+    * the [[combos5]] candidate tables — the scale-safe replacement for
+    * [[mediaPairs]]'s single-8-bit-chunk pigeonhole. The round-9 volume
+    * gauntlet (honest in-timer construction) showed the 4×256-bucket
+    * chunk join generating candidates quadratically in corpus size
+    * (cost_ratio 1.8 at 10×): with only 8 matched bits, every doc
+    * collides with n/256 others per chunk REGARDLESS of similarity. Here
+    * each candidate table matches 35 bits, so spurious collisions scale
+    * n²·56/2³⁶ — negligible at any corpus this engine targets — while
+    * the pigeonhole guarantee (≤3 corrupted blocks of 8 leave 5 intact)
+    * keeps recall exact, not approximate. Completeness is spec-pinned
+    * against brute-force hamming at sf0.001. */
+  private[operators] def mediaPairs56(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val sim = T(spark, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(phash56Kernel)
+      .toDF("doc_id", "phash")
+      .cache()
+    val comboDf = combos5.zipWithIndex
+      .map { case (bs, i) => (i, bs) }.toDF("cid", "bs")
+    val keyed = sim.crossJoin(broadcast(comboDf))
+      .withColumn("k", expr(
+        s"aggregate(sequence(0, ${NBlocks - Ham56 - 1}), cast(0 as bigint), " +
+          s"(acc, j) -> acc + shiftleft(shiftright(phash, $BlockBits * element_at(bs, j + 1)) & ${(1 << BlockBits) - 1}, $BlockBits * j))"))
+      .select("cid", "k", "doc_id", "phash")
+    keyed.select(col("cid"), col("k"), col("doc_id").as("a_id"), col("phash").as("ph_a"))
+      .join(keyed.select(col("cid").as("cid2"), col("k").as("k2"),
+        col("doc_id").as("b_id"), col("phash").as("ph_b")),
+        col("cid") === col("cid2") && col("k") === col("k2") && col("a_id") < col("b_id"))
+      .filter(expr(s"bit_count(ph_a ^ ph_b) <= $Ham56"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** The m49 candidate CTE chain in DuckDB — 56-bit phash + the same
+    * [[combos5]]-generated candidate tables (VALUES rows emitted from the
+    * ONE Scala definition, so the dialects cannot drift). */
+  private def duckMedia56Ctes: String = {
+    val comboRows = combos5.zipWithIndex
+      .map { case (bs, i) => s"($i, ${bs.mkString(", ")})" }.mkString(", ")
+    val keyExpr = (0 until (NBlocks - Ham56))
+      .map(j => s"(((phash >> ($BlockBits * b$j)) & ${(1 << BlockBits) - 1}) << ${BlockBits * j})")
+      .mkString(" + ")
+    s"""th0 AS (SELECT doc_id, list_transform(range(1, length(text) - 2),
+                  i -> ${H.d56("substring(text, CAST(i AS INTEGER), 4)")}) AS th
+                FROM documents WHERE length(text) >= 4),
+        sim AS (SELECT doc_id, ${Dedup.duckSimVoteBits(56)} AS phash FROM th0),
+        combo(cid, ${(0 until (NBlocks - Ham56)).map("b" + _).mkString(", ")}) AS
+          (VALUES $comboRows),
+        keyed AS (SELECT doc_id, phash, cid, $keyExpr AS k FROM sim, combo),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM keyed a JOIN keyed b ON a.cid = b.cid AND a.k = b.k
+                                          AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.phash, b.phash)) <= $Ham56)"""
+  }
+
+  /** m49: media duplicate clusters at SCALE — [[m46MediaComponents]]'s
+    * semantics (phash near-dup graph → HashMin components → keeper per
+    * cluster) rebuilt on the 56-bit fingerprint + multi-block candidate
+    * tables of [[mediaPairs56]], the production tier for corpora where
+    * m46's fixed-1024-bucket pigeonhole goes quadratic. Components via
+    * the same shared [[Dedup.connectedComponents]]; oracle = the
+    * candidate CTEs + the recursive closure, two independent algorithms
+    * agreeing. This is the entry the volume gauntlet audits (m46 stays
+    * contract-confined at base SF, the d30 precedent). */
+  val m49MediaComponentsScalable = Q(
+    "m49_media_components_scalable",
+    s"""WITH RECURSIVE $duckMedia56Ctes,
+        edges AS (SELECT a_id AS u, b_id AS w FROM cand
+                  UNION ALL SELECT b_id, a_id FROM cand),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component, s.n_members,
+               c.doc_id = c.component AS is_keeper
+        FROM comp c JOIN sz s ON c.component = s.component
+        ORDER BY c.doc_id""") { (spark, dir) =>
+    Dedup.connectedComponents(mediaPairs56(spark, dir))
+      .orderBy("doc_id")
+  }
+
   /** Frame geometry for [[m45AudioFrames]]: 256 samples per frame, and a
     * frame whose energy is below [[SilenceE]] counts as silence (the VAD
     * trim threshold). */
@@ -404,6 +554,6 @@ object Multimodal {
 
   val all: Seq[Q] =
     Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup,
-      m46MediaComponents,
+      m46MediaComponents, m49MediaComponentsScalable,
       m45AudioFrames, m47SceneCuts, m48ChunkManifest)
 }

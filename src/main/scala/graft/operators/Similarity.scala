@@ -1139,6 +1139,109 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x118 sweep count — bounded synchronous rounds by contract, the x107
+    * posture: the curation consumer wants a stable cheap signal, and
+    * synchronous LPA with a deterministic tie-break is exact at any fixed
+    * round count (asynchronous LPA's convergence races are what make the
+    * textbook algorithm nondeterministic — bounded synchronous sweeps
+    * sidestep that entirely). */
+  private[operators] val LpaSweeps = 3
+
+  /** One synchronous label-propagation sweep in DuckDB dialect: every
+    * node adopts its neighbors' MOST FREQUENT previous-round label, ties
+    * broken by smallest label; isolated nodes keep their own. All-bigint
+    * (labels ARE vec_ids), so both engines agree bit-for-bit. */
+  private def duckLpaSweep(prev: String, out: String) =
+    s"""${out}c AS (SELECT e.u, p.lbl, COUNT(*) AS c
+          FROM ue e JOIN $prev p ON p.vec_id = e.w GROUP BY 1, 2),
+        ${out}p AS (SELECT u, lbl,
+          ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rk
+          FROM ${out}c),
+        $out AS (SELECT pr.vec_id, COALESCE(pk.lbl, pr.lbl) AS lbl
+          FROM $prev pr LEFT JOIN (SELECT u, lbl FROM ${out}p WHERE rk = 1)
+            pk ON pk.u = pr.vec_id)"""
+
+  /** Spark twin of [[duckLpaSweep]] — label counts are one keyed join +
+    * one map-side-partial aggregate on (node, label); the argmax is a
+    * per-node WindowGroupLimit (rank ≤ 1 cuts before the final shuffle);
+    * the carry join keeps isolated nodes. NO checkpoint here — the loop
+    * in [[x118LabelCommunities]] materializes each round, and PlanSpec
+    * gates THIS un-truncated sweep shape. */
+  private[graft] def lpaSweep(ue: DataFrame, prev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("lbl"))
+    val pick = ue
+      .join(prev.select(col("vec_id").as("w_"), col("lbl")),
+        col("w") === col("w_"))
+      .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("u"), col("lbl").as("nl"))
+    prev.join(pick, col("vec_id") === col("u"), "left")
+      .select(col("vec_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+  }
+
+  /** The first x118 sweep WITHOUT any checkpoint, for PlanSpec. */
+  private[graft] def x118FirstSweep(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphRanked(spark, dir).select("q_id", "n_id")
+    val ue = g.select(col("q_id").as("u"), col("n_id").as("w"))
+      .union(g.select(col("n_id").as("u"), col("q_id").as("w"))).distinct()
+    val init = vecs(spark, dir).select(col("vec_id"), col("vec_id").as("lbl"))
+    lpaSweep(ue, init)
+  }
+
+  /** x118: label-propagation COMMUNITIES over the [[s40KnnGraph]]
+    * similarity graph — [[LpaSweeps]] synchronous sweeps of
+    * most-frequent-neighbor-label with min-label tie-break, over the
+    * SYMMETRIZED edge set (q→n ∪ n→q, deduped: influence flows both ways
+    * whichever side ranked the edge). Communities are the modularity-style
+    * complement of [[Dedup.connectedComponents]]'s reachability clusters:
+    * components glue everything touching, LPA splits a component along its
+    * dense cores — the granularity topic-aware sampling and per-community
+    * quota curation actually want (Raghavan et al., "Near linear time
+    * algorithm to detect community structures in large-scale networks",
+    * Phys. Rev. E 76, 2007; synchronous variant).
+    *
+    * Exactness: labels are vec_ids and counts are bigints end-to-end —
+    * no floats, both engines bit-agree; the (count desc, label asc) argmax
+    * is a total order, so the sweep is a pure function of the previous
+    * labeling.
+    *
+    * Scale: the edge list is N·3 rows symmetrized to ≤ N·6, computed ONCE
+    * and lineage-truncated; each sweep shuffles O(edges) — a keyed join,
+    * a (node, label) partial-aggregated count whose group count is
+    * bounded by the edge count, a per-node rank-1 window (map-side
+    * WindowGroupLimit), and a left-join carry — never O(N²). Per-round
+    * materialization keeps round k's plan constant-size, the x107
+    * contract. The candidate stage inherits s40's bucket-population
+    * contract (deduped corpus; excluded from SkewBench like s40/x107). */
+  val x118LabelCommunities = Q(
+    "x118_label_communities",
+    s"""WITH $duckVecs, $duckW,
+        $duckKnnGraph,
+        g AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
+        ue AS (SELECT q_id AS u, n_id AS w FROM g
+               UNION SELECT n_id, q_id FROM g),
+        l0 AS (SELECT vec_id, vec_id AS lbl FROM e),
+        ${(1 to LpaSweeps).map(i => duckLpaSweep(s"l${i - 1}", s"l$i"))
+          .mkString(",\n        ")},
+        sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
+               FROM l$LpaSweeps GROUP BY lbl)
+        SELECT f.vec_id, f.lbl AS community, sz.csize
+        FROM l$LpaSweeps f JOIN sz ON sz.lbl = f.lbl
+        ORDER BY f.vec_id""") { (spark, dir) =>
+    val g = knnGraphRanked(spark, dir).select("q_id", "n_id").ckptRound
+    val ue = g.select(col("q_id").as("u"), col("n_id").as("w"))
+      .union(g.select(col("n_id").as("u"), col("q_id").as("w")))
+      .distinct().ckptRound
+    var lbl = vecs(spark, dir).select(col("vec_id"), col("vec_id").as("lbl"))
+    for (_ <- 1 to LpaSweeps)
+      lbl = lpaSweep(ue, lbl).ckptRound
+    val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    lbl.join(sz, "lbl")
+      .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+      .orderBy("vec_id")
+  }
+
   /** s41: IVF index-health report — the observability tier of the ANN
     * family: per centroid cell its population, corpus share (ppm), and
     * distinct-label spread, INCLUDING empty cells (a left join from the
@@ -1583,6 +1686,6 @@ object Similarity {
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, s41IvfStats, s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval,
-    s45IvfRebalance, s46RebalanceRecall)
+    x107Pagerank, x118LabelCommunities, s41IvfStats, s42VectorAudit,
+    s43IvfPqKnn, s44HybridRetrieval, s45IvfRebalance, s46RebalanceRecall)
 }

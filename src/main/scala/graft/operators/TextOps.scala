@@ -30,6 +30,26 @@ object H {
     ((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
       ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)
   }
+
+  /** 56-bit widening of the same derivation (first 14 md5 hex chars =
+    * first 7 digest bytes — the widest md5 prefix that is both a whole
+    * number of bytes for the JVM twin and < 2^63 for both SQL engines'
+    * signed-bigint arithmetic). Used by the scalable media fingerprint
+    * ([[Multimodal.m49MediaComponentsScalable]]) where 32 bits of
+    * fingerprint leave too few distinguishing bits per candidate block. */
+  def s56(x: String): String =
+    s"cast(conv(substring(md5($x),1,14),16,10) as bigint)"
+  /** DuckDB dialect of [[s56]]. */
+  def d56(x: String): String =
+    s"CAST('0x' || substring(md5($x),1,14) AS BIGINT)"
+  /** JVM twin of [[s56]] — first 7 md5 bytes, big-endian. */
+  def jvm56(x: String, md5: java.security.MessageDigest): Long = {
+    md5.reset()
+    val dg = md5.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((dg(0) & 0xFFL) << 48) | ((dg(1) & 0xFFL) << 40) |
+      ((dg(2) & 0xFFL) << 32) | ((dg(3) & 0xFFL) << 24) |
+      ((dg(4) & 0xFFL) << 16) | ((dg(5) & 0xFFL) << 8) | (dg(6) & 0xFFL)
+  }
 }
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2 Part B,

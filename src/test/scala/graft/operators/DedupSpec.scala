@@ -167,6 +167,47 @@ class DedupSpec extends SparkSpec {
       "the JVM sliding-window vote must reproduce the SQL-expression phash exactly")
   }
 
+  test("m49: 56-bit phash kernel is bit-equal to the interpreted expression form") {
+    import org.apache.spark.sql.functions.{col, length}
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = T(spark, sfDir, "documents").select("doc_id", "text")
+    val exprForm = Multimodal.phash56ExprForm(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = docs.filter(length(col("text")) >= 4)
+      .as[(Long, String)].mapPartitions(Multimodal.phash56Kernel)
+      .collect().toMap
+    assert(exprForm.nonEmpty && kernel === exprForm,
+      "the JVM sliding-window vote must reproduce the SQL-expression 56-bit phash exactly")
+  }
+
+  test("m49: candidate tables are COMPLETE — pair set equals brute-force hamming") {
+    // the pigeonhole theorem the scheme rests on: ham <= 3 corrupts at
+    // most 3 of 8 blocks, so the pair must agree on some 5-block combo.
+    // Brute-force all-pairs hamming at sf0.001 is the ground truth.
+    val spark2 = spark
+    import spark2.implicits._
+    val ph = Multimodal.phash56ExprForm(
+      T(spark, sfDir, "documents").select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, pa) <- ph; (b, pb) <- ph
+      if a < b && java.lang.Long.bitCount(pa ^ pb) <= Multimodal.Ham56
+    } yield (a, b)).toSet
+    val joined = Multimodal.mediaPairs56(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs or the test is vacuous")
+    assert(joined === brute,
+      "multi-block candidate join must find exactly the brute-force ham<=3 pairs")
+  }
+
+  test("m49: combo table is the canonical C(8,5) enumeration") {
+    assert(Multimodal.combos5.size === 56)
+    assert(Multimodal.combos5.distinct.size === 56)
+    assert(Multimodal.combos5.forall(bs =>
+      bs.size === 5 && bs === bs.sorted && bs.forall(b => b >= 0 && b < 8)))
+  }
+
   test("d37: every batch doc verdicted once; within-batch rejects are greedy-ordered") {
     import org.apache.spark.sql.functions.col
     val out = Dedup.d37IncrementalDedup.fn(spark, sfDir).collect()

@@ -664,4 +664,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") || p.contains("left_semi") ||
       analyzed("q48_tpch18").contains("LeftSemi"))
   }
+
+  test("s45: re-assignment scans the corpus against BROADCAST centroids only") {
+    val p = plan("s45_ivf_rebalance")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the expanded centroid set must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the corpus must never cross-join unbroadcast")
+  }
+
+  test("s46: both probe sides and the truth join stay cartesian-free") {
+    val p = plan("s46_rebalance_recall")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x118: one LPA sweep is equi-join + partial count + map-side rank cut") {
+    val p = Similarity.x118FirstSweep(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "label propagation must never cross-join")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=1 argmax must cut per-node candidates before the shuffle")
+    assert(p.contains("HashAggregate"),
+      "the (node,label) count must aggregate with map-side partials")
+  }
+
+  test("m49: candidate join is a hash join on (cid, key); combo fan-out broadcasts") {
+    // gate the pair-generation frame itself: the registered query ends in
+    // checkpointed components, whose plan no longer shows the joins
+    val p = Multimodal.mediaPairs56(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "the corpus must never cross-join doc x doc")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 56-row combo table must broadcast (cross join with a 56-row side)")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "candidates must come from an equi-join on the block key")
+  }
 }

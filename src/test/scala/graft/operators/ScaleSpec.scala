@@ -326,6 +326,55 @@ class ScaleSpec extends SparkSpec {
       Map(1L -> 766250L, 2L -> 936250L, 3L -> 150000L, 4L -> 936250L))
   }
 
+  test("x118 sweep matches hand-computed synchronous LPA on a barbell graph") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4, plus
+    // the isolated node 7. Hand-computed sweeps (most-frequent neighbor
+    // label, ties to the smallest; isolated keeps its own):
+    //   sweep 1: 1→2 (tie 2,3), 2→1, 3→1 (tie 1,2,4), 4→3, 5→4, 6→4, 7→7
+    //   sweep 2: 1→1, 2→1, 3→1, 4→4 ({4:2,1:1}), 5→3 (tie 3,4), 6→3, 7→7
+    //   sweep 3: 1→1, 2→1, 3→1 ({1:2,4:1}), 4→3 ({3:2,1:1}), 5→3, 6→3, 7→7
+    // — the triangles resolve to communities 1 and 3; the bridge never
+    // merges them.
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L)).toDF("q_id", "n_id")
+    val ue = g.select(col("q_id").as("u"), col("n_id").as("w"))
+      .union(g.select(col("n_id").as("u"), col("q_id").as("w"))).distinct()
+    var lbl = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("vec_id")
+      .select(col("vec_id"), col("vec_id").as("lbl"))
+    val expected = Seq(
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L, 7L -> 7L),
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L, 7L -> 7L),
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+    for (e <- expected) {
+      lbl = Similarity.lpaSweep(ue, lbl)
+      assert(lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === e)
+    }
+  }
+
+  test("x118: every community lies inside ONE connected component") {
+    // labels only flow along edges, so a community can never straddle
+    // components — the invariant that pins the sweep's join keying.
+    val out = graft.SparkEntry.queries("x118_label_communities")(spark, sfDir)
+      .select("vec_id", "community")
+    val g = Similarity.knnGraphRanked(spark, sfDir).select("q_id", "n_id")
+    val comp = Dedup.connectedComponents(
+      g.select(col("q_id").as("a_id"), col("n_id").as("b_id")))
+      .select(col("doc_id").as("vec_id"), col("component"))
+    val joined = out.join(comp, "vec_id").cache()
+    val straddlers = joined
+      .groupBy("community").agg(countDistinct("component").as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(straddlers === 0)
+    // and non-vacuously, over the SAME edge-connected nodes: LPA must
+    // actually SPLIT something — strictly more communities than
+    // components, or the operator adds nothing over d35
+    val nComm = joined.select("community").distinct().count()
+    val nComp = joined.select("component").distinct().count()
+    assert(nComm > nComp,
+      s"LPA found $nComm communities over $nComp components — no refinement")
+  }
+
   test("q87: with-ties semantics is non-vacuous and row_number would differ") {
     val df = graft.SparkEntry.queries("q87_topk_with_ties")(spark, sfDir)
     val rows = df.collect().map(r => (r.getString(0), r.getLong(3)))
