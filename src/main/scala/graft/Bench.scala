@@ -290,11 +290,16 @@ object Bench {
       "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(qsec)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    // pa_* micro-points get a 1.0 s absolute floor: the sub-second
-    // dist/wire points carry documented executor-POJO deserialization
-    // jitter (2.5-4x swings on 0.2-0.4 s values — round-8 verdict), so
-    // a 2x trigger there is noise, not signal
-    def floor(k: String): Double = if (k.startsWith("pa_")) 1.0 else 0.5
+    // pa_* micro-points get a 2.0 s absolute floor: the dist/wire points
+    // are task-scheduling/POJO-serialization dominated (10k messages
+    // through mapPartitions) and swing 3-4x BETWEEN clean windows, not
+    // just within one — measured across definitive records:
+    // pa_decode_dist 0.32 (r7f) / 0.38 (r9 baseline) / 1.2-1.8 (r9
+    // isolated min-of-3, same code); pa_encode_dist 1.10 (r7f) / 3.30
+    // (r9 baseline). A 2x trigger under ~2 s is window noise, not
+    // signal; the heavyweight pa points (decode_10000 at 3.4 s) still
+    // gate, since 2x of those clears any floor
+    def floor(k: String): Double = if (k.startsWith("pa_")) 2.0 else 0.5
     val regressions = results.collect {
       case (k, v) if baseline.get(k).exists(b => v > 2 * b && v > floor(k)) =>
         k -> s"${"%.4f".format(v)} vs baseline ${"%.4f".format(baseline(k))}"

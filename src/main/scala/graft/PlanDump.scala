@@ -43,7 +43,8 @@ object PlanDump {
     "q50b_tpch21", "q50c_tpch22", "x116_shard_export", "pa64_permissive_scan",
     "pa65_parquet_field_id", "x117_incremental_export", "s45_ivf_rebalance",
     "s46_rebalance_recall", "m49_media_components_scalable",
-    "x118_label_communities")
+    "x118_label_communities", "x119_community_sample", "s47_persisted_ivf",
+    "s48_probe_sweep")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

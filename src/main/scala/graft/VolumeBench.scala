@@ -59,7 +59,11 @@ object VolumeBench {
     "x103_cluster_split", "x107_graph_pagerank", "s43_ivfpq_knn",
     "x90_corpus_pipeline",
     "x116_shard_export", "x117_incremental_export",
-    "q48_tpch18", "q39_tpch09", "d39_best_keeper")
+    "q48_tpch18", "q39_tpch09", "d39_best_keeper",
+    // x118 audits the iterative-graph family's newest member (LPA over
+    // the KNN graph): per-sweep cost is O(edges) by design — the 10×
+    // ratio and pinned exchange count make that claim empirical
+    "x118_label_communities")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -234,11 +234,10 @@ object Similarity {
       .select("vec_id", "v", "nrm", "c_id", "ccos", "rnk")
   }
 
-  /** IVF ANN: centroids = vec_id < 8; every vector assigned to its nearest
-    * centroid (broadcast join); queries probe their 2 nearest cells and rank
-    * candidates within them. */
-  val s34AnnIvf = Q(
-    "s34_ann_ivf",
+  /** The s34 oracle SQL — shared verbatim by [[s47PersistedIvf]]: the
+    * persisted-index probe must return EXACTLY the in-flight index's
+    * answer, so the two queries sharing one oracle is the contract. */
+  private def duckS34Sql =
     s"""WITH $duckVecs,
         $duckIvfAssign,
         asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
@@ -253,7 +252,14 @@ object Similarity {
                      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
               FROM sc)
         SELECT q_id, n_id, cell, CAST(rnk AS BIGINT) AS rnk, cos
-        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""") { (spark, dir) =>
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** IVF ANN: centroids = vec_id < 8; every vector assigned to its nearest
+    * centroid (broadcast join); queries probe their 2 nearest cells and rank
+    * candidates within them. */
+  val s34AnnIvf = Q(
+    "s34_ann_ivf",
+    duckS34Sql) { (spark, dir) =>
     val e = vecs(spark, dir)
     val asg0 = ivfAssign0(spark, dir)
     val asg = asg0.filter(col("rnk") === 1)
@@ -1214,21 +1220,26 @@ object Similarity {
     * materialization keeps round k's plan constant-size, the x107
     * contract. The candidate stage inherits s40's bucket-population
     * contract (deduped corpus; excluded from SkewBench like s40/x107). */
-  val x118LabelCommunities = Q(
-    "x118_label_communities",
-    s"""WITH $duckVecs, $duckW,
+  /** The x118 CTE chain through `comm(vec_id, community, csize)` — shared
+    * by the x118 oracle and the x119 sampler oracle so "the communities"
+    * are a single definition across queries (the duckKnnGraph pattern). */
+  private def duckLpaChain =
+    s"""$duckVecs, $duckW,
         $duckKnnGraph,
         g AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
         ue AS (SELECT q_id AS u, n_id AS w FROM g
                UNION SELECT n_id, q_id FROM g),
         l0 AS (SELECT vec_id, vec_id AS lbl FROM e),
         ${(1 to LpaSweeps).map(i => duckLpaSweep(s"l${i - 1}", s"l$i"))
-          .mkString(",\n        ")},
+      .mkString(",\n        ")},
         sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
-               FROM l$LpaSweeps GROUP BY lbl)
-        SELECT f.vec_id, f.lbl AS community, sz.csize
-        FROM l$LpaSweeps f JOIN sz ON sz.lbl = f.lbl
-        ORDER BY f.vec_id""") { (spark, dir) =>
+               FROM l$LpaSweeps GROUP BY lbl),
+        comm AS (SELECT f.vec_id, f.lbl AS community, sz.csize
+                 FROM l$LpaSweeps f JOIN sz ON sz.lbl = f.lbl)"""
+
+  /** Spark twin of [[duckLpaChain]]: the labeled corpus
+    * (vec_id, community, csize), shared by x118 and x119. */
+  private[operators] def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     val g = knnGraphRanked(spark, dir).select("q_id", "n_id").ckptRound
     val ue = g.select(col("q_id").as("u"), col("n_id").as("w"))
       .union(g.select(col("n_id").as("u"), col("q_id").as("w")))
@@ -1239,6 +1250,49 @@ object Similarity {
     val sz = lbl.groupBy("lbl").agg(count(lit(1)).as("csize"))
     lbl.join(sz, "lbl")
       .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+  }
+
+  val x118LabelCommunities = Q(
+    "x118_label_communities",
+    s"""WITH $duckLpaChain
+        SELECT vec_id, community, csize FROM comm
+        ORDER BY vec_id""") { (spark, dir) =>
+    lpaCommunities(spark, dir).orderBy("vec_id")
+  }
+
+  /** x119: diversity-preserving community SUBSAMPLE — per x118 community,
+    * keep its floor(sqrt(size)) hash-ranked members (the integer-exact
+    * form `rnk² ≤ csize`, so no float sqrt enters either engine). Sqrt
+    * scaling is the square-root-inverse temperature of x102 applied at
+    * community granularity: a 10k-member topic cluster contributes 100
+    * docs, a 4-member one contributes 2 — flattening the head-heavy
+    * community-size distribution the way multilingual/multi-source
+    * pretraining mixes flatten corpus sizes, while the hash rank makes
+    * the within-community pick deterministic and uniform (no
+    * first-by-id bias).
+    *
+    * Scale: the only addition over x118 is ONE window keyed by community
+    * — O(N) shuffle on the community id; the quota predicate is a
+    * map-side filter on the ranked rows. Communities are bounded by
+    * their components, and a pathological giant community costs one
+    * sorted partition, the same contract as every keyed window here. */
+  val x119CommunitySample = Q(
+    "x119_community_sample",
+    s"""WITH $duckLpaChain,
+        rk AS (SELECT vec_id, community, csize,
+                      ROW_NUMBER() OVER (PARTITION BY community
+                        ORDER BY ${H.d("CAST(vec_id AS VARCHAR)")}, vec_id)
+                        AS rnk
+               FROM comm)
+        SELECT vec_id, community, csize, CAST(rnk AS BIGINT) AS rnk
+        FROM rk WHERE rnk * rnk <= csize
+        ORDER BY vec_id""") { (spark, dir) =>
+    val w = Window.partitionBy(col("community"))
+      .orderBy(expr(H.s("cast(vec_id as string)")), col("vec_id"))
+    lpaCommunities(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(expr("rnk * rnk <= csize"))
+      .select("vec_id", "community", "csize", "rnk")
       .orderBy("vec_id")
   }
 
@@ -1683,9 +1737,176 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** The persisted IVF index layout under java.io.tmpdir, keyed by source
+    * content + applicationId (the x116 path contract: concurrent sessions
+    * over the same source cannot race overwrite-vs-read). */
+  private[operators] def ivfIndexPath(spark: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+      s"${Scale.sourceKey(dir, "embeddings")}_${spark.sparkContext.applicationId}"
+
+  /** Build and persist the s34 IVF index: `cells/` is the rnk-1
+    * assignment WITH vectors, hive-partitioned by cell — each cell is its
+    * own directory, so a probe's scan prunes to exactly the probed
+    * cells' files — and `centroids/` is the K-row quantizer. */
+  private[operators] def writeIvfIndex(spark: SparkSession, dir: String,
+      out: String): Unit = {
+    ivfAssign0(spark, dir).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+    vecs(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("vc"), col("nrm").as("cnrm"))
+      .write.mode("overwrite").parquet(s"$out/centroids")
+  }
+
+  /** s47: ANN serving from a PERSISTED index — [[s34AnnIvf]]'s index
+    * (cell assignment + centroids) written to parquet once and probed
+    * from storage, the build-offline/serve-online split every production
+    * vector store runs. The layout IS the access path: `cells/` is
+    * hive-partitioned by cell, so the probe join on the partition column
+    * lets Spark prune to the probed cells' files (dynamic partition
+    * pruning — at 100 TB the query touches nprobe/K of the index bytes,
+    * which is the entire point of IVF on disk); `centroids/` is K rows,
+    * read once and broadcast. Queries arrive FRESH (re-quantized against
+    * the persisted centroids, never against in-flight state), and the
+    * oracle is [[duckS34Sql]] VERBATIM — the persisted round trip must
+    * reproduce the in-flight index's answer bit-for-bit, so any loss in
+    * the write→read path (vector precision, cell key typing, dropped
+    * rows) goes red on the shared oracle. */
+  val s47PersistedIvf = Q(
+    "s47_persisted_ivf",
+    duckS34Sql) { (spark, dir) =>
+    val out = ivfIndexPath(spark, dir)
+    writeIvfIndex(spark, dir, out)
+    // ---- serve phase: everything below reads ONLY the persisted layout
+    // (plus the fresh query vectors) ----
+    val cent = spark.read.parquet(s"$out/centroids")
+    val q = vecs(spark, dir).filter(col("vec_id") < 10)
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", Cosine.dot(col("v"), col("vc")) / (col("nrm") * col("cnrm")))
+      .withColumn("prnk", row_number().over(wq))
+      .filter(col("prnk") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"),
+        col("nrm").as("nq"), col("c_id").as("cell"))
+    // partition-column values come back as the inferred partition type;
+    // pin the oracle's BIGINT explicitly
+    val cells = spark.read.parquet(s"$out/cells")
+      .select(col("vec_id").as("n_id"), col("v").as("vn"),
+        col("nrm").as("nn"), col("cell").cast("long").as("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probe.join(cells, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id", "cell", "rnk", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The nprobe settings s48 sweeps — a literal constant shared by both
+    * dialects (the combos5 pattern). */
+  private[operators] val ProbeSweep = Seq(1, 2, 3, 4)
+
+  /** s48: IVF nprobe TUNING SWEEP — for each probe count the sweep
+    * reports total candidates scored and exact recall@5 against
+    * brute-force truth (integer ppm), the recall/cost trade-off curve an
+    * operator reads before setting nprobe in production ([[s34AnnIvf]]
+    * ships nprobe=2; s48 is the evidence for that choice and the
+    * re-tuning artifact after a rebalance). Complements [[s41IvfStats]]
+    * (index health) and [[s46RebalanceRecall]] (before/after audit) with
+    * the full curve.
+    *
+    * Exactness: candidates and hits are counts, recall is integer-ppm
+    * (hits·10⁶ div truth-size) — no floats in the output, both engines
+    * bit-agree; candidate ranking reuses the exact-cosine contract.
+    *
+    * Scale: the sweep multiplies the s34 probe join by |sweep| = 4 (a
+    * constant); candidates stay query-side-bounded (|Q| × probed-cell
+    * populations), the per-(np, query) top-5 is a keyed window, and the
+    * output is |sweep| rows. The brute-force truth side is |Q| × N with
+    * a BROADCAST query side — the s32 contract, truth for a 10-query
+    * audit panel, never corpus × corpus. */
+  val s48ProbeSweep = Q(
+    "s48_probe_sweep",
+    s"""WITH $duckVecs,
+        $duckIvfAssign,
+        np(np) AS (VALUES (1), (2), (3), (4)),
+        asg AS (SELECT vec_id, c_id AS cell FROM asg0 WHERE rnk = 1),
+        probe AS (SELECT np.np, a.vec_id AS q_id, a.c_id AS cell
+                  FROM asg0 a, np WHERE a.rnk <= np.np AND a.vec_id < 10),
+        cand AS (SELECT p.np, p.q_id, a.vec_id AS n_id
+                 FROM probe p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+        sc AS (SELECT c.np, c.q_id, c.n_id,
+                      ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+               FROM cand c JOIN e q ON c.q_id = q.vec_id
+                           JOIN e n ON c.n_id = n.vec_id),
+        r AS (SELECT np, q_id, n_id,
+                     ROW_NUMBER() OVER (PARTITION BY np, q_id
+                       ORDER BY cos DESC, n_id) AS rnk FROM sc),
+        top5 AS (SELECT np, q_id, n_id FROM r WHERE rnk <= 5),
+        bp AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                      ${Cosine.duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+               FROM e q JOIN e n ON n.vec_id <> q.vec_id
+               WHERE q.vec_id < 10),
+        br AS (SELECT q_id, n_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, n_id) AS rnk FROM bp),
+        truth AS (SELECT q_id, n_id FROM br WHERE rnk <= 5),
+        tt AS (SELECT COUNT(*) AS t FROM truth),
+        nc AS (SELECT np, COUNT(*) AS n_candidates FROM cand GROUP BY np),
+        ht AS (SELECT t5.np, COUNT(*) AS hits
+               FROM top5 t5 JOIN truth USING (q_id, n_id) GROUP BY t5.np)
+        SELECT CAST(nc.np AS BIGINT) AS nprobe,
+               CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+               CAST(ht.hits AS BIGINT) AS hits,
+               CAST(ht.hits * 1000000 // tt.t AS BIGINT) AS recall_ppm
+        FROM nc JOIN ht ON nc.np = ht.np, tt
+        ORDER BY nprobe""") { (spark, dir) =>
+    val spark2 = spark
+    import spark2.implicits._
+    val e = vecs(spark, dir)
+    val asg0v = ivfAssign0(spark, dir)
+    val asg = asg0v.filter(col("rnk") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val npDf = ProbeSweep.toDF("np")
+    val probe = asg0v.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(npDf)).filter(col("rnk") <= col("np"))
+      .select(col("np"), col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cand = probe.join(asg, "cell").filter(col("n_id") =!= col("q_id"))
+      .select("np", "q_id", "n_id").cache()
+    val wr = Window.partitionBy(col("np"), col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val top5 = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")), "n_id")
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 5)
+      .select("np", "q_id", "n_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val n = e.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val truth = broadcast(q).join(n, col("n_id") =!= col("q_id"))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "n_id")
+    val tt = truth.agg(count(lit(1)).as("t"))
+    val nc = cand.groupBy("np").agg(count(lit(1)).as("n_candidates"))
+    val ht = top5.join(truth, Seq("q_id", "n_id"))
+      .groupBy("np").agg(count(lit(1)).as("hits"))
+    nc.join(ht, "np").crossJoin(broadcast(tt))
+      .select(col("np").cast("long").as("nprobe"),
+        col("n_candidates"), col("hits"),
+        expr("hits * 1000000 div t").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, x118LabelCommunities, s41IvfStats, s42VectorAudit,
-    s43IvfPqKnn, s44HybridRetrieval, s45IvfRebalance, s46RebalanceRecall)
+    x107Pagerank, x118LabelCommunities, x119CommunitySample, s41IvfStats,
+    s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval, s45IvfRebalance,
+    s46RebalanceRecall, s47PersistedIvf, s48ProbeSweep)
 }

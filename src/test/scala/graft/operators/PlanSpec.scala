@@ -689,6 +689,22 @@ class PlanSpec extends SparkSpec {
       "the (node,label) count must aggregate with map-side partials")
   }
 
+  test("s47: the persisted-index probe dynamically prunes cell partitions") {
+    val p = plan("s47_persisted_ivf")
+    assert(p.contains("dynamicpruningexpression"),
+      "the probe join on the hive-partitioned cell column must plan DPP — " +
+        "at scale the query reads nprobe/K of the index bytes via pruning")
+    assert(!p.contains("CartesianProduct"),
+      "only the broadcast K-row centroid fan-out may cross, never the corpus")
+  }
+
+  test("x119: the quota pass adds exactly one community-keyed window over x118") {
+    val p = plan("x119_community_sample")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"),
+      "the per-community hash rank must be a keyed window")
+  }
+
   test("m49: candidate join is a hash join on (cid, key); combo fan-out broadcasts") {
     // gate the pair-generation frame itself: the registered query ends in
     // checkpointed components, whose plan no longer shows the joins

@@ -375,6 +375,42 @@ class ScaleSpec extends SparkSpec {
       s"LPA found $nComm communities over $nComp components — no refinement")
   }
 
+  test("x119: every community keeps exactly floor(sqrt(size)) members, hash-first") {
+    val kept = graft.SparkEntry.queries("x119_community_sample")(spark, sfDir)
+    val perComm = kept.groupBy("community")
+      .agg(count(lit(1)).as("n"), max("csize").as("csize")).collect()
+    assert(perComm.nonEmpty)
+    for (r <- perComm) {
+      val (n, csize) = (r.getLong(1), r.getLong(2))
+      assert(n * n <= csize && (n + 1) * (n + 1) > csize,
+        s"community ${r.getLong(0)}: kept $n of $csize — not floor(sqrt)")
+    }
+    // sub-linear overall: the sample must be a strict subset
+    val total = graft.SparkEntry.queries("x118_label_communities")(spark, sfDir).count()
+    assert(kept.count() < total)
+  }
+
+  test("s47: the persisted index reproduces the in-flight s34 answer exactly") {
+    val live = graft.SparkEntry.queries("s34_ann_ivf")(spark, sfDir).collect()
+    val persisted = graft.SparkEntry.queries("s47_persisted_ivf")(spark, sfDir).collect()
+    assert(persisted.nonEmpty)
+    assert(persisted.map(_.toString).toSeq === live.map(_.toString).toSeq,
+      "write→read must lose nothing: vectors, cell keys, ranks, cosines")
+  }
+
+  test("s48: recall and candidate cost are monotone in nprobe; the curve moves") {
+    val rows = graft.SparkEntry.queries("s48_probe_sweep")(spark, sfDir).collect()
+    assert(rows.length === Similarity.ProbeSweep.length)
+    val cands = rows.map(_.getLong(1)).toSeq
+    val recalls = rows.map(_.getLong(3)).toSeq
+    // candidate sets nest as nprobe grows, so both columns must be
+    // monotone — a violation means the probe sets aren't nested
+    assert(cands === cands.sorted, s"candidates not monotone: $cands")
+    assert(recalls === recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last > recalls.head,
+      "extra probes must buy SOME recall on this corpus or the sweep is vacuous")
+  }
+
   test("q87: with-ties semantics is non-vacuous and row_number would differ") {
     val df = graft.SparkEntry.queries("q87_topk_with_ties")(spark, sfDir)
     val rows = df.collect().map(r => (r.getString(0), r.getLong(3)))
