@@ -305,17 +305,33 @@ object Multimodal {
       .mapPartitions(phash56Kernel)
       .toDF("doc_id", "phash")
       .cache()
-    val comboDf = combos5.zipWithIndex
-      .map { case (bs, i) => (i, bs) }.toDF("cid", "bs")
-    val keyed = sim.crossJoin(broadcast(comboDf))
-      .withColumn("k", expr(
-        s"aggregate(sequence(0, ${NBlocks - Ham56 - 1}), cast(0 as bigint), " +
-          s"(acc, j) -> acc + shiftleft(shiftright(phash, $BlockBits * element_at(bs, j + 1)) & ${(1 << BlockBits) - 1}, $BlockBits * j))"))
-      .select("cid", "k", "doc_id", "phash")
-    keyed.select(col("cid"), col("k"), col("doc_id").as("a_id"), col("phash").as("ph_a"))
-      .join(keyed.select(col("cid").as("cid2"), col("k").as("k2"),
+    // ONE candidate key per (row, combo), combo index tagged in the high
+    // bits (keys are 35 bits; << 36 keeps tables disjoint): the keys are
+    // a literal 56-element array of constant-folded shift/mask
+    // projections, exploded — fully whole-stage-codegen'd, replacing the
+    // earlier broadcast-crossJoin(56-row combo table) + interpreted
+    // `aggregate()` lambda that evaluated per (row × 56) in interpreted
+    // mode and measured ~2× slower at every scale. The self-join then
+    // keys on the single long.
+    // every shifted term fully parenthesized: Spark SQL's << binds
+    // LOOSER than +, so an unparenthesized `a << 0 + b << 7` chain
+    // parses as a << (0 + b) << … — coarser (collapsed) keys stay
+    // CORRECT (a superset of candidates; the hamming filter is exact)
+    // but quadratic, which is how the bug was caught: 692M candidate
+    // matches where DuckDB's explicit-precedence form builds 10k
+    val keyExprs = combos5.zipWithIndex.map { case (bs, i) =>
+      val blocks = bs.zipWithIndex.map { case (b, j) =>
+        s"((shiftright(phash, ${BlockBits * b}) & ${(1 << BlockBits) - 1}) << ${BlockBits * j})"
+      }.mkString(" + ")
+      s"(shiftleft(cast($i as bigint), 36) + ($blocks))"
+    }.mkString(", ")
+    val keyed = sim
+      .select(col("doc_id"), col("phash"),
+        explode(expr(s"array($keyExprs)")).as("ck"))
+    keyed.select(col("ck"), col("doc_id").as("a_id"), col("phash").as("ph_a"))
+      .join(keyed.select(col("ck").as("ck2"),
         col("doc_id").as("b_id"), col("phash").as("ph_b")),
-        col("cid") === col("cid2") && col("k") === col("k2") && col("a_id") < col("b_id"))
+        col("ck") === col("ck2") && col("a_id") < col("b_id"))
       .filter(expr(s"bit_count(ph_a ^ ph_b) <= $Ham56"))
       .select("a_id", "b_id").distinct()
   }

@@ -705,17 +705,18 @@ class PlanSpec extends SparkSpec {
       "the per-community hash rank must be a keyed window")
   }
 
-  test("m49: candidate join is a hash join on (cid, key); combo fan-out broadcasts") {
+  test("m49: combo fan-out is a codegen'd explode; candidates equi-join on the key") {
     // gate the pair-generation frame itself: the registered query ends in
     // checkpointed components, whose plan no longer shows the joins
     val p = Multimodal.mediaPairs56(spark, sfDir).queryExecution
       .explainString(FormattedMode)
-    assert(!p.contains("CartesianProduct"),
-      "the corpus must never cross-join doc x doc")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "the 56-row combo table must broadcast (cross join with a 56-row side)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the corpus must never cross-join — the 56 candidate keys are an " +
+        "exploded literal array of constant-folded shift/masks, not a join")
+    assert(p.contains("Generate"),
+      "the per-row combo fan-out must be an explode")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"),
-      "candidates must come from an equi-join on the block key")
+      "candidates must come from an equi-join on the tagged block key")
   }
 }
