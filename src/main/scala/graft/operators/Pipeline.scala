@@ -788,7 +788,7 @@ object Pipeline {
   }
 
   /** Hash-shard width for [[x105ManifestDiff]]: 64 content shards. */
-  private val HashShardW = (1L << 32) / 64
+  private[graft] val HashShardW = (1L << 32) / 64
 
   /** x105: incremental manifest DIFF over content-keyed shards — the
     * resumable-export counterpart to [[x104ShardManifest]]. x104's shards
@@ -850,7 +850,7 @@ object Pipeline {
   /** Content-hash-sharded corpus view shared by the x117 incremental
     * export: `hshard` is x105's stable content band, `b` the arrival
     * simulation bucket (b = 7 ⇒ the doc is in the v2 delta, ~5%). */
-  private[operators] def hashShardDocs(
+  private[graft] def hashShardDocs(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     T(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"),
@@ -862,7 +862,7 @@ object Pipeline {
     * sorted by doc_id inside each file). `dynamic = true` switches to
     * dynamic partition overwrite: ONLY the shards present in `docs` are
     * replaced — the incremental path. */
-  private[operators] def writeHashShards(docs: DataFrame, out: String,
+  private[graft] def writeHashShards(docs: DataFrame, out: String,
       dynamic: Boolean): Unit = {
     val w = docs.select(col("doc_id"), col("text"), col("hshard"))
       .repartition(col("hshard"))

@@ -566,6 +566,60 @@ object StreamOps {
     * exactly-once-via-idempotence recipe the Structured Streaming guide
     * prescribes for foreachBatch sinks). Batches must still arrive in
     * order, which the single-query single-sink topology guarantees. */
+  /** x117's streaming twin: CONTINUOUS content-shard maintenance as a
+    * `foreachBatch` sink — the resumable 100-TB export kept current
+    * while documents stream in, instead of a nightly batch diff. Each
+    * micro-batch of (doc_id, text) rows:
+    *  1. hashes its docs into x105's stable content bands
+    *     ([[graft.operators.Pipeline.HashShardW]], the SAME shard rule
+    *     as batch x117, so the two tiers cannot drift);
+    *  2. reads back ONLY the shard partitions the batch touches — the
+    *     touched-shard list is collected to the driver (bounded by the
+    *     shard-band count, 64, the same small-constant posture as a
+    *     broadcast dim) and applied as an `isin` partition filter, so
+    *     the read is STATICALLY pruned to the touched `hshard=` dirs;
+    *  3. rewrites exactly those shards with merged content via dynamic
+    *     partition overwrite ([[graft.operators.Pipeline.writeHashShards]]).
+    * Per-batch cost ∝ the batch's shard footprint, never the corpus —
+    * batch x117's contract made continuous. Untouched shard files are
+    * never opened, let alone rewritten (ShardStreamSpec pins
+    * byte-identical untouched files across batches, and that the final
+    * layout row-equals a one-shot batch export of everything streamed).
+    *
+    * Recovery: foreachBatch is at-least-once — a re-delivered epoch is
+    * skipped by batchId (the CmsAccumulator guard). A failure BETWEEN
+    * the shard write and the batchId advance re-runs the epoch: the
+    * read-merge-overwrite is idempotent per shard (same input docs →
+    * same merged content), so the retry converges rather than
+    * double-appending. */
+  final class ShardMaintainer(out: String) extends ((DataFrame, Long) => Unit) {
+    private var lastBatchId: Long = -1L
+    private var seeded = false
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      if (batch.isEmpty) { lastBatchId = batchId; return }
+      val spark = batch.sparkSession
+      val docs = batch.select(col("doc_id"), col("text"))
+        .withColumn("hshard", expr(
+          s"${graft.operators.H.s("text")} div ${graft.operators.Pipeline.HashShardW}"))
+        .localCheckpoint(true) // one hash pass; reused for touched + write
+      if (!seeded) {
+        graft.operators.Pipeline.writeHashShards(docs, out, dynamic = false)
+        seeded = true
+      } else {
+        val touched = docs.select("hshard").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val existing = spark.read.parquet(out)
+          .filter(col("hshard").isin(touched: _*))
+          .select(col("doc_id"), col("text"),
+            col("hshard").cast("long").as("hshard"))
+        graft.operators.Pipeline.writeHashShards(
+          existing.unionByName(docs), out, dynamic = true)
+      }
+      lastBatchId = batchId
+    }
+  }
+
   final class CmsAccumulator(d: Int, wBuckets: Int)
       extends ((DataFrame, Long) => Unit) {
     @volatile private var cells: DataFrame = null
