@@ -44,7 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object VolumeBench {
 
-  val Mult = 10
+  /** Corpus multiplier — env-overridable so the same harness can run
+    * the standing 10× gauntlet AND deeper spot-audits (the round-9
+    * 100× tier on the linear-contract entries). The fixed-bucket LSH
+    * graph ops (s40-derived x107/x118) are EXCLUDED from >10× runs by
+    * the same contract that excludes them from SkewBench: candidate
+    * volume is quadratic in bucket population with the bucket count
+    * fixed — at production scale the hyperplane count grows with the
+    * corpus (more buckets), which is a config, not a plan, property. */
+  val Mult = sys.env.getOrElse("SPARK_GRAFT_VOLUME_MULT", "10").toInt
   val CostRatioBound = 1.5
   /** The audited top-cost tier: the round-7 verdict's list plus the
     * round-8 heavies (x116 shard export, TPC-H Q18/Q9, d39). m49 audits
@@ -134,13 +142,15 @@ object VolumeBench {
     new java.io.FileOutputStream(s"$outDir/_SUCCESS").close()
   }
 
-  private def exchanges(df: DataFrame): Int = {
+  /** (shuffle exchanges, broadcast exchanges) in the pre-execution plan. */
+  private def exchanges(df: DataFrame): (Int, Int) = {
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
     // negative lookbehind keeps ReusedExchange (a pointer, not a new
     // shuffle/broadcast) out of the count — a scale-dependent reuse
     // difference must not trip or mask the new-exchange gate
-    """(?<![A-Za-z])(BroadcastExchange|Exchange)\b""".r.findAllIn(p).size
+    ("""(?<![A-Za-z])Exchange\b""".r.findAllIn(p).size,
+      """(?<![A-Za-z])BroadcastExchange\b""".r.findAllIn(p).size)
   }
 
   def main(args: Array[String]): Unit = {
@@ -183,23 +193,39 @@ object VolumeBench {
             spark.sharedState.cacheManager.clearCache()
             time { SparkEntry.queries(name)(spark, dir).count(); () }
           }.min
-        val e1 = exchanges(SparkEntry.queries(name)(spark, sfDir))
+        val (e1, b1) = exchanges(SparkEntry.queries(name)(spark, sfDir))
         val t1 = minOf3(sfDir)
-        val e10 = exchanges(SparkEntry.queries(name)(spark, volDir))
+        val (e10, b10) = exchanges(SparkEntry.queries(name)(spark, volDir))
         val t10 = minOf3(volDir)
         val ratio = t10 / (Mult * t1)
         results(name) = Map("t_base" -> t1, "t_big" -> t10,
           "cost_ratio" -> ratio, "exch_base" -> e1.toDouble,
-          "exch_big" -> e10.toDouble)
+          "exch_big" -> e10.toDouble, "bexch_base" -> b1.toDouble,
+          "bexch_big" -> b10.toDouble)
       } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
       }
     }
+    // the audited 10× tier is engineered SCALE-INVARIANT: any new
+    // exchange is a violation (this strictness is what caught s43's
+    // corpus-sized-frame broadcast flip in round 8). Beyond 10×, a new
+    // shuffle exchange that arrives WITH a lost broadcast is Spark's
+    // size-based re-plan of a genuinely grown join side (e.g. TPC-H Q9's
+    // lineitem⋈orders going SMJ when orders is 100× — the behavior a
+    // 100 TB deployment WANTS) — reported under "replans", while a new
+    // exchange with no broadcast lost stays a violation (that shape is
+    // a lost partitioning reuse, never physics).
+    def isReplan(m: Map[String, Double]): Boolean =
+      m("exch_big") > m("exch_base") && m("bexch_big") < m("bexch_base")
+    val strict = Mult <= 10
+    val replans = results.collect { case (n, m)
+      if !strict && isReplan(m) => n }.toSeq
     val violations =
       results.collect { case (n, m)
         if m("cost_ratio") > CostRatioBound => s"$n:cost_ratio" }.toSeq ++
       results.collect { case (n, m)
-        if m("exch_big") > m("exch_base") => s"$n:new_exchange" }.toSeq ++
+        if m("exch_big") > m("exch_base") && (strict || !isReplan(m)) =>
+          s"$n:new_exchange" }.toSeq ++
       errors.keys
     val qs = results.map { case (k, m) =>
       JsonOut.str(k) + ":" + m.map { case (f, v) => JsonOut.str(f) + ":" + v }
@@ -209,7 +235,8 @@ object VolumeBench {
       .mkString("{", ",", "}")
     val vs = violations.map(JsonOut.str).mkString("[", ",", "]")
     val total = results.values.map(_("t_big")).sum
-    println(s"""{"metric":"volume_total","value":$total,"unit":"sec","mult":$Mult,"cost_ratio_bound":$CostRatioBound,"gen_sec":$genSec,"queries":$qs,"errors":$es,"violations":$vs,"sf":"$sfDir"}""")
+    val rp = replans.map(JsonOut.str).mkString("[", ",", "]")
+    println(s"""{"metric":"volume_total","value":$total,"unit":"sec","mult":$Mult,"cost_ratio_bound":$CostRatioBound,"gen_sec":$genSec,"queries":$qs,"errors":$es,"violations":$vs,"replans":$rp,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }

@@ -576,7 +576,17 @@ object TpcH {
   }
 
   /** Q18 Large Volume Customers — verbatim (sum(l_quantity) > 300, the
-    * canonical threshold, lands 46 orders at sf0.01). */
+    * canonical threshold, lands 46 orders at sf0.01).
+    *
+    * Scale-invariant plan, the s43 precedent: customer⋈orders is
+    * fact⋈fact (both grow with SF) and the `big` semi-join build is an
+    * aggregate output that grows linearly — at bench SF Catalyst
+    * broadcasts both by size and then re-plans them to shuffles at 10×,
+    * which the volume gauntlet's strict new-exchange gate correctly
+    * flags as a scale-DEPENDENT plan. The merge hints pin the
+    * scale-correct shuffle joins at every size (the plan a 100 TB run
+    * gets anyway); the dimension-class broadcasts elsewhere in the
+    * suite are untouched. */
   val tpch18 = Q(
     "q48_tpch18",
     s"""WITH big AS (SELECT l_orderkey AS bk
@@ -595,8 +605,11 @@ object TpcH {
       .agg(sum(dec(col("l_quantity"))).as("bq"))
       .filter(col("bq") > 300).select(col("bk"))
     T(spark, dir, "customer")
-      .join(T(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(big, col("o_orderkey") === col("bk"), "left_semi")
+      .join(T(spark, dir, "orders").hint("merge"),
+        col("c_custkey") === col("o_custkey"))
+      .join(big.hint("merge"), col("o_orderkey") === col("bk"), "left_semi")
+      .hint("merge") // the semi-joined customer-order frame vs lineitem:
+      // linear-growth vs fact — shuffle at every size, like the rest
       .join(T(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         expr("unix_micros(cast(o_orderdate as timestamp_ltz))").as("o_date_us"),
