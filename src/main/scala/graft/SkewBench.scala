@@ -344,7 +344,23 @@ object SkewBench {
     // hash, so ONE hash shard gains the pile — the delta write shuffles
     // on hshard (the pile is one partition's sorted run) and the audit's
     // COUNT/XOR/SUM partials absorb it map-side, x105's posture
-    "x117_incremental_export")
+    "x117_incremental_export",
+    // s47 under the 10k-dup embedding: the pile lands in ONE persisted
+    // cell partition (one hot directory — a partitioned write handles a
+    // hot partition as one sorted run), and the probe join is
+    // query-side-bounded like s34: candidates ≤ |Q| × probed-cell
+    // populations, the hot cell read once per probing query, never
+    // cell × cell
+    "s47_persisted_ivf",
+    // s48 sweeps the same probe join at 4 nprobe settings — the hot
+    // cell inflates candidate lists linearly per setting, absorbed by
+    // the per-(np, query) top-5 window's rank shortcut; output stays
+    // |sweep| rows however hot the cell.
+    // (x118/x119 are excluded like s40/x107: their KNN-graph candidate
+    // stage is quadratic in LSH bucket population by contract, and the
+    // 10k-dup embedding is one maximally hot bucket — the graph tier is
+    // built over a DEDUPED corpus by the documented pipeline order.)
+    "s48_probe_sweep")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */
