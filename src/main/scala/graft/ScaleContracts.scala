@@ -1,0 +1,116 @@
+package graft
+
+/** Machine-readable scale contracts — the single source of truth for
+  * which registered queries a gauntlet EXCLUDES by documented contract
+  * (quadratic output in duplicate multiplicity, declared exact-baseline
+  * tier, small-corpus confinement) and what BOUNDS the ones it audits.
+  *
+  * Both gauntlets call [[verifyAndRecord]] at startup: a contract entry
+  * marked `excluded` for that gauntlet must be absent from its query
+  * list, and one marked `audited` must be present — so an exclusion
+  * whose reason has been engineered away (the s40 bucket cap), or an
+  * audited entry silently dropped from a tier, fails the run loudly
+  * instead of surviving as prose. The verified table is also written to
+  * `records/scale_contracts.json` so the round artifacts carry the
+  * exclusion list in a parseable form.
+  */
+object ScaleContracts {
+
+  /** `status`: gauntlet name ("skew" | "volume") → "audited" |
+    * "excluded". A gauntlet absent from the map is unconstrained — tier
+    * curation (which of the 200+ entries are top-cost enough to time)
+    * stays a judgment call; only CONTRACT claims are enforced. */
+  final case class Contract(
+      entry: String,
+      status: Map[String, String],
+      reason: String,
+      boundedBy: String)
+
+  val All: Seq[Contract] = Seq(
+    Contract("d30_simhash_pairs",
+      Map("skew" -> "excluded"),
+      "output is quadratic in duplicate multiplicity by contract — every " +
+        "dup pair is a result row, so 10k dups = ~50M CORRECT answer rows",
+      "d26 exact dedup owns mass duplicates upstream (x90 pins the " +
+        "composition under the skew workload)"),
+    Contract("d31_embedding_neardup",
+      Map("skew" -> "excluded"),
+      "declared exact all-pairs baseline; output quadratic in duplicate " +
+        "multiplicity like d30",
+      "d33 is the registered scale path (probe-rule candidates)"),
+    Contract("d33_embedding_neardup_lsh",
+      Map("skew" -> "excluded"),
+      "output (true near-dup pairs) is quadratic in duplicate " +
+        "multiplicity by contract, independent of the candidate rule",
+      "probe-rule candidate pruning; built over a d26/d31-deduped corpus " +
+        "by the documented pipeline order"),
+    Contract("m44_media_neardup",
+      Map("skew" -> "excluded"),
+      "10k identical blobs share one perceptual hash — every pair is a " +
+        "correct result row (quadratic output, the d30 contract)",
+      "m49's banded multi-block fingerprints are the components-scale tier"),
+    Contract("m46_media_components",
+      Map("volume" -> "excluded"),
+      "pigeonhole candidate stage measured quadratic at 10× volume " +
+        "(round-9 in-timer audit, cost_ratio 1.8) — contract-confined to " +
+        "the base-SF small-corpus tier",
+      "m49_media_components_scalable supersedes it at scale (volume-audited)"),
+    Contract("s32_knn_bruteforce",
+      Map("skew" -> "excluded", "volume" -> "excluded"),
+      "declared exact brute-force baseline — quadratic by definition; " +
+        "exists to calibrate the ANN tiers' recall",
+      "s33/s34/s36/s43 are the registered scale paths"),
+    Contract("s40_knn_graph",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "per-bucket candidate cap (Similarity.KnnBucketCap = 32, " +
+        "hash-ranked): candidates ≤ N·7·cap at any bucket population; " +
+        "recall@3 audited in RecallSpec"),
+    Contract("x107_graph_pagerank",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "consumes the capped s40 graph; sweeps are O(edges) keyed joins " +
+        "over N·3 edges, lineage-truncated per round"),
+    Contract("x118_label_communities",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "consumes the capped s40 graph; LPA sweeps shuffle O(edges) with " +
+        "map-side partials and a rank-1 window"),
+    Contract("x119_community_sample",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "x118's communities plus ONE window keyed by community; quota " +
+        "filter is map-side on the ranked rows"))
+
+  /** Fails (IllegalStateException) if `queries` disagrees with the
+    * contract table for `gauntlet`, then writes the JSON record. */
+  def verifyAndRecord(gauntlet: String, queries: Seq[String]): Unit = {
+    val qs = queries.toSet
+    val bad = All.flatMap { c =>
+      c.status.get(gauntlet) match {
+        case Some("excluded") if qs.contains(c.entry) =>
+          Some(s"${c.entry}: contract says excluded from $gauntlet but it runs")
+        case Some("audited") if !qs.contains(c.entry) =>
+          Some(s"${c.entry}: contract says audited by $gauntlet but it was silently skipped")
+        case _ => None
+      }
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"scale-contract violations:\n  ${bad.mkString("\n  ")}")
+    writeJson("records/scale_contracts.json")
+  }
+
+  def writeJson(path: String): Unit = {
+    val rows = All.map { c =>
+      val st = c.status.toSeq.sortBy(_._1)
+        .map { case (g, s) => JsonOut.str(g) + ":" + JsonOut.str(s) }
+        .mkString("{", ",", "}")
+      s"""{"entry":${JsonOut.str(c.entry)},"status":$st,""" +
+        s""""reason":${JsonOut.str(c.reason)},"bounded_by":${JsonOut.str(c.boundedBy)}}"""
+    }
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.println(rows.mkString("[\n", ",\n", "\n]")) finally w.close()
+  }
+}

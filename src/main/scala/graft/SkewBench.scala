@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *  - `lineitem`: ~33 % of rows remapped to ONE order key; q26's salted
   *    join must spread that key over saltFactor reducers.
   *
-  * d30/d31/m44 are excluded by contract, not leniency: their OUTPUT is
-  * quadratic in duplicate multiplicity (every dup pair is a result row —
-  * 10k dups = 50M correct answer rows; m44's 10k identical blobs share
-  * one phash), so "skew-safe" is not a property they can have on a
+  * d30/d31/d33/m44 are excluded by contract, not leniency: their OUTPUT
+  * is quadratic in duplicate multiplicity (every dup pair is a result
+  * row — 10k dups = 50M correct answer rows; m44's 10k identical blobs
+  * share one phash), so "skew-safe" is not a property they can have on a
   * mass-duplicated input; the pipeline answer is d26 first (which x90
-  * demonstrates under this very workload).
+  * demonstrates under this very workload). The exclusion list is
+  * machine-readable and ENFORCED: [[ScaleContracts.verifyAndRecord]]
+  * fails the run if this query list disagrees with the contract table.
   *
   * Prints one JSON line; exits 1 if any query exceeds the wall bound.
   */
@@ -185,14 +187,16 @@ object SkewBench {
     // x103 inherits d28's cap (the dup cluster forms zero pairs → zero
     // components) plus d34's label-propagation bound; the assignment
     // join keys on doc_id against the pair-participant-sized component
-    // list — nothing hot. s40 is excluded like d30/d31/d33: the 10k-dup
-    // embedding collapses one LSH bucket, and s40's candidate stage is
-    // quadratic in bucket population by contract (the KNN graph is
-    // built over a DEDUPED corpus — d26/d31 own mass duplicates
-    // upstream, the scaladoc names the bucket-cap upgrade). x107
-    // (PageRank over the s40 graph) inherits the same exclusion: its
-    // own sweeps are O(edges) keyed joins, but its input stage IS s40
+    // list — nothing hot
     "x103_cluster_split",
+    // s40 under the 10k-dup embedding — ONE maximally hot LSH bucket:
+    // the per-bucket candidate cap (Similarity.KnnBucketCap) bounds the
+    // neighbor side at cap hash-ranked members however populous the
+    // bucket, so candidates stay ≤ N·7·cap (RecallSpec's hot-bucket gate
+    // pins exactly this shape). x107/x118/x119 consume the capped graph:
+    // their own sweeps are O(edges) keyed joins over N·3 edges
+    "s40_knn_graph", "x107_graph_pagerank", "x118_label_communities",
+    "x119_community_sample",
     // x104 under the 10k-dup doc: identical texts share one content
     // hash, so one x99 BUCKET gains the pile — its per-bucket
     // row_number is a single linear sorted run (one task), offsets stay
@@ -355,11 +359,7 @@ object SkewBench {
     // s48 sweeps the same probe join at 4 nprobe settings — the hot
     // cell inflates candidate lists linearly per setting, absorbed by
     // the per-(np, query) top-5 window's rank shortcut; output stays
-    // |sweep| rows however hot the cell.
-    // (x118/x119 are excluded like s40/x107: their KNN-graph candidate
-    // stage is quadratic in LSH bucket population by contract, and the
-    // 10k-dup embedding is one maximally hot bucket — the graph tier is
-    // built over a DEDUPED corpus by the documented pipeline order.)
+    // |sweep| rows however hot the cell
     "s48_probe_sweep")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
@@ -493,6 +493,7 @@ object SkewBench {
   }
 
   def main(args: Array[String]): Unit = {
+    ScaleContracts.verifyAndRecord("skew", Queries)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

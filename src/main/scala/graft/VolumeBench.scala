@@ -45,13 +45,12 @@ import org.apache.spark.sql.functions._
 object VolumeBench {
 
   /** Corpus multiplier — env-overridable so the same harness can run
-    * the standing 10× gauntlet AND deeper spot-audits (the round-9
-    * 100× tier on the linear-contract entries). The fixed-bucket LSH
-    * graph ops (s40-derived x107/x118) are EXCLUDED from >10× runs by
-    * the same contract that excludes them from SkewBench: candidate
-    * volume is quadratic in bucket population with the bucket count
-    * fixed — at production scale the hyperplane count grows with the
-    * corpus (more buckets), which is a config, not a plan, property. */
+    * the standing 10× gauntlet AND deeper spot-audits (the 100× tier on
+    * the linear-contract entries). The KNN-graph family (s40 and its
+    * consumers x107/x118/x119) joined the linear tier when the
+    * per-bucket candidate cap landed ([[graft.operators.Similarity]]
+    * KnnBucketCap): candidates are ≤ N·7·cap however populous a bucket
+    * grows, so the family scales linearly at every mult. */
   val Mult = sys.env.getOrElse("SPARK_GRAFT_VOLUME_MULT", "10").toInt
   val CostRatioBound = 1.5
   /** The audited top-cost tier: the round-7 verdict's list plus the
@@ -71,7 +70,11 @@ object VolumeBench {
     // x118 audits the iterative-graph family's newest member (LPA over
     // the KNN graph): per-sweep cost is O(edges) by design — the 10×
     // ratio and pinned exchange count make that claim empirical
-    "x118_label_communities")
+    "x118_label_communities",
+    // the capped candidate stage itself (s40) and the graph family's
+    // sampler (x119): with the per-bucket cap the whole family is
+    // linear-contract, so it runs at EVERY mult including the 100× tier
+    "s40_knn_graph", "x119_community_sample")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -154,6 +157,10 @@ object VolumeBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // contract check runs against the FULL tier definition — an explicit
+    // subset arg (the 100× spot-audit idiom) is an operator action, not
+    // a silent skip
+    ScaleContracts.verifyAndRecord("volume", Queries)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -214,9 +221,13 @@ object VolumeBench {
     // lineitem⋈orders going SMJ when orders is 100× — the behavior a
     // 100 TB deployment WANTS) — reported under "replans", while a new
     // exchange with no broadcast lost stays a violation (that shape is
-    // a lost partitioning reuse, never physics).
+    // a lost partitioning reuse, never physics). A replan may add AT
+    // MOST one shuffle per lost broadcast (each BHJ→SMJ flip turns one
+    // broadcast into one shuffle); extra shuffles beyond that delta are
+    // a violation hiding behind the flip, not the flip itself.
     def isReplan(m: Map[String, Double]): Boolean =
-      m("exch_big") > m("exch_base") && m("bexch_big") < m("bexch_base")
+      m("bexch_big") < m("bexch_base") &&
+        m("exch_big") - m("exch_base") <= m("bexch_base") - m("bexch_big")
     val strict = Mult <= 10
     val replans = results.collect { case (n, m)
       if !strict && isReplan(m) => n }.toSeq

@@ -1007,24 +1007,44 @@ object Similarity {
     * bucket + 6 Hamming-1 probes), taken in BOTH directions (q probes
     * into n's bucket), ranked per vector by exact cosine.
     *
-    * Scale: this is d33's bucket equi-join shape with a per-vector
-    * top-k on top — candidates per vector are bounded by its 7 probe
-    * buckets' populations (hyperplane buckets are balanced by
-    * construction; a degenerate hot bucket is the s33 caveat and would
-    * get a bucket cap like d28's MaxShingleDf), and the rank ≤ 3 filter
-    * is a map-side WindowGroupLimit before the final shuffle. Output is
-    * N·3 rows — linear in the corpus, never the N² brute-force graph. */
-  /** The s40 graph's SQL CTE chain (bucketing → probes → candidates →
-    * per-vector top-3 edges as `g(q_id, n_id)`) — shared verbatim by the
-    * s40 oracle and the x107 PageRank oracle so "the graph" is a single
-    * definition across queries. */
+    * Scale: the neighbor side of the candidate join is CAPPED at
+    * [[KnnBucketCap]] hash-ranked members per bucket (the d28
+    * MaxShingleDf discipline applied to LSH buckets), so candidate
+    * pairs are ≤ N · 7 · cap — LINEAR in the corpus however populous a
+    * bucket grows, where the uncapped same-bucket self-join was
+    * quadratic in bucket population at a fixed bucket count. Every
+    * vector still appears as a QUERY (the graph covers the whole
+    * corpus); only its visibility as a CANDIDATE is sampled, and the
+    * hash rank makes that sample deterministic and uniform (no
+    * first-by-id bias). Retrieval quality under the cap is gated by
+    * RecallSpec's recall@3 audit against the uncapped exact graph; the
+    * rank ≤ 3 filter is a map-side WindowGroupLimit before the final
+    * shuffle. Output is N·3 rows — never the N² brute-force graph. */
+  /** Per-bucket candidate cap for the KNN graph (neighbor-side members
+    * per LSH bucket). 32 ≈ the sf0.1 mean bucket population, so the cap
+    * binds exactly where populations exceed today's design point —
+    * VolumeBench's 10×/100× corpora — keeping per-query candidate work
+    * constant beyond it. At production scale the hyperplane count would
+    * also grow with log₂(N) (more buckets), but the cap alone already
+    * guarantees the linear bound. */
+  private[operators] val KnnBucketCap = 32
+
+  /** The s40 graph's SQL CTE chain (bucketing → per-bucket hash-ranked
+    * candidate cap → probes → candidates → per-vector top-3 edges as
+    * `g(q_id, n_id)`) — shared verbatim by the s40 oracle and the x107
+    * PageRank oracle so "the graph" is a single definition across
+    * queries. */
   private def duckKnnGraph =
     s"""bk AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e, w),
+        bc AS (SELECT vec_id, v, nrm, bucket FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                   ORDER BY ${H.d("CAST(vec_id AS VARCHAR)")}, vec_id) AS brk
+                 FROM bk) WHERE brk <= $KnnBucketCap),
         pr AS (SELECT vec_id AS q_id, v, nrm, ${probeUnnestDuck("bucket")} AS pb
                FROM bk),
         cand AS (SELECT a.q_id, b.vec_id AS n_id,
                         ${Cosine.duckDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
-                 FROM pr a JOIN bk b ON a.pb = b.bucket AND a.q_id <> b.vec_id),
+                 FROM pr a JOIN bc b ON a.pb = b.bucket AND a.q_id <> b.vec_id),
         r AS (SELECT q_id, n_id, cos,
                      ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY cos DESC, n_id) AS rnk FROM cand)"""
@@ -1036,8 +1056,14 @@ object Similarity {
     val bk = bucketedVecs(spark, dir)
     val a = bk.select(col("vec_id").as("q_id"), col("v").as("va"),
       col("nrm").as("na"), probeBuckets(col("bucket")).as("pb"))
-    val b = bk.select(col("vec_id").as("n_id"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket").as("bb"))
+    // neighbor side: ≤ KnnBucketCap hash-ranked members per bucket — the
+    // one-window (O(N) rows keyed by bucket) linearity bound above
+    val bw = Window.partitionBy(col("bucket"))
+      .orderBy(expr(H.s("cast(vec_id as string)")), col("vec_id"))
+    val b = bk.withColumn("brk", row_number().over(bw))
+      .filter(col("brk") <= KnnBucketCap)
+      .select(col("vec_id").as("n_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     a.join(b, col("pb") === col("bb") && col("q_id") =!= col("n_id"))
       .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -1091,8 +1117,8 @@ object Similarity {
     * partial-aggregated regroup on the destination — per-sweep shuffle
     * volume is O(edges), never O(N²), and the per-round materialization
     * is what keeps round k's plan constant-size. The candidate stage
-    * inherits s40's bucket-population contract (built over a DEDUPED
-    * corpus; excluded from SkewBench like s40/d30/d31). */
+    * inherits s40's per-bucket cap ([[KnnBucketCap]]) — linear at any
+    * bucket population, audited in both scale gauntlets with s40. */
   /** One PageRank sweep (the Spark twin of [[duckPrIter]]): previous
     * ranks ride the degree-tagged edge list through one keyed join, the
     * per-destination contributions regroup with map-side partials, and
@@ -1218,8 +1244,8 @@ object Similarity {
     * bounded by the edge count, a per-node rank-1 window (map-side
     * WindowGroupLimit), and a left-join carry — never O(N²). Per-round
     * materialization keeps round k's plan constant-size, the x107
-    * contract. The candidate stage inherits s40's bucket-population
-    * contract (deduped corpus; excluded from SkewBench like s40/x107). */
+    * contract. The candidate stage inherits s40's per-bucket cap
+    * ([[KnnBucketCap]]) — audited in both scale gauntlets with s40. */
   /** The x118 CTE chain through `comm(vec_id, community, csize)` — shared
     * by the x118 oracle and the x119 sampler oracle so "the communities"
     * are a single definition across queries (the duckKnnGraph pattern). */

@@ -280,6 +280,124 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ s40
+  // The KNN graph's per-bucket candidate cap (Similarity.KnnBucketCap)
+  // trades neighbor-side visibility for a linear candidate bound. These
+  // gates measure what the trade costs, against brute-force exact top-3.
+
+  private def writeCorpus(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Brute-force exact top-3 per vector (cos desc, n_id asc — the s40
+    * tie-break), computed in plain Scala as the spec-side oracle. */
+  private def exactTop3(rows: Seq[(Long, Array[Float], Int)]): Map[Long, Set[Long]] = {
+    val vs = rows.map { case (id, v, _) =>
+      val d = v.map(_.toDouble)
+      (id, d, math.sqrt(d.map(x => x * x).sum))
+    }
+    vs.map { case (q, vq, nq) =>
+      q -> vs.filter(_._1 != q)
+        .map { case (n, vn, nn) =>
+          (n, vq.zip(vn).map { case (a, b) => a * b }.sum / (nq * nn))
+        }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSet
+    }.toMap
+  }
+
+  private def graphEdges(dir: String): Seq[(Long, Long)] =
+    Similarity.s40KnnGraph.fn(spark, dir)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private def recall3(edges: Seq[(Long, Long)],
+      exact: Map[Long, Set[Long]]): Double = {
+    val got = edges.groupBy(_._1).map { case (q, es) => q -> es.map(_._2).toSet }
+    val rs = exact.map { case (q, ex) =>
+      (got.getOrElse(q, Set.empty[Long]) & ex).size.toDouble / ex.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("s40: at the design point (buckets under the cap) recall@3 is full") {
+    // 96 tight 5-member clusters: buckets stay below KnnBucketCap, so the
+    // cap is INERT and recall measures only the multi-probe envelope
+    val rnd = new scala.util.Random(11L)
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(96)(normed(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 480).map { i =>
+      val v = normed(centers(i % 96).map(_ + rnd.nextGaussian() * 0.01))
+      (i.toLong, v.map(_.toFloat), i % 96)
+    }
+    val dir = writeCorpus(rows)
+    // precondition: the cap must not bind, or this measures the trade too
+    val maxPop = Similarity.bucketedVecs(spark, dir)
+      .groupBy("bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxPop <= Similarity.KnnBucketCap,
+      s"corpus not at the design point: hottest bucket $maxPop")
+    val r = recall3(graphEdges(dir), exactTop3(rows))
+    info(f"s40 recall@3, cap inert (max bucket $maxPop): $r%.3f")
+    assert(r >= 0.9, f"s40 recall@3 $r%.3f < 0.9 with the cap inert")
+  }
+
+  test("s40: one hot bucket — neighbor visibility capped, coverage intact") {
+    // every vector in ONE tight cluster: the regime where the uncapped
+    // self-join was quadratic. The cap must (a) bound distinct visible
+    // neighbors by 7·cap and (b) still give every vector its 3 edges.
+    val rnd = new scala.util.Random(13L)
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val c = normed(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      (i.toLong, normed(c.map(_ + rnd.nextGaussian() * 1e-4)).map(_.toFloat), 0)
+    }
+    val dir = writeCorpus(rows)
+    val edges = graphEdges(dir)
+    val perQ = edges.groupBy(_._1)
+    assert(perQ.size === 400 && perQ.values.forall(_.size === 3),
+      "every vector must still receive exactly 3 edges under the cap")
+    val visible = edges.map(_._2).toSet.size
+    assert(visible <= 7 * Similarity.KnnBucketCap,
+      s"$visible distinct neighbors — the per-bucket cap is not binding")
+    info(s"s40 hot bucket: 400 queries, $visible distinct visible neighbors" +
+      s" (bound ${7 * Similarity.KnnBucketCap})")
+  }
+
+  test("s40: binding cap keeps cluster-consistent edges; recall tracks the sampling ratio") {
+    // 8 clusters of ~62: populations ~2x the cap, so the neighbor side is
+    // a deterministic ~cap/pop sample. Identity recall@3 is bounded by
+    // that ratio BY DESIGN; what the graph consumers (x107/x118/x119)
+    // need is that edges stay within the true cluster.
+    val rnd = new scala.util.Random(7L)
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(8)(normed(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 500).map { i =>
+      val v = normed(centers(i % 8).map(_ + rnd.nextGaussian() * 0.01))
+      (i.toLong, v.map(_.toFloat), i % 8)
+    }
+    val dir = writeCorpus(rows)
+    val edges = graphEdges(dir)
+    val lbl = rows.map(r => r._1 -> r._3).toMap
+    val sameLabel = edges.count { case (q, n) => lbl(q) == lbl(n) }
+    val frac = sameLabel.toDouble / edges.size
+    val r = recall3(edges, exactTop3(rows))
+    info(f"s40 binding cap: recall@3=$r%.3f same-cluster-edge frac=$frac%.3f")
+    assert(frac >= 0.95, f"edge label consistency $frac%.3f < 0.95")
+    // sampling ceiling ~ cap/pop ~ 0.5 here; gate well under it but far
+    // above broken (a wrong join or rank would crater both metrics)
+    assert(r >= 0.35, f"s40 recall@3 $r%.3f < 0.35 under a ~0.5 sampling ratio")
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's
