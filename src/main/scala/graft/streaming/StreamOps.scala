@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.proto._
 import graft.conv.{Codecs, GraftConfig, SchemaConversion}
@@ -586,26 +586,75 @@ object StreamOps {
     * byte-identical untouched files across batches, and that the final
     * layout row-equals a one-shot batch export of everything streamed).
     *
-    * Recovery: foreachBatch is at-least-once — a re-delivered epoch is
-    * skipped by batchId (the CmsAccumulator guard). A failure BETWEEN
-    * the shard write and the batchId advance re-runs the epoch: the
-    * read-merge-overwrite is idempotent per shard (same input docs →
-    * same merged content), so the retry converges rather than
-    * double-appending. */
+    * Recovery — NO JVM state is load-bearing, so a query/driver restart
+    * is safe by construction:
+    *  - Seeded-ness is derived from the OUTPUT PATH (an `hshard=`
+    *    partition directory exists), never from an in-memory flag. A
+    *    fresh maintainer instance over an existing layout therefore
+    *    takes the dynamic-overwrite merge path — the pre-fix in-memory
+    *    `seeded` flag made it re-seed with a STATIC overwrite, silently
+    *    truncating every previously maintained shard.
+    *  - The applied-epoch watermark is persisted as `_graft_last_batch`
+    *    beside the layout (written AFTER the shard write, the
+    *    write-ahead ordering that makes the marker a floor, not a
+    *    promise); a fresh instance recovers it and skips re-delivered
+    *    epochs exactly like the in-JVM CmsAccumulator guard.
+    *  - Even when an epoch IS re-run (failure between the shard write
+    *    and the marker write), the merge is idempotent: existing rows
+    *    matching the batch's doc_ids are anti-joined out before the
+    *    batch is unioned back in, so a replay rewrites the touched
+    *    shards to identical content instead of double-appending. */
   final class ShardMaintainer(out: String) extends ((DataFrame, Long) => Unit) {
     private var lastBatchId: Long = -1L
-    private var seeded = false
+
+    private def fsPath(spark: SparkSession) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    /** The layout exists iff the output path holds ≥ 1 shard partition
+      * directory — filesystem truth, valid across restarts. */
+    private def layoutExists(spark: SparkSession): Boolean = {
+      val (fs, p) = fsPath(spark)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("hshard="))
+    }
+    private def markerPath(p: org.apache.hadoop.fs.Path) =
+      new org.apache.hadoop.fs.Path(p, "_graft_last_batch")
+    private def readMarker(spark: SparkSession): Long = {
+      val (fs, p) = fsPath(spark)
+      val m = markerPath(p)
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    private def writeMarker(spark: SparkSession, batchId: Long): Unit = {
+      val (fs, p) = fsPath(spark)
+      val o = fs.create(markerPath(p), true)
+      try o.write(batchId.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally o.close()
+    }
+
     override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return
-      if (batch.isEmpty) { lastBatchId = batchId; return }
       val spark = batch.sparkSession
+      val seeded = layoutExists(spark)
+      if (seeded && lastBatchId < 0L) {
+        // fresh instance over an existing layout (restart): recover the
+        // applied-epoch watermark from the layout, not JVM memory
+        lastBatchId = readMarker(spark)
+        if (batchId <= lastBatchId) return
+      }
+      if (batch.isEmpty) { lastBatchId = batchId; return }
       val docs = batch.select(col("doc_id"), col("text"))
         .withColumn("hshard", expr(
           s"${graft.operators.H.s("text")} div ${graft.operators.Pipeline.HashShardW}"))
         .localCheckpoint(true) // one hash pass; reused for touched + write
       if (!seeded) {
         graft.operators.Pipeline.writeHashShards(docs, out, dynamic = false)
-        seeded = true
       } else {
         val touched = docs.select("hshard").distinct()
           .collect().map(_.getLong(0)).toSeq
@@ -613,9 +662,15 @@ object StreamOps {
           .filter(col("hshard").isin(touched: _*))
           .select(col("doc_id"), col("text"),
             col("hshard").cast("long").as("hshard"))
-        graft.operators.Pipeline.writeHashShards(
-          existing.unionByName(docs), out, dynamic = true)
+        // batch wins per doc_id: replaying a re-delivered epoch finds
+        // its docs already merged, removes them, re-adds them — the
+        // touched shards come out identical (idempotence)
+        val merged = existing
+          .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(docs)
+        graft.operators.Pipeline.writeHashShards(merged, out, dynamic = true)
       }
+      writeMarker(spark, batchId)
       lastBatchId = batchId
     }
   }

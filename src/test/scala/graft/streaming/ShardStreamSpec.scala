@@ -77,4 +77,66 @@ class ShardStreamSpec extends SparkSpec {
       assert(replayed === after, "a re-delivered batchId must not rewrite anything")
     } finally q.stop()
   }
+
+  test("restart: a FRESH maintainer over an existing layout merges, never truncates") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, rest) = docs.splitAt(docs.length / 2)
+    val b2 = rest.take(3) // small footprint → untouched-file check non-vacuous
+    def df(xs: Seq[(Long, String)]) =
+      spark.createDataset(xs).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shardrestart").toString
+
+    // first life: seed batch 0, merge batch 1
+    val a = new StreamOps.ShardMaintainer(out)
+    a.apply(df(b1.toSeq), 0L)
+    a.apply(df(b2.toSeq), 1L)
+    val after1 = md5s(new java.io.File(out))
+    val rows1 = spark.read.parquet(out)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sorted.toSeq
+    assert(rows1 === (b1 ++ b2).sortBy(_._1).toSeq)
+
+    // restart #1: fresh instance, foreachBatch re-delivers the last epoch.
+    // The persisted watermark must skip it — NOTHING rewritten. (Pre-fix:
+    // the in-memory seeded=false flag made this path STATIC-overwrite the
+    // whole layout with only batch 1's three docs.)
+    val b = new StreamOps.ShardMaintainer(out)
+    b.apply(df(b2.toSeq), 1L)
+    assert(md5s(new java.io.File(out)) === after1,
+      "a re-delivered epoch after restart must not rewrite anything")
+
+    // restart #2: the epoch died BETWEEN the shard write and the marker
+    // write (simulated by removing the marker). The re-run must converge:
+    // same rows, untouched shards byte-identical.
+    assert(new java.io.File(out, "_graft_last_batch").delete())
+    val touched = df(b2.toSeq)
+      .select(expr(s"${graft.operators.H.s("text")} div ${graft.operators.Pipeline.HashShardW}")
+        .as("hshard")).distinct().collect().map(_.getLong(0)).toSet
+    val c = new StreamOps.ShardMaintainer(out)
+    c.apply(df(b2.toSeq), 1L)
+    val rows2 = spark.read.parquet(out)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sorted.toSeq
+    assert(rows2 === rows1, "replayed merge must be idempotent, not double-append")
+    def shardOf(path: String): Option[Long] =
+      "hshard=([0-9]+)".r.findFirstMatchIn(path).map(_.group(1).toLong)
+    val untouched1 = after1.filter { case (p, _) =>
+      shardOf(p).exists(s => !touched.contains(s)) }
+    assert(untouched1.nonEmpty, "batch 2 must leave some shards untouched")
+    val after2 = md5s(new java.io.File(out))
+    for ((p, h) <- untouched1)
+      assert(after2.get(p).contains(h),
+        s"replayed merge rewrote an untouched shard file: $p")
+
+    // restart #3: a NEW batch through yet another fresh instance must
+    // merge into the existing layout (the truncation regression pin)
+    val b3 = rest.slice(3, 6)
+    val d = new StreamOps.ShardMaintainer(out)
+    d.apply(df(b3.toSeq), 2L)
+    val rows3 = spark.read.parquet(out)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sorted.toSeq
+    assert(rows3 === (b1 ++ b2 ++ b3).sortBy(_._1).toSeq,
+      "a new batch after restart must extend the layout, not replace it")
+  }
 }
