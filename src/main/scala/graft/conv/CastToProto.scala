@@ -25,6 +25,11 @@ object CastToProto {
     // derive (and thereby recursion-check) the full target schema up front
     SchemaConversion.messageTypeToSchema(md, cfg, reg)
     val srcType = StructType(df.schema.fields)
+    // NOTE: output nullability is Catalyst-inferred, not the derived
+    // schema's (Spark can neither cast away containsNull nor prove a
+    // maybe-null source non-null — `to(schema)` raises on the tightening
+    // direction). Types, names, order and VALUES match cast_table
+    // exactly; CastPropertySpec pins that contract modulo nullability.
     df.select(md.fields.map { f =>
       fieldColumn(name => if (srcType.fieldNames.contains(name)) Some(df(name)) else None,
         srcType, f, cfg, reg, Vector(md.fullName)).as(f.name)

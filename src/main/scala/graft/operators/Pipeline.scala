@@ -710,6 +710,47 @@ object Pipeline {
     * sorting inside shard files goes red instead of shipping silently.
     * A missing shard surfaces through the full-outer join as a row of
     * zeros. */
+  /** Per-shard count of INTRA-FILE ORDER violations in an exported shard
+    * layout, from two complementary detectors:
+    *  1. adjacent inversions within each (file, read-split) window —
+    *     `monotonically_increasing_id` is increasing in physical read
+    *     order within a partition and a parquet split is read in file
+    *     order, so any disorder INSIDE a split is an adjacent pair here;
+    *  2. overlapping [min,max] index ranges between a file's read-splits
+    *     — detector 1 is structurally blind to an inversion landing
+    *     EXACTLY on a split boundary (the two sides sit in different
+    *     pid windows), but a sorted file's splits carry non-overlapping
+    *     ranges, so ordering each file's split ranges by min and
+    *     flagging `prev_max >= next_min` closes the boundary case (>=
+    *     also catches a duplicated boundary index). Split summaries are
+    *     2 longs per (file, split) — tiny at any scale.
+    * Keys are file×split → balanced at any scale. */
+  private[operators] def shardOrderInversions(
+      spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordW = Window.partitionBy(col("f"), col("pid")).orderBy(col("pos"))
+    val rr = spark.read.parquet(out)
+      .select(col("shard").cast("long").as("shard"), col("global_idx"),
+        input_file_name().as("f"), spark_partition_id().as("pid"),
+        monotonically_increasing_id().as("pos"))
+    val intraInv = rr
+      .withColumn("prev", lag(col("global_idx"), 1).over(ordW))
+      .groupBy("shard")
+      .agg(sum(when(col("prev") > col("global_idx"), 1L).otherwise(0L))
+        .as("inversions"))
+    val ordS = Window.partitionBy(col("f")).orderBy(col("smin"))
+    val crossInv = rr.groupBy(col("shard"), col("f"), col("pid"))
+      .agg(min(col("global_idx")).as("smin"), max(col("global_idx")).as("smax"))
+      .withColumn("pmax", lag(col("smax"), 1).over(ordS))
+      .groupBy("shard")
+      .agg(sum(when(col("pmax") >= col("smin"), 1L).otherwise(0L))
+        .as("xinversions"))
+    intraInv.join(crossInv, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("inversions"), lit(0L)) +
+          coalesce(col("xinversions"), lit(0L))).as("inversions"))
+  }
+
   private[operators] def auditShards(
       spark: org.apache.spark.sql.SparkSession, dir: String, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -721,19 +762,7 @@ object Pipeline {
         sum(length(col("text")).cast("long")).as("r_bytes"),
         min(col("global_idx")).as("r_min"),
         max(col("global_idx")).as("r_max"))
-    // monotonically_increasing_id is increasing in physical read order
-    // within a partition; a parquet split is read in file order, so an
-    // unsorted file yields an adjacent inversion inside some
-    // (file, split) window. Keys are file×split → balanced at any scale.
-    val ordW = Window.partitionBy(col("f"), col("pid")).orderBy(col("pos"))
-    val inv = spark.read.parquet(out)
-      .select(col("shard").cast("long").as("shard"), col("global_idx"),
-        input_file_name().as("f"), spark_partition_id().as("pid"),
-        monotonically_increasing_id().as("pos"))
-      .withColumn("prev", lag(col("global_idx"), 1).over(ordW))
-      .groupBy("shard")
-      .agg(sum(when(col("prev") > col("global_idx"), 1L).otherwise(0L))
-        .as("inversions"))
+    val inv = shardOrderInversions(spark, out)
     manifestFrame(spark, dir).join(ra, Seq("shard"), "full_outer")
       .join(inv, Seq("shard"), "left_outer")
       .select(col("shard"),
@@ -781,8 +810,9 @@ object Pipeline {
         FROM g GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
     // applicationId in the path: two concurrent sessions over the same
     // source can't race overwrite-vs-read on a shared /tmp layout
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
-      s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}"
+    val out = TmpLayouts.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
+        s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}")
     exportShards(spark, dir, out)
     auditShards(spark, dir, out)
   }
@@ -924,8 +954,9 @@ object Pipeline {
                CAST(1 AS BIGINT) AS checksum_ok,
                CAST(1 AS BIGINT) AS bytes_ok
         FROM d GROUP BY 1 ORDER BY shard""") { (spark, dir) =>
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_increxport_" +
-      s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}"
+    val out = TmpLayouts.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_increxport_" +
+        s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}")
     val d = hashShardDocs(spark, dir)
     writeHashShards(d.filter(col("b") =!= 7), out, dynamic = false)
     // the delta arrives: rewrite only the shards it hashes into, with

@@ -151,29 +151,42 @@ object ProtoOps {
        FROM lineitem GROUP BY 1 ORDER BY flag""") { (spark, dir) =>
     import org.apache.spark.sql.types._
     val key = FieldIds.SparkKey
-    // both confs only act on schemas that carry parquet.field.id
-    // metadata, so session-wide enablement is inert everywhere else
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val md = PMessageDesc("graft.LineId", Seq(
-      PField("l_orderkey", 1, PInt64),
-      PField("l_returnflag", 2, PString)))
-    val schema = graft.conv.SchemaConversion.messageTypeToSchema(
-      md, GraftConfig(fieldNumberKey = Some(key)), WellKnown.registry)
-    val stamped = T(spark, dir, "lineitem").select(
-      col("l_orderkey").as("l_orderkey", schema("l_orderkey").metadata),
-      col("l_returnflag").as("l_returnflag", schema("l_returnflag").metadata))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fieldid_" +
-      s"${Scale.sourceKey(dir, "lineitem")}_${spark.sparkContext.applicationId}"
-    stamped.write.mode("overwrite").parquet(out)
-    // renamed read schema: same ids, different names — resolution is by id
-    val renamed = StructType(Seq(
-      StructField("ok", LongType, nullable = true, FieldIds.meta(1)),
-      StructField("flag", StringType, nullable = true, FieldIds.meta(2))))
-    spark.read.schema(renamed).parquet(out)
-      .groupBy("flag")
-      .agg(count(lit(1)).as("n"), sum(col("ok")).as("sum_ok"))
-      .orderBy("flag")
+    // the field-id confs are SESSION-GLOBAL and Spark offers no per-read
+    // option for them, so the whole write→read→aggregate pipeline runs
+    // EAGERLY inside a save/restore bracket (conf hygiene: nothing this
+    // query flips survives it) and only the flag-domain result (≤ a few
+    // rows, the broadcast-dim posture) comes back as a local frame
+    val fidConfs = Seq("spark.sql.parquet.fieldId.write.enabled",
+      "spark.sql.parquet.fieldId.read.enabled")
+    val saved = fidConfs.map(k => k -> spark.conf.getOption(k))
+    fidConfs.foreach(spark.conf.set(_, "true"))
+    try {
+      val md = PMessageDesc("graft.LineId", Seq(
+        PField("l_orderkey", 1, PInt64),
+        PField("l_returnflag", 2, PString)))
+      val schema = graft.conv.SchemaConversion.messageTypeToSchema(
+        md, GraftConfig(fieldNumberKey = Some(key)), WellKnown.registry)
+      val stamped = T(spark, dir, "lineitem").select(
+        col("l_orderkey").as("l_orderkey", schema("l_orderkey").metadata),
+        col("l_returnflag").as("l_returnflag", schema("l_returnflag").metadata))
+      val out = TmpLayouts.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_fieldid_" +
+          s"${Scale.sourceKey(dir, "lineitem")}_${spark.sparkContext.applicationId}")
+      stamped.write.mode("overwrite").parquet(out)
+      // renamed read schema: same ids, different names — resolution is by id
+      val renamed = StructType(Seq(
+        StructField("ok", LongType, nullable = true, FieldIds.meta(1)),
+        StructField("flag", StringType, nullable = true, FieldIds.meta(2))))
+      val res = spark.read.schema(renamed).parquet(out)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum(col("ok")).as("sum_ok"))
+        .orderBy("flag")
+      spark.createDataFrame(
+        java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   val all: Seq[Q] =

@@ -1767,8 +1767,9 @@ object Similarity {
     * content + applicationId (the x116 path contract: concurrent sessions
     * over the same source cannot race overwrite-vs-read). */
   private[operators] def ivfIndexPath(spark: SparkSession, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
-      s"${Scale.sourceKey(dir, "embeddings")}_${spark.sparkContext.applicationId}"
+    TmpLayouts.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+        s"${Scale.sourceKey(dir, "embeddings")}_${spark.sparkContext.applicationId}")
 
   /** Build and persist the s34 IVF index: `cells/` is the rnk-1
     * assignment WITH vectors, hive-partitioned by cell — each cell is its

@@ -57,6 +57,32 @@ object Ckpt {
   }
 }
 
+/** Cleanup registry for PER-APPLICATION temp layouts (paths carrying the
+  * applicationId — x116/x117 exports, the s47 IVF index, pa65's field-id
+  * parquet). No later run can ever reuse an app-keyed path, so they are
+  * deleted on JVM exit instead of accumulating under java.io.tmpdir one
+  * directory per run. The sourceKey-only layouts (partitioned/range/
+  * z-order scan sources, d37's corpus) are deliberate content-addressed
+  * cross-run caches and are NOT registered. */
+object TmpLayouts {
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach(p => delete(new java.io.File(p)))
+    }, "graft-tmp-layouts-cleanup"))
+    true
+  }
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(); ()
+  }
+  /** Register `path` for deletion at JVM exit; returns it unchanged. */
+  def register(path: String): String = {
+    hookInstalled; registered.add(path); path
+  }
+}
+
 object T {
   /** Read one driver-generated table. Filters/projections on the result are
     * pushed into the parquet scan by Catalyst (verify via PushedFilters in

@@ -101,4 +101,65 @@ class ExportSpec extends SparkSpec {
     assert(Pipeline.auditShards(spark, sfDir, out)
       .filter(col("shard") =!= 1 && col("order_ok") =!= 1).count() === 0)
   }
+
+  test("an inversion EXACTLY on a read-split boundary is caught by the cross-split compare") {
+    import spark.implicits._
+    // One 300-row shard file written as ~100-row parquet row groups
+    // (tiny block size; parquet-mr's first size check fires at 100
+    // records), read back with maxPartitionBytes small enough that each
+    // row group is its own read-split. Physical order interleaves two
+    // sorted runs at row-group granularity: every split is internally
+    // SORTED (the adjacent-pair detector sees nothing), but consecutive
+    // splits' index ranges overlap — the disorder lives only on the
+    // split boundaries, the exact blind spot the range compare closes.
+    val outDir = freshOut()
+    val order = ((0L until 50L) ++ (100L until 150L) ++ // group 1: [0,149]
+      (50L until 100L) ++ (150L until 200L) ++          // group 2: [50,199]
+      (200L until 300L))                                // group 3: [200,299]
+    val rows = order.map(i => (i, f"doc_$i%04d_payload_padding_to_make_rows_uniform", 0L))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 1024)
+    try {
+      rows.toDF("global_idx", "text", "shard")
+        .repartition(1) // one file; input order preserved within it
+        .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val oldMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val oldOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      // precondition 1: the read really is multi-split (≥ 2 pids per file)
+      val splits = spark.read.parquet(outDir)
+        .select(input_file_name().as("f"), spark_partition_id().as("pid"),
+          col("global_idx"))
+      assert(splits.select("pid").distinct().count() >= 2,
+        "file must split into several read-splits or the case is vacuous")
+      // precondition 2: the OLD detector is blind here — every
+      // (file, split) window is internally sorted
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("f"), col("pid"))
+        .orderBy(monotonically_increasing_id())
+      val intra = splits
+        .withColumn("prev", lag(col("global_idx"), 1).over(w))
+        .filter(col("prev") > col("global_idx")).count()
+      assert(intra === 0L,
+        s"construction broke: $intra intra-split inversions — the case " +
+          "must isolate the boundary blind spot")
+      // the closed gap: the cross-split range compare must flag it
+      val inv = Pipeline.shardOrderInversions(spark, outDir)
+        .filter(col("shard") === 0).head().getAs[Long]("inversions")
+      assert(inv > 0L,
+        "boundary-straddling disorder must surface in the inversion count")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.files.maxPartitionBytes", oldMax)
+      restore("spark.sql.files.openCostInBytes", oldOpen)
+    }
+  }
 }
