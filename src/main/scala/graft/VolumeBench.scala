@@ -221,13 +221,17 @@ object VolumeBench {
     // lineitem⋈orders going SMJ when orders is 100× — the behavior a
     // 100 TB deployment WANTS) — reported under "replans", while a new
     // exchange with no broadcast lost stays a violation (that shape is
-    // a lost partitioning reuse, never physics). A replan may add AT
-    // MOST one shuffle per lost broadcast (each BHJ→SMJ flip turns one
-    // broadcast into one shuffle); extra shuffles beyond that delta are
-    // a violation hiding behind the flip, not the flip itself.
+    // a lost partitioning reuse, never physics). The excuse is BOUNDED:
+    // one BHJ→SMJ flip costs at most 2 new shuffles (the SMJ's two
+    // sides) plus 1 more where the flip invalidates a downstream
+    // partitioning reuse (the join output repartitions on the join key,
+    // so a consumer keyed otherwise regains its exchange — d39's
+    // verified 100× shape: 1 lost broadcast → +2 SMJ sides +1 component
+    // regroup). New shuffles beyond 3× the lost broadcasts cannot be
+    // explained by flips and stay violations.
     def isReplan(m: Map[String, Double]): Boolean =
       m("bexch_big") < m("bexch_base") &&
-        m("exch_big") - m("exch_base") <= m("bexch_base") - m("bexch_big")
+        m("exch_big") - m("exch_base") <= 3 * (m("bexch_base") - m("bexch_big"))
     val strict = Mult <= 10
     val replans = results.collect { case (n, m)
       if !strict && isReplan(m) => n }.toSeq
