@@ -44,7 +44,8 @@ object PlanDump {
     "pa65_parquet_field_id", "x117_incremental_export", "s45_ivf_rebalance",
     "s46_rebalance_recall", "m49_media_components_scalable",
     "x118_label_communities", "x119_community_sample", "s47_persisted_ivf",
-    "s48_probe_sweep")
+    "s48_probe_sweep", "x120_priority_sample", "x121_quantile_norm",
+    "x122_dup_weights")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

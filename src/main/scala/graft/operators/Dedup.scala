@@ -1469,11 +1469,135 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** x122: duplication-aware SAMPLING WEIGHTS — every document weighted
+    * 1/|its near-dup cluster| in integer ppm (1,000,000 for docs in no
+    * cluster): the loss/sampling de-biasing a pretraining mix applies
+    * when it keeps duplicates instead of dropping them (each cluster
+    * contributes ~one document's worth of mass however many copies
+    * exist — the soft alternative to d39's hard keeper choice). The
+    * clusters are [[d34DedupComponents]]'s graph verbatim (same shared
+    * CTE chain in the oracle, same [[connectedComponents]] kernel), so
+    * the two disciplines cannot drift.
+    *
+    * Scale: everything is d34's bounded machinery (capped pair graph,
+    * O(log n) HashMin rounds) plus ONE left join of the corpus against
+    * the component table (participants only — bounded by verified-pair
+    * endpoints, usually ≪ corpus) and a map-side ppm projection. */
+  val x122DupWeights = Q(
+    "x122_dup_weights",
+    s"""WITH RECURSIVE $duckShingles,
+        $duckCappedSets,
+        $duckLshPairCtes,
+        pairs AS (SELECT a_id, b_id FROM v
+                  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        sz AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+        SELECT d.doc_id,
+               CAST(COALESCE(1000000 // s.n_members, 1000000) AS BIGINT)
+                 AS weight_ppm
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        LEFT JOIN sz s ON c.component = s.component
+        ORDER BY d.doc_id""") { (spark, dir) =>
+    val sh = cappedShingleSets(shingleHashes(spark, dir).cache()).cache()
+    val comp = connectedComponents(lshVerifiedPairs(sh).select("a_id", "b_id"))
+    T(spark, dir, "documents").select(col("doc_id"))
+      .join(comp.select(col("doc_id"), col("n_members")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("1000000 div n_members"), lit(1000000L)).as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** x123: CONTRASTIVE TRIPLET MINING — (anchor, positive, negative)
+    * training examples for an embedding/retrieval model, mined from the
+    * corpus itself: the positive is the anchor's hash-ranked first
+    * verified near-duplicate (d28's capped MinHash-LSH pairs — real
+    * "same content, different surface" pairs, not synthetic
+    * augmentation), the negative is the document sitting diametrically
+    * opposite the anchor in x99's deterministic global shuffle order
+    * (gidx + N/2 mod N — a uniform pick that both engines compute
+    * bit-identically, no `rand()`), with accidental positives dropped
+    * by an anti-join against the verified-pair set.
+    *
+    * Scale: anchors are bounded by verified-pair endpoints (≪ corpus);
+    * the positive choice is one window over the capped pair set; the
+    * negative lookup is two participant-bounded probe joins against the
+    * bucket-parallel global index (the small side broadcasts under
+    * AQE); the guard is one anti-join against the capped pairs. No
+    * stage touches doc×doc. */
+  val x123ContrastivePairs = Q(
+    "x123_contrastive_pairs",
+    s"""WITH $duckShingles,
+        $duckCappedSets,
+        $duckLshPairCtes,
+        pairs AS (SELECT a_id, b_id FROM v
+                  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        sym AS (SELECT a_id AS anchor_id, b_id AS cand FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+        pos AS (SELECT anchor_id, cand AS pos_id FROM (
+                  SELECT anchor_id, cand,
+                         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                           ORDER BY ${H.d("CAST(cand AS VARCHAR)")}, cand) AS rn
+                  FROM sym) WHERE rn = 1),
+        gi AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY ${H.d("text")}, doc_id) AS gidx
+               FROM documents),
+        nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        trip AS (SELECT p.anchor_id, p.pos_id, g2.doc_id AS neg_id
+                 FROM pos p
+                 JOIN gi g1 ON p.anchor_id = g1.doc_id
+                 CROSS JOIN nn
+                 JOIN gi g2 ON g2.gidx = 1 + (g1.gidx - 1 + n_docs // 2) % n_docs)
+        SELECT anchor_id, pos_id, neg_id
+        FROM trip t
+        WHERE t.neg_id <> t.anchor_id AND t.neg_id <> t.pos_id
+          AND NOT EXISTS (SELECT 1 FROM pairs q
+                          WHERE (q.a_id = t.anchor_id AND q.b_id = t.neg_id)
+                             OR (q.b_id = t.anchor_id AND q.a_id = t.neg_id))
+        ORDER BY anchor_id""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = cappedShingleSets(shingleHashes(spark, dir).cache()).cache()
+    val pairs = lshVerifiedPairs(sh).select("a_id", "b_id").cache()
+    val sym = pairs.select(col("a_id").as("anchor_id"), col("b_id").as("cand"))
+      .unionAll(pairs.select(col("b_id").as("anchor_id"), col("a_id").as("cand")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(expr(H.s("cast(cand as string)")), col("cand"))
+    val pos = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand").as("pos_id"))
+    val gi = Pipeline.globalIndexFrame(spark, dir)
+      .select(col("doc_id"), col("global_idx"))
+    val nDocs = gi.groupBy().agg(count(lit(1)).as("n_docs"))
+    val trip = pos
+      .join(gi.select(col("doc_id").as("anchor_id"), col("global_idx").as("a_idx")),
+        Seq("anchor_id"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("neg_idx",
+        lit(1L) + (col("a_idx") - 1 + expr("n_docs div 2")) % col("n_docs"))
+      .join(gi.select(col("doc_id").as("neg_id"), col("global_idx").as("n_idx")),
+        col("neg_idx") === col("n_idx"))
+      .select("anchor_id", "pos_id", "neg_id")
+    trip
+      .filter(col("neg_id") =!= col("anchor_id") && col("neg_id") =!= col("pos_id"))
+      .join(pairs.select(col("a_id").as("anchor_id"), col("b_id").as("neg_id"))
+        .unionAll(pairs.select(col("b_id").as("anchor_id"), col("a_id").as("neg_id"))),
+        Seq("anchor_id", "neg_id"), "left_anti")
+      .orderBy("anchor_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
     d41MinhashCalibration, d43LshPlanner, d45FingerprintAudit, d46PrefixJoin,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
-    d37IncrementalDedup, d38EditdistDedup, d39BestKeeper)
+    d37IncrementalDedup, d38EditdistDedup, d39BestKeeper, x122DupWeights,
+    x123ContrastivePairs)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

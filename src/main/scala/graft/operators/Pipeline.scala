@@ -1356,6 +1356,84 @@ object Pipeline {
       .orderBy("class", "source")
   }
 
+  /** x120: weight-proportional corpus SAMPLE without replacement —
+    * priority sampling (Duffield–Lund–Thorup): each document draws a
+    * deterministic uniform u from its id hash and competes with
+    * priority w/u; the k largest priorities form a fixed-size sample
+    * whose inclusion probability is proportional to weight (here
+    * n_chars — the "sample long documents more" knob a token-budgeted
+    * mix wants), with no two-pass total-weight scan and no rejection
+    * loop. The priority is computed in INTEGER arithmetic —
+    * (w·2³²) div (h+1) with h the shared 32-bit hash, all < 2⁶³ — so
+    * both engines rank bit-identically (t27's no-`rand()` rule).
+    *
+    * Scale: the weighting is a map-only projection and the selection is
+    * `ORDER BY … LIMIT k` — Spark plans TakeOrderedAndProject (per-task
+    * top-k, k·P tiny rows to the driver), never a global sort. At
+    * 100 TB the full corpus is scanned once and nothing is shuffled. */
+  val x120PrioritySample = Q(
+    "x120_priority_sample",
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+                          GREATEST(n_chars, 1) * 4294967296 //
+                            (${H.d("CAST(doc_id AS VARCHAR)")} + 1) AS priority
+                   FROM documents)
+        SELECT doc_id, source, n_chars,
+               CAST(priority AS BIGINT) AS priority
+        FROM d ORDER BY priority DESC, doc_id LIMIT 100""") { (spark, dir) =>
+    T(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"greatest(n_chars, 1) * 4294967296 div " +
+          s"(${H.s("cast(doc_id as string)")} + 1)").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** x121: cross-source QUANTILE NORMALIZATION — every document's raw
+    * score (n_chars) replaced by its within-source quantile rank in
+    * integer ppm, the step that makes per-source scores COMPARABLE
+    * before a cross-source mixing/filter decision (a "top 20% of each
+    * source" cut is meaningless on raw scores when sources have
+    * different length distributions; it is exact on q_ppm). The rank is
+    * ⌊cum·10⁶/n⌋ with cum the inclusive cumulative count of the doc's
+    * score cell within its source — integer arithmetic, bit-equal
+    * across engines.
+    *
+    * Scale is q81/q83/q85's shared histogram discipline verbatim: one
+    * groupBy collapses the corpus to (source, cell) counts, the
+    * cumulative prefix runs bucket-parallel via
+    * [[Relational2.histCum]] (no task ever sorts a whole source's cell
+    * domain — the window the oracle runs never executes here), and the
+    * corpus-side re-attach is a broadcast join against the tiny cell
+    * table. One full scan, one map-side join, zero corpus-side sort. */
+  val x121QuantileNorm = Q(
+    "x121_quantile_norm",
+    s"""WITH h AS (SELECT source, n_chars AS c, COUNT(*) AS cnt
+                   FROM documents GROUP BY 1, 2),
+        hc AS (SELECT source, c,
+                      SUM(cnt) OVER (PARTITION BY source ORDER BY c) AS cum,
+                      SUM(cnt) OVER (PARTITION BY source) AS n
+               FROM h)
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(hc.cum * 1000000 // hc.n AS BIGINT) AS q_ppm
+        FROM documents d
+        JOIN hc ON d.source = hc.source AND d.n_chars = hc.c
+        ORDER BY d.doc_id""") { (spark, dir) =>
+    val h = T(spark, dir, "documents")
+      .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // tiny (source, cell) counts — histCum consumes it twice
+
+    val cells = Relational2.histCum(h)
+      .select(col("flag").as("source"), col("c"),
+        expr("cum * 1000000 div n").as("q_ppm"))
+    val docs = T(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.join(broadcast(cells),
+        docs("source") === cells("source") && docs("n_chars") === cells("c"))
+      .select(docs("doc_id"), docs("source"), docs("n_chars"), col("q_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
@@ -1363,5 +1441,5 @@ object Pipeline {
     x117IncrementalExport,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
-    x115CurriculumShards)
+    x115CurriculumShards, x120PrioritySample, x121QuantileNorm)
 }

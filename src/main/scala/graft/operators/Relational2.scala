@@ -565,7 +565,7 @@ object Relational2 {
     * offsets (B tiny rows per flag) close the prefix. No task ever
     * sorts a whole flag's cell domain, so the quantile machinery
     * survives a domain 100× wider unchanged. */
-  private def histCum(h: org.apache.spark.sql.DataFrame)
+  private[operators] def histCum(h: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val byFlagB = Window.partitionBy(col("flag"), col("b"))
     val byFlag = Window.partitionBy(col("flag"))

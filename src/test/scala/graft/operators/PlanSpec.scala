@@ -705,6 +705,27 @@ class PlanSpec extends SparkSpec {
       "the per-community hash rank must be a keyed window")
   }
 
+  test("x120: weighted sample is a map-side top-k over a pruned scan — no shuffle") {
+    val p = plan("x120_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY priority LIMIT k must plan per-task top-k, not a sort")
+    assert(!p.contains("Exchange"),
+      "priority sampling must not shuffle — the priority is map-only and " +
+        "the selection is TakeOrdered")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      "the scan must read only the three projected columns (no text)")
+  }
+
+  test("x121: corpus re-attaches to the cell table by broadcast; scan pruned") {
+    val p = plan("x121_quantile_norm")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (source, cell) quantile table must broadcast to the corpus side")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never sort-merge against the tiny cell table")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      "the corpus-side scan must not read text")
+  }
+
   test("m49: combo fan-out is a codegen'd explode; candidates equi-join on the key") {
     // gate the pair-generation frame itself: the registered query ends in
     // checkpointed components, whose plan no longer shows the joins
