@@ -360,7 +360,18 @@ object SkewBench {
     // cell inflates candidate lists linearly per setting, absorbed by
     // the per-(np, query) top-5 window's rank shortcut; output stays
     // |sweep| rows however hot the cell
-    "s48_probe_sweep")
+    "s48_probe_sweep",
+    // x122 under the 10k-dup doc: exact dups share every shingle, so
+    // d28's cap drops the cluster's shingles and it forms ZERO pairs —
+    // the components x122 divides by are organic ones; the corpus-side
+    // left join keys on doc_id (uniform), and the ppm projection is
+    // map-only
+    "x122_dup_weights",
+    // x123 under the pile: anchors/positives inherit d28's cap (the
+    // dup cluster contributes no pairs); the negative lookup joins the
+    // global index on doc_id / gidx — both uniform keys; the pile only
+    // concentrates ONE x99 bucket's rank run, x104's posture
+    "x123_contrastive_pairs")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -74,7 +74,11 @@ object VolumeBench {
     // the capped candidate stage itself (s40) and the graph family's
     // sampler (x119): with the per-bucket cap the whole family is
     // linear-contract, so it runs at EVERY mult including the 100× tier
-    "s40_knn_graph", "x119_community_sample")
+    "s40_knn_graph", "x119_community_sample",
+    // the round-11 sampling layer: x122 rides d34's capped graph plus a
+    // corpus left join; x123 rides d28's pairs plus two probe joins
+    // against the bucket-parallel global index — both claim linear
+    "x122_dup_weights", "x123_contrastive_pairs")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
