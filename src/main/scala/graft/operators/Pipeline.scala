@@ -1371,6 +1371,14 @@ object Pipeline {
     * `ORDER BY … LIMIT k` — Spark plans TakeOrderedAndProject (per-task
     * top-k, k·P tiny rows to the driver), never a global sort. At
     * 100 TB the full corpus is scanned once and nothing is shuffled. */
+  /** The ONE Spark-dialect definition of x120's integer priority —
+    * shared with the streaming maintainer
+    * ([[graft.streaming.StreamOps.PrioritySampleMaintainer]]) so the
+    * continuous sample and the batch sample cannot drift. */
+  private[graft] val priorityExpr: String =
+    s"greatest(n_chars, 1) * 4294967296 div " +
+      s"(${H.s("cast(doc_id as string)")} + 1)"
+
   val x120PrioritySample = Q(
     "x120_priority_sample",
     s"""WITH d AS (SELECT doc_id, source, n_chars,
@@ -1382,8 +1390,7 @@ object Pipeline {
         FROM d ORDER BY priority DESC, doc_id LIMIT 100""") { (spark, dir) =>
     T(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"),
-        expr(s"greatest(n_chars, 1) * 4294967296 div " +
-          s"(${H.s("cast(doc_id as string)")} + 1)").as("priority"))
+        expr(priorityExpr).as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(100)
   }
@@ -1434,6 +1441,89 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x124: the SAMPLING MANIFEST — one row per document carrying every
+    * decision the training-data sampler consumes: t27's deterministic
+    * split, x121's within-source quantile rank, x122's duplication
+    * weight, and the composed effective training weight (weight if
+    * train-split AND above the per-source quality cut, else 0). This is
+    * the end-of-pipeline export a loader reads instead of re-deriving
+    * the three disciplines; each column is an oracle-checked formula
+    * reused VERBATIM (the x90/x112 composition rule), so the manifest
+    * cannot drift from its constituent operators.
+    *
+    * Scale: the constituents' postures unchanged — d34's capped pair
+    * graph, the broadcast (source, cell) quantile table, the
+    * participant-bounded component left join — plus map-only split and
+    * effective-weight projections. One corpus scan feeds the histogram,
+    * one feeds the manifest rows. */
+  val x124SamplingManifest = Q(
+    "x124_sampling_manifest",
+    s"""WITH RECURSIVE ${Dedup.duckShingles},
+        ${Dedup.duckCappedSets},
+        ${Dedup.duckLshPairCtes},
+        pairs AS (SELECT a_id, b_id FROM v
+                  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+        edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        sz AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component),
+        h AS (SELECT source, n_chars AS c, COUNT(*) AS cnt
+              FROM documents GROUP BY 1, 2),
+        hc AS (SELECT source, c,
+                      SUM(cnt) OVER (PARTITION BY source ORDER BY c) AS cum,
+                      SUM(cnt) OVER (PARTITION BY source) AS n
+               FROM h),
+        m AS (SELECT d.doc_id, d.source,
+                     ${H.d("CAST(d.doc_id AS VARCHAR)")} % 10 AS b,
+                     hc.cum * 1000000 // hc.n AS q_ppm,
+                     COALESCE(1000000 // s.n_members, 1000000) AS weight_ppm
+              FROM documents d
+              JOIN hc ON d.source = hc.source AND d.n_chars = hc.c
+              LEFT JOIN comp c ON d.doc_id = c.doc_id
+              LEFT JOIN sz s ON c.component = s.component)
+        SELECT doc_id, source,
+               CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(q_ppm AS BIGINT) AS q_ppm,
+               CAST(weight_ppm AS BIGINT) AS weight_ppm,
+               CAST(CASE WHEN b < 8 AND q_ppm >= 200000 THEN weight_ppm
+                         ELSE 0 END AS BIGINT) AS train_weight_ppm
+        FROM m ORDER BY doc_id""") { (spark, dir) =>
+    val sh = Dedup.cappedShingleSets(
+      Dedup.shingleHashes(spark, dir).cache()).cache()
+    val comp = Dedup.connectedComponents(
+      Dedup.lshVerifiedPairs(sh).select("a_id", "b_id"))
+    val h = T(spark, dir, "documents")
+      .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // tiny (source, cell) counts — histCum consumes it twice
+    val cells = Relational2.histCum(h)
+      .select(col("flag").as("source"), col("c"),
+        expr("cum * 1000000 div n").as("q_ppm"))
+    val docs = T(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs
+      .join(broadcast(cells),
+        docs("source") === cells("source") && docs("n_chars") === cells("c"))
+      .select(docs("doc_id"), docs("source"), col("q_ppm"))
+      .join(comp.select(col("doc_id"), col("n_members")), Seq("doc_id"), "left")
+      .withColumn("weight_ppm",
+        coalesce(expr("1000000 div n_members"), lit(1000000L)))
+      .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+      .select(col("doc_id"), col("source"),
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test").as("split"),
+        col("q_ppm"), col("weight_ppm"),
+        when(col("b") < 8 && col("q_ppm") >= 200000, col("weight_ppm"))
+          .otherwise(lit(0L)).as("train_weight_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
@@ -1441,5 +1531,6 @@ object Pipeline {
     x117IncrementalExport,
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
-    x115CurriculumShards, x120PrioritySample, x121QuantileNorm)
+    x115CurriculumShards, x120PrioritySample, x121QuantileNorm,
+    x124SamplingManifest)
 }

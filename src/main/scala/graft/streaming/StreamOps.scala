@@ -675,6 +675,51 @@ object StreamOps {
     }
   }
 
+  /** Continuous top-k PRIORITY SAMPLE — x120's weight-proportional
+    * sample-without-replacement maintained across micro-batches.
+    * Priority sampling is MERGEABLE: top-k(A ∪ B) = top-k(top-k(A) ∪
+    * top-k(B)), so the maintained state is bit-equal to the batch x120
+    * answer over everything streamed so far
+    * (PrioritySampleStreamSpec pins the equality). The priorities are
+    * [[graft.operators.Pipeline.priorityExpr]] VERBATIM — one
+    * definition, both tiers.
+    *
+    * State is the k-row parquet at `out` — filesystem truth, so a
+    * FRESH instance over an existing state resumes it (the
+    * ShardMaintainer restart lesson applied from day one), and the
+    * merge is idempotent by value (deterministic priorities + doc_id
+    * dedup), so a re-delivered epoch converges to the same k rows.
+    * Per-batch cost: the batch's map-side TakeOrdered top-k plus a
+    * 2k-row merge — the corpus is never re-read. */
+  final class PrioritySampleMaintainer(k: Int, out: String)
+      extends ((DataFrame, Long) => Unit) {
+    private def stateExists(spark: SparkSession): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+    /** The current k-row sample (throws until the first batch lands). */
+    def current(spark: SparkSession): DataFrame = spark.read.parquet(out)
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batch.isEmpty) return
+      val spark = batch.sparkSession
+      val bTop = batch.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("priority",
+          org.apache.spark.sql.functions.expr(
+            graft.operators.Pipeline.priorityExpr))
+        .orderBy(col("priority").desc, col("doc_id")).limit(k)
+      val merged =
+        if (!stateExists(spark)) bTop
+        else current(spark).unionByName(bTop)
+          .dropDuplicates("doc_id") // same doc ⇒ same priority row
+          .orderBy(col("priority").desc, col("doc_id")).limit(k)
+      // eager k-row materialization BEFORE the overwrite — the write
+      // target is the frame's own source on the merge path
+      merged.localCheckpoint(true)
+        .write.mode("overwrite").parquet(out)
+    }
+  }
+
   final class CmsAccumulator(d: Int, wBuckets: Int)
       extends ((DataFrame, Long) => Unit) {
     @volatile private var cells: DataFrame = null
