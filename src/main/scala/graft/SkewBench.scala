@@ -371,7 +371,16 @@ object SkewBench {
     // dup cluster contributes no pairs); the negative lookup joins the
     // global index on doc_id / gidx — both uniform keys; the pile only
     // concentrates ONE x99 bucket's rank run, x104's posture
-    "x123_contrastive_pairs")
+    "x123_contrastive_pairs",
+    // x124 composes x122's component left join (the pile forms zero
+    // pairs, so the dup cluster never enters the graph) with x121's
+    // broadcast cell re-attach — the 10k identical-length dups are ONE
+    // histogram cell, absorbed by the count partials map-side
+    "x124_sampling_manifest",
+    // x125 under the pile: the 10k identical-length dups collapse to
+    // ONE (source, cell) histogram row map-side; every later stage is
+    // cell-table arithmetic + the broadcast re-attach — nothing keyed hot
+    "x125_quantile_map")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -77,8 +77,12 @@ object VolumeBench {
     "s40_knn_graph", "x119_community_sample",
     // the round-11 sampling layer: x122 rides d34's capped graph plus a
     // corpus left join; x123 rides d28's pairs plus two probe joins
-    // against the bucket-parallel global index — both claim linear
-    "x122_dup_weights", "x123_contrastive_pairs")
+    // against the bucket-parallel global index; x124 composes x121's
+    // broadcast cell table with x122's component join — all claim linear
+    "x122_dup_weights", "x123_contrastive_pairs", "x124_sampling_manifest",
+    // x125's lookup runs on cell tables only; the corpus contributes one
+    // histogram groupBy and one broadcast re-attach — linear by shape
+    "x125_quantile_map")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -1441,6 +1441,80 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x125: DISTRIBUTION MATCHING (quantile mapping) — rewrite each
+    * document's raw score (n_chars) as the REFERENCE source's value at
+    * the same within-source quantile: the classic quantile-normalization
+    * transform that forces every source's score distribution onto one
+    * reference shape (here the lexicographically-first source — a
+    * deterministic choice, no data-dependent literal). len_ref =
+    * min{c_ref : ref_cum_ppm(c_ref) ≥ q_ppm(doc)}, all integer ppm, so
+    * both engines agree bit-for-bit; a match always exists because the
+    * reference's top cell sits at exactly 10⁶ ppm.
+    *
+    * Scale: x121's histogram discipline plus arithmetic on CELL tables
+    * only — the as-of lookup is a backward-carry window over the union
+    * of the two cell frames (domain-bounded, corpus-independent; the
+    * partitionBy-less window runs over cells, never data — x99's B-row
+    * offsets acceptance), and the corpus re-attaches via ONE broadcast
+    * join of the mapped cell table. The oracle states the same lookup
+    * as a θ-join + MIN over the same tiny frames. */
+  val x125QuantileMap = Q(
+    "x125_quantile_map",
+    s"""WITH h AS (SELECT source, n_chars AS c, COUNT(*) AS cnt
+                   FROM documents GROUP BY 1, 2),
+        hc AS (SELECT source, c,
+                      SUM(cnt) OVER (PARTITION BY source ORDER BY c) AS cum,
+                      SUM(cnt) OVER (PARTITION BY source) AS n
+               FROM h),
+        hq AS (SELECT source, c, cum * 1000000 // n AS q_ppm FROM hc),
+        ref AS (SELECT MIN(source) AS rs FROM documents),
+        r AS (SELECT c AS c_ref, q_ppm AS r_ppm FROM hq, ref
+              WHERE source = rs),
+        map AS (SELECT q.source, q.c, MIN(r.c_ref) AS len_ref
+                FROM hq q JOIN r ON r.r_ppm >= q.q_ppm GROUP BY 1, 2)
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(m.len_ref AS BIGINT) AS len_ref
+        FROM documents d
+        JOIN map m ON d.source = m.source AND d.n_chars = m.c
+        ORDER BY d.doc_id""") { (spark, dir) =>
+    val h = T(spark, dir, "documents")
+      .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // tiny (source, cell) counts — histCum consumes it twice
+    val hq = Relational2.histCum(h)
+      .select(col("flag").as("source"), col("c"),
+        expr("cum * 1000000 div n").as("q_ppm"))
+      .cache() // consumed as both the query side and the reference side
+    val refSrc = hq.groupBy().agg(min(col("source")).as("rs"))
+    val qRows = hq
+      .select(col("source"), col("c"), col("q_ppm").as("ppm"),
+        lit(1).as("kind"), lit(null).cast("long").as("cr"))
+    val rRows = hq.join(broadcast(refSrc), col("source") === col("rs"))
+      .select(lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("c"), col("q_ppm").as("ppm"),
+        lit(0).as("kind"), col("c").as("cr"))
+    // backward carry over the ppm axis: traversed in DESCENDING ppm the
+    // most recent reference row is min{c_ref : r_ppm >= ppm} (reference
+    // cum is strictly increasing in c_ref); kind=0 sorts the reference
+    // row first at equal ppm so >= ties resolve inclusively. The window
+    // is partitionBy-less BY DESIGN: it runs over the two cell tables
+    // (domain-bounded), never over corpus rows.
+    import org.apache.spark.sql.expressions.Window
+    val wCarry = Window
+      .orderBy(col("ppm").desc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapped = qRows.unionByName(rRows)
+      .withColumn("len_ref", last(col("cr"), ignoreNulls = true).over(wCarry))
+      .filter(col("kind") === 1)
+      .select(col("source"), col("c"), col("len_ref"))
+    val docs = T(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.join(broadcast(mapped),
+        docs("source") === mapped("source") && docs("n_chars") === mapped("c"))
+      .select(docs("doc_id"), docs("source"), docs("n_chars"), col("len_ref"))
+      .orderBy("doc_id")
+  }
+
   /** x124: the SAMPLING MANIFEST — one row per document carrying every
     * decision the training-data sampler consumes: t27's deterministic
     * split, x121's within-source quantile rank, x122's duplication
@@ -1532,5 +1606,5 @@ object Pipeline {
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
     x115CurriculumShards, x120PrioritySample, x121QuantileNorm,
-    x124SamplingManifest)
+    x124SamplingManifest, x125QuantileMap)
 }
