@@ -984,11 +984,19 @@ object TextOps {
   /** The t44 oracle: the SAME K unrolled rounds as [[bpeOracleSql]], but
     * the final select scores each document against round K's vocab
     * tokenization state instead of emitting the merge table. */
-  private[graft] def bpeEncodeOracleSql(k: Int): String = {
+  /** The t43-trained encode state as oracle CTEs (train body + `enc` —
+    * the (word, n_sub) table): ONE definition shared by t44's per-doc
+    * scoring and t48's per-source fertility rollup, so the two oracles
+    * cannot train divergent tokenizers. */
+  private[graft] def bpeEncCtes(k: Int): String = {
     val train = bpeOracleSql(k)
     val body = train.substring(0, train.lastIndexOf(s"SELECT CAST(1 AS BIGINT)"))
     s"""${body.trim.stripSuffix(",")},
-       enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM r$k GROUP BY w),
+       enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub FROM r$k GROUP BY w)"""
+  }
+
+  private[graft] def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeEncCtes(k)},
        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        j AS (SELECT tok.doc_id, enc.n_sub
              FROM tok JOIN enc ON tok.w = enc.w WHERE len(tok.w) > 0)
@@ -997,7 +1005,6 @@ object TextOps {
               CAST(SUM(CASE WHEN n_sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
               CAST(SUM(n_sub) * 1000000 // COUNT(*) AS BIGINT) AS subwords_per_token_ppm
        FROM j GROUP BY doc_id ORDER BY doc_id"""
-  }
 
   /** t44: BPE vocabulary ENCODING / coverage profiling — score every
     * document against the t43-learned merges: tokens per doc, total
@@ -1036,6 +1043,55 @@ object TextOps {
         sum(col("n_sub")).as("n_subwords"),
         sum(when(col("n_sub") === 1L, 1L).otherwise(0L)).as("n_single"),
         expr("sum(n_sub) * 1000000 div count(1)").as("subwords_per_token_ppm"))
+
+  /** t48: TOKENIZER FERTILITY by source — the per-source efficiency
+    * table a tokenizer team reads before fixing a training mix: tokens,
+    * subwords after the t43-learned merges, fertility (subwords per
+    * whitespace token, ppm) and compression (chars per subword, ppm).
+    * A source whose fertility is far above the corpus norm is being
+    * tokenized badly (its bytes buy fewer effective tokens), which
+    * silently distorts any token-budgeted mix (x94/x109) — this is the
+    * audit that catches it. Encode state is [[bpeEncCtes]]/[[bpeLoop]]
+    * VERBATIM (one trained tokenizer for t43/t44/t48).
+    *
+    * Scale: t44's posture — the vocab-bounded encode table broadcasts,
+    * the token stream is map-only, and the rollup is |sources| groups
+    * whose partials absorb everything map-side. The ppm multiply bounds
+    * a source at ~9·10¹² subwords (the t34/x110 documented domain
+    * bound). */
+  val t48TokenizerFertility = Q(
+    "t48_tokenizer_fertility",
+    s"""${bpeEncCtes(BpeK)},
+       tok AS (SELECT d.source, unnest(string_split(d.text, ' ')) AS w
+               FROM documents d),
+       j AS (SELECT tok.source, enc.n_sub
+             FROM tok JOIN enc ON tok.w = enc.w WHERE len(tok.w) > 0),
+       a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                    CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+             FROM j GROUP BY source),
+       c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+             FROM documents GROUP BY source)
+       SELECT a.source, a.n_tokens, a.n_subwords,
+              CAST(a.n_subwords * 1000000 // a.n_tokens AS BIGINT)
+                AS fertility_ppm,
+              CAST(c.src_chars * 1000000 // a.n_subwords AS BIGINT)
+                AS chars_per_subword_ppm
+       FROM a JOIN c ON a.source = c.source ORDER BY a.source""") { (spark, dir) =>
+    val docs = T(spark, dir, "documents")
+    val enc = bpeLoop(docs, BpeK)._2
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    val a = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(enc), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+    val c = docs.groupBy("source").agg(sum(col("n_chars")).as("src_chars"))
+    a.join(c, "source")
+      .select(col("source"), col("n_tokens"), col("n_subwords"),
+        expr("n_subwords * 1000000 div n_tokens").as("fertility_ppm"),
+        expr("src_chars * 1000000 div n_subwords").as("chars_per_subword_ppm"))
+      .orderBy("source")
+  }
 
   /** t45: canonical text NORMALIZATION — the cleaning map every corpus
     * goes through before hashing/dedup (lowercase, collapse whitespace
@@ -1283,5 +1339,5 @@ object TextOps {
     t31PiiRedact, t32ChunkOverlap, t34Surprisal, t35BigramSurprisal,
     t36NgramNovelty, t37Bm25, t38VocabOov, t39SourceOverlap, t41CmsSketch,
     t42LangConfusion, t43BpeMerges, t44BpeEncode, t45Normalize, t46GopherRules,
-    t47DupNgramChars, x113KillMatrix)
+    t47DupNgramChars, t48TokenizerFertility, x113KillMatrix)
 }
