@@ -319,7 +319,18 @@ object Bench {
     val rs = regressions.map { case (k, v) => JsonOut.str(k) + ":" + JsonOut.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"regressions":$rs,"errors":$es,"sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":${r4(total)},"unit":"sec","canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"regressions":$rs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the line: the round harness extracts this JSON from
+    // captured sbt stdout and has twice recorded `parsed: null` when its
+    // extraction missed (BENCH_r09/r10) — a file artifact survives any
+    // stdout-capture failure. Full runs only, so a quick subset/canary
+    // invocation never overwrites the round record.
+    if (args.isEmpty) try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("records/bench_last.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // bench output must never fail the run
     spark.stop()
   }
 }

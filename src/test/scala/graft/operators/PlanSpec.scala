@@ -726,6 +726,22 @@ class PlanSpec extends SparkSpec {
       "the corpus-side scan must not read text")
   }
 
+  test("x125: the quantile-map re-attach broadcasts the mapped cell table") {
+    val p = plan("x125_quantile_map")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (source, cell, len_ref) mapping must broadcast to the corpus side")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      "the corpus-side scan must not read text")
+  }
+
+  test("t48: the encode table broadcasts; the rollup aggregates partially") {
+    val p = plan("t48_tokenizer_fertility")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded (w, n_sub) encode table must broadcast to the token stream")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "the per-source rollup must combine map-side")
+  }
+
   test("m49: combo fan-out is a codegen'd explode; candidates equi-join on the key") {
     // gate the pair-generation frame itself: the registered query ends in
     // checkpointed components, whose plan no longer shows the joins
