@@ -380,7 +380,12 @@ object SkewBench {
     // x125 under the pile: the 10k identical-length dups collapse to
     // ONE (source, cell) histogram row map-side; every later stage is
     // cell-table arithmetic + the broadcast re-attach — nothing keyed hot
-    "x125_quantile_map")
+    "x125_quantile_map",
+    // x127 under the 10k-dup embedding: s40's per-bucket cap bounds the
+    // directed graph, and the mutual restriction caps EVERY node's
+    // degree at 3 — the hot bucket's unbounded in-degree never reaches
+    // the wedge join
+    "x127_graph_triangles")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -82,7 +82,10 @@ object VolumeBench {
     "x122_dup_weights", "x123_contrastive_pairs", "x124_sampling_manifest",
     // x125's lookup runs on cell tables only; the corpus contributes one
     // histogram groupBy and one broadcast re-attach — linear by shape
-    "x125_quantile_map")
+    "x125_quantile_map",
+    // x127's mutual restriction bounds degree at 3 over s40's capped
+    // graph — wedges ≤ 3N, every join keyed; linear with the family
+    "x127_graph_triangles")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -1364,8 +1364,12 @@ object Pipeline {
     * n_chars — the "sample long documents more" knob a token-budgeted
     * mix wants), with no two-pass total-weight scan and no rejection
     * loop. The priority is computed in INTEGER arithmetic —
-    * (w·2³²) div (h+1) with h the shared 32-bit hash, all < 2⁶³ — so
-    * both engines rank bit-identically (t27's no-`rand()` rule).
+    * (w·2³²) div (h+1) with h the shared 32-bit hash — so both engines
+    * rank bit-identically (t27's no-`rand()` rule). The multiply bounds
+    * the weight domain at w < 2³⁰ (DuckDB errors on bigint overflow
+    * where the JVM would wrap silently) — a gigabyte-scale single
+    * document is far outside every t46-class length gate upstream, so
+    * the bound is documented, not defended.
     *
     * Scale: the weighting is a map-only projection and the selection is
     * `ORDER BY … LIMIT k` — Spark plans TakeOrderedAndProject (per-task

@@ -1322,6 +1322,80 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x127: TRIANGLE COUNT / local clustering coefficient over the
+    * MUTUAL-KNN graph — the cluster-cohesion diagnostic for the
+    * similarity graph: a node whose mutual neighbors also neighbor each
+    * other (lcc → 10⁶ ppm) sits inside a tight semantic cluster (a
+    * SemDeDup/community candidate); lcc ≈ 0 marks hub/bridge vectors
+    * whose "neighbors" don't agree. Restricting to MUTUAL edges (both
+    * directions present in s40's top-3 graph) is what makes the count
+    * EXACT and linear: out-degree ≤ 3 by construction bounds mutual
+    * degree at 3, so wedges ≤ 3N and the closing semi-join is keyed —
+    * the directed graph's unbounded in-degree (the 10k-dup hot bucket)
+    * never enters a join. lcc_ppm = 2·tri·10⁶ div (deg·(deg−1)),
+    * integer, both engines bit-agree; nodes with no mutual edge are
+    * not rows (documented — the graph's isolated points).
+    *
+    * Scale: mu ≤ 3N edges from one self-join of the capped s40 graph on
+    * (q_id, n_id) ↔ (n_id, q_id); wedges e1⋈e2 on the shared endpoint
+    * ≤ 3 per node; triangle close is a left-semi on the edge key. All
+    * equi-joins on bounded frames. */
+  val x127GraphTriangles = Q(
+    "x127_graph_triangles",
+    s"""WITH $duckVecs, $duckW,
+        $duckKnnGraph,
+        g AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
+        mu AS (SELECT a.q_id AS u, a.n_id AS w FROM g a
+               JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
+               WHERE a.q_id < a.n_id),
+        deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                  SELECT u AS vec_id FROM mu
+                  UNION ALL SELECT w FROM mu) GROUP BY vec_id),
+        tri AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+                FROM mu e1 JOIN mu e2 ON e1.w = e2.u
+                WHERE EXISTS (SELECT 1 FROM mu e3
+                              WHERE e3.u = e1.u AND e3.w = e2.w)),
+        tn AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                 SELECT a AS vec_id FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri) GROUP BY vec_id)
+        SELECT d.vec_id, d.deg,
+               CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(CASE WHEN d.deg >= 2
+                         THEN COALESCE(tn.n_tri, 0) * 2000000
+                                // (d.deg * (d.deg - 1))
+                         ELSE 0 END AS BIGINT) AS lcc_ppm
+        FROM deg d LEFT JOIN tn ON d.vec_id = tn.vec_id
+        ORDER BY d.vec_id""") { (spark, dir) =>
+    val g = knnGraphRanked(spark, dir).select(col("q_id"), col("n_id"))
+    val mu = g
+      .join(g.select(col("q_id").as("rq"), col("n_id").as("rn")),
+        col("q_id") === col("rn") && col("n_id") === col("rq"))
+      .filter(col("q_id") < col("n_id"))
+      .select(col("q_id").as("u"), col("n_id").as("w"))
+      .cache() // ≤ 3N rows, consumed by deg, two wedge sides and the close
+    val deg = mu.select(col("u").as("vec_id"))
+      .unionAll(mu.select(col("w").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val tri = mu.select(col("u").as("a"), col("w").as("b"))
+      .join(mu.select(col("u").as("b2"), col("w").as("c")),
+        col("b") === col("b2"))
+      .join(mu.select(col("u").as("su"), col("w").as("sw")),
+        col("a") === col("su") && col("c") === col("sw"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val tn = tri.select(col("a").as("vec_id"))
+      .unionAll(tri.select(col("b").as("vec_id")))
+      .unionAll(tri.select(col("c").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** s41: IVF index-health report — the observability tier of the ANN
     * family: per centroid cell its population, corpus share (ppm), and
     * distinct-label spread, INCLUDING empty cells (a left join from the
@@ -1933,7 +2007,8 @@ object Similarity {
   val all: Seq[Q] = Seq(s32KnnBruteforce, s33AnnLsh, s34AnnIvf, s35LabelStats,
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
-    x107Pagerank, x118LabelCommunities, x119CommunitySample, s41IvfStats,
+    x107Pagerank, x118LabelCommunities, x119CommunitySample,
+    x127GraphTriangles, s41IvfStats,
     s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval, s45IvfRebalance,
     s46RebalanceRecall, s47PersistedIvf, s48ProbeSweep)
 }
