@@ -8,6 +8,28 @@ import graft.SparkSpec
   * this spec pins the *behavioral* contracts every CI run. */
 class SkewSpec extends SparkSpec {
 
+  test("x127 under mass-duplicated embeddings: mutual degree stays ≤ 3; lcc ≤ 1e6") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_x127").toString
+    graft.SkewBench.generate(spark, sfDir, dir)
+    // the hostile corpus piles 10k identical embeddings into ONE LSH
+    // bucket — the unbounded-in-degree worst case for any graph op. The
+    // mutual restriction is x127's whole scale claim: out-degree ≤ 3 in
+    // s40's graph bounds MUTUAL degree at 3 for every node, dup cluster
+    // included, so the wedge join can never go quadratic.
+    val out = graft.SparkEntry.queries("x127_graph_triangles")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "the hostile corpus must yield mutual edges")
+    val maxDeg = out.map(_.getLong(1)).max
+    assert(maxDeg <= 3L,
+      s"mutual degree must be bounded at 3 by construction, saw $maxDeg")
+    assert(out.map(_.getLong(3)).max <= 1000000L,
+      "lcc is a ppm fraction — a value above 1e6 means the triangle " +
+        "count double-counted a corner")
+    // triangle-corner consistency: Σ per-node counts ≡ 0 (mod 3)
+    assert(out.map(_.getLong(2)).sum % 3 == 0,
+      "every triangle must contribute exactly three corners")
+  }
+
   test("mass-duplicated corpus: d26 counts the cluster, the cap silences it in d27/d28") {
     val dir = java.nio.file.Files.createTempDirectory("graft_skew_spec").toString
     graft.SkewBench.generate(spark, sfDir, dir)
