@@ -1500,7 +1500,7 @@ object Dedup {
         comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
         sz AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
         SELECT d.doc_id,
-               CAST(COALESCE(1000000 // s.n_members, 1000000) AS BIGINT)
+               CAST(COALESCE(GREATEST(1000000 // s.n_members, 1), 1000000) AS BIGINT)
                  AS weight_ppm
         FROM documents d
         LEFT JOIN comp c ON d.doc_id = c.doc_id
@@ -1511,7 +1511,8 @@ object Dedup {
     T(spark, dir, "documents").select(col("doc_id"))
       .join(comp.select(col("doc_id"), col("n_members")), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(expr("1000000 div n_members"), lit(1000000L)).as("weight_ppm"))
+        coalesce(expr("greatest(1000000 div n_members, 1)"), lit(1000000L))
+          .as("weight_ppm"))
       .orderBy("doc_id")
   }
 

@@ -1559,7 +1559,7 @@ object Pipeline {
         m AS (SELECT d.doc_id, d.source,
                      ${H.d("CAST(d.doc_id AS VARCHAR)")} % 10 AS b,
                      hc.cum * 1000000 // hc.n AS q_ppm,
-                     COALESCE(1000000 // s.n_members, 1000000) AS weight_ppm
+                     COALESCE(GREATEST(1000000 // s.n_members, 1), 1000000) AS weight_ppm
               FROM documents d
               JOIN hc ON d.source = hc.source AND d.n_chars = hc.c
               LEFT JOIN comp c ON d.doc_id = c.doc_id
@@ -1591,7 +1591,7 @@ object Pipeline {
       .select(docs("doc_id"), docs("source"), col("q_ppm"))
       .join(comp.select(col("doc_id"), col("n_members")), Seq("doc_id"), "left")
       .withColumn("weight_ppm",
-        coalesce(expr("1000000 div n_members"), lit(1000000L)))
+        coalesce(expr("greatest(1000000 div n_members, 1)"), lit(1000000L)))
       .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
       .select(col("doc_id"), col("source"),
         when(col("b") < 8, "train").when(col("b") === 8, "val")
