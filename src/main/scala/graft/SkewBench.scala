@@ -537,6 +537,7 @@ object SkewBench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     Queries.foreach { name =>
       spark.sharedState.cacheManager.clearCache()
+      graft.operators.Relational2.clearMemos()
       results(name) = time {
         try { SparkEntry.queries(name)(spark, outDir).count(); () }
         catch { case e: Throwable =>

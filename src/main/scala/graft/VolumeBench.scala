@@ -197,6 +197,7 @@ object VolumeBench {
         // warm-up at the base SF absorbs codegen/class-load constants so
         // t1 measures the engine, not the JIT
         spark.sharedState.cacheManager.clearCache()
+        graft.operators.Relational2.clearMemos()
         SparkEntry.queries(name)(spark, sfDir).count()
         // min-of-3 on BOTH sides: a single host-noise spike on either
         // measurement distorts the ratio in either direction (round-8's
@@ -209,6 +210,7 @@ object VolumeBench {
         def minOf3(dir: String): Double =
           (1 to 3).map { _ =>
             spark.sharedState.cacheManager.clearCache()
+            graft.operators.Relational2.clearMemos()
             time { SparkEntry.queries(name)(spark, dir).count(); () }
           }.min
         val (e1, b1) = exchanges(SparkEntry.queries(name)(spark, sfDir))

@@ -1368,8 +1368,10 @@ object Pipeline {
     * rank bit-identically (t27's no-`rand()` rule). The multiply bounds
     * the weight domain at w < 2³⁰ (DuckDB errors on bigint overflow
     * where the JVM would wrap silently) — a gigabyte-scale single
-    * document is far outside every t46-class length gate upstream, so
-    * the bound is documented, not defended.
+    * document is far outside every t46-class length gate upstream, and
+    * the expression itself now raises on w ≥ 2³⁰ (matching DuckDB's
+    * overflow error) instead of wrapping; PrioritySampleSpec pins the
+    * failure mode.
     *
     * Scale: the weighting is a map-only projection and the selection is
     * `ORDER BY … LIMIT k` — Spark plans TakeOrderedAndProject (per-task
@@ -1379,9 +1381,16 @@ object Pipeline {
     * shared with the streaming maintainer
     * ([[graft.streaming.StreamOps.PrioritySampleMaintainer]]) so the
     * continuous sample and the batch sample cannot drift. */
-  private[graft] val priorityExpr: String =
-    s"greatest(n_chars, 1) * 4294967296 div " +
-      s"(${H.s("cast(doc_id as string)")} + 1)"
+  private[graft] val priorityExpr: String = {
+    // w < 2^30 keeps w * 2^32 < 2^62, inside the signed-64 domain both
+    // engines compute in; beyond it DuckDB errors on overflow, so the
+    // Spark side raises too rather than wrapping silently.
+    val w = "greatest(n_chars, 1)"
+    s"if($w < 1073741824, $w * 4294967296 div " +
+      s"(${H.s("cast(doc_id as string)")} + 1), " +
+      "cast(raise_error('x120: weight >= 2^30 overflows the 64-bit " +
+      "priority domain') as bigint))"
+  }
 
   val x120PrioritySample = Q(
     "x120_priority_sample",
@@ -1462,6 +1471,43 @@ object Pipeline {
     * offsets acceptance), and the corpus re-attaches via ONE broadcast
     * join of the mapped cell table. The oracle states the same lookup
     * as a θ-join + MIN over the same tiny frames. */
+  /** x125's cell-level quantile mapping, factored out so the spec can
+    * drive it with a hand-built cell frame: takes the (source, c,
+    * q_ppm) table and returns (source, c, len_ref) where len_ref =
+    * min{c_ref : r_ppm(c_ref) >= q_ppm} against the
+    * lexicographically-first source's cells. Collisions — distinct
+    * reference cells flooring to the SAME r_ppm — only occur once a
+    * source exceeds 10^6 rows, so the oracle-checked sf runs never
+    * exercise the tiebreak; QuantileMapSpec pins it directly here. */
+  private[graft] def quantileMapCells(hq: DataFrame): DataFrame = {
+    val refSrc = hq.groupBy().agg(min(col("source")).as("rs"))
+    val qRows = hq
+      .select(col("source"), col("c"), col("q_ppm").as("ppm"),
+        lit(1).as("kind"), lit(null).cast("long").as("cr"))
+    val rRows = hq.join(broadcast(refSrc), col("source") === col("rs"))
+      .select(lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("c"), col("q_ppm").as("ppm"),
+        lit(0).as("kind"), col("c").as("cr"))
+    // backward carry over the ppm axis: traversed in DESCENDING ppm the
+    // most recent reference row is min{c_ref : r_ppm >= ppm} (reference
+    // cum is strictly increasing in c_ref); kind=0 sorts the reference
+    // row first at equal ppm so >= ties resolve inclusively, and cr
+    // DESC breaks ties between distinct reference cells that floor to
+    // the same r_ppm (reachable once the reference source exceeds 10^6
+    // rows): the smallest c_ref sorts LAST among them, so last(cr)
+    // agrees with the oracle's MIN(c_ref). The window is
+    // partitionBy-less BY DESIGN: it runs over the two cell tables
+    // (domain-bounded), never over corpus rows.
+    import org.apache.spark.sql.expressions.Window
+    val wCarry = Window
+      .orderBy(col("ppm").desc, col("kind").asc, col("cr").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qRows.unionByName(rRows)
+      .withColumn("len_ref", last(col("cr"), ignoreNulls = true).over(wCarry))
+      .filter(col("kind") === 1)
+      .select(col("source"), col("c"), col("len_ref"))
+  }
+
   val x125QuantileMap = Q(
     "x125_quantile_map",
     s"""WITH h AS (SELECT source, n_chars AS c, COUNT(*) AS cnt
@@ -1489,28 +1535,7 @@ object Pipeline {
       .select(col("flag").as("source"), col("c"),
         expr("cum * 1000000 div n").as("q_ppm"))
       .cache() // consumed as both the query side and the reference side
-    val refSrc = hq.groupBy().agg(min(col("source")).as("rs"))
-    val qRows = hq
-      .select(col("source"), col("c"), col("q_ppm").as("ppm"),
-        lit(1).as("kind"), lit(null).cast("long").as("cr"))
-    val rRows = hq.join(broadcast(refSrc), col("source") === col("rs"))
-      .select(lit(null).cast("string").as("source"),
-        lit(null).cast("long").as("c"), col("q_ppm").as("ppm"),
-        lit(0).as("kind"), col("c").as("cr"))
-    // backward carry over the ppm axis: traversed in DESCENDING ppm the
-    // most recent reference row is min{c_ref : r_ppm >= ppm} (reference
-    // cum is strictly increasing in c_ref); kind=0 sorts the reference
-    // row first at equal ppm so >= ties resolve inclusively. The window
-    // is partitionBy-less BY DESIGN: it runs over the two cell tables
-    // (domain-bounded), never over corpus rows.
-    import org.apache.spark.sql.expressions.Window
-    val wCarry = Window
-      .orderBy(col("ppm").desc, col("kind").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mapped = qRows.unionByName(rRows)
-      .withColumn("len_ref", last(col("cr"), ignoreNulls = true).over(wCarry))
-      .filter(col("kind") === 1)
-      .select(col("source"), col("c"), col("len_ref"))
+    val mapped = quantileMapCells(hq)
     val docs = T(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
     docs.join(broadcast(mapped),

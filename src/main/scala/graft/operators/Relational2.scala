@@ -466,10 +466,28 @@ object Relational2 {
     * query; cells are bounded by the VALUE DOMAIN (distinct cents per
     * flag), so holding them is a cells-sized cost at any corpus size.
     * Keyed by applicationId + dir: gauntlets that run the family over
-    * multiple corpora in one JVM never cross-contaminate. */
+    * multiple corpora in one JVM never cross-contaminate.
+    *
+    * The memo deliberately survives `cacheManager.clearCache()` — a
+    * BENCH session is supposed to measure the family at its shared-scan
+    * cost. The GAUNTLETS are the opposite contract (their cold min-of-3
+    * must audit the lineitem scan's linearity), so they call
+    * [[clearMemos]] alongside clearCache in every timed iteration;
+    * eviction also unpersists the frames and releases the
+    * localCheckpoint blocks to the ContextCleaner. */
   private val centsHistMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       org.apache.spark.sql.DataFrame]()
+
+  /** Gauntlet hook: evict the memoized histograms so cold runs re-scan
+    * lineitem (see the memo scaladoc). Safe to call at any time — the
+    * next family member simply rebuilds. */
+  private[graft] def clearMemos(): Unit = {
+    centsHistMemo.values().forEach { df =>
+      scala.util.Try(df.unpersist(blocking = false))
+    }
+    centsHistMemo.clear()
+  }
   private def centsHist(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     centsHistMemo.computeIfAbsent(

@@ -620,22 +620,34 @@ object StreamOps {
     }
     private def markerPath(p: org.apache.hadoop.fs.Path) =
       new org.apache.hadoop.fs.Path(p, "_graft_last_batch")
+    /** An unreadable/unparsable marker (a crash truncated it, or its
+      * checksum sidecar no longer matches) degrades to -1 — "no epoch
+      * known applied" — which is SAFE: the merge path is idempotent, so
+      * re-applying an epoch rewrites the touched shards to identical
+      * content instead of wedging the stream on an exception. */
     private def readMarker(spark: SparkSession): Long = {
       val (fs, p) = fsPath(spark)
       val m = markerPath(p)
       if (!fs.exists(m)) -1L
-      else {
+      else scala.util.Try {
         val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        txt.trim.toLong
+      }.getOrElse(-1L)
     }
+    /** Temp-write + rename so the marker is never observable in a
+      * truncated state (rename is atomic on every FS the layout
+      * targets; even where it isn't, readMarker tolerates the rest). */
     private def writeMarker(spark: SparkSession, batchId: Long): Unit = {
       val (fs, p) = fsPath(spark)
-      val o = fs.create(markerPath(p), true)
+      val tmp = new org.apache.hadoop.fs.Path(p, "_graft_last_batch.tmp")
+      val o = fs.create(tmp, true)
       try o.write(batchId.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally o.close()
+      fs.delete(markerPath(p), false)
+      fs.rename(tmp, markerPath(p))
     }
 
     override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
@@ -684,22 +696,42 @@ object StreamOps {
     * [[graft.operators.Pipeline.priorityExpr]] VERBATIM — one
     * definition, both tiers.
     *
-    * State is the k-row parquet at `out` — filesystem truth, so a
+    * State is the k-row parquet under `out` — filesystem truth, so a
     * FRESH instance over an existing state resumes it (the
     * ShardMaintainer restart lesson applied from day one), and the
     * merge is idempotent by value (deterministic priorities + doc_id
     * dedup), so a re-delivered epoch converges to the same k rows.
+    * State writes are VERSIONED, never overwrite-in-place: each batch
+    * commits `out/v=<batchId>/` (a partial write has no `_SUCCESS` and
+    * is invisible), readers take the highest committed version, and
+    * older versions are pruned only AFTER the new commit — a crash at
+    * any byte leaves the previous sample intact, so "restart-safe by
+    * filesystem truth" holds through mid-write failures too.
     * Per-batch cost: the batch's map-side TakeOrdered top-k plus a
     * 2k-row merge — the corpus is never re-read. */
   final class PrioritySampleMaintainer(k: Int, out: String)
       extends ((DataFrame, Long) => Unit) {
-    private def stateExists(spark: SparkSession): Boolean = {
+    private def fsOf(spark: SparkSession) = {
       val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    /** Highest state version with a commit marker, if any. */
+    private def latestVersion(spark: SparkSession)
+        : Option[org.apache.hadoop.fs.Path] = {
+      val (fs, p) = fsOf(spark)
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .sortBy(_.getPath.getName.stripPrefix("v=").toLong)
+        .lastOption.map(_.getPath)
     }
     /** The current k-row sample (throws until the first batch lands). */
-    def current(spark: SparkSession): DataFrame = spark.read.parquet(out)
+    def current(spark: SparkSession): DataFrame =
+      spark.read.parquet(latestVersion(spark).getOrElse(
+        sys.error(s"PrioritySampleMaintainer: no committed state under $out"))
+        .toString)
     override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batch.isEmpty) return
       val spark = batch.sparkSession
@@ -708,15 +740,30 @@ object StreamOps {
           org.apache.spark.sql.functions.expr(
             graft.operators.Pipeline.priorityExpr))
         .orderBy(col("priority").desc, col("doc_id")).limit(k)
-      val merged =
-        if (!stateExists(spark)) bTop
-        else current(spark).unionByName(bTop)
+      val prev = latestVersion(spark)
+      val merged = prev match {
+        case None => bTop
+        case Some(p) => spark.read.parquet(p.toString).unionByName(bTop)
           .dropDuplicates("doc_id") // same doc ⇒ same priority row
           .orderBy(col("priority").desc, col("doc_id")).limit(k)
-      // eager k-row materialization BEFORE the overwrite — the write
-      // target is the frame's own source on the merge path
+      }
+      // eager k-row materialization BEFORE the write — the read side of
+      // the merge is the previous version, which stays on disk until
+      // the new version has committed. The version counter is derived
+      // from the COMMITTED versions (not batchId, which resets when a
+      // stream restarts without its checkpoint), so it is monotone by
+      // construction; a partial write of v=n+1 has no _SUCCESS and is
+      // simply overwritten by the next attempt.
+      val (fs, root) = fsOf(spark)
+      val prevV = prev.map(_.getName.stripPrefix("v=").toLong).getOrElse(-1L)
+      val next = new org.apache.hadoop.fs.Path(root, s"v=${prevV + 1}")
       merged.localCheckpoint(true)
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(next.toString)
+      // prune superseded versions only after the new commit landed
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .filter(_.getPath.getName.stripPrefix("v=").toLong <= prevV)
+        .foreach(s => fs.delete(s.getPath, true))
     }
   }
 

@@ -24,7 +24,7 @@ class PrioritySampleStreamSpec extends SparkSpec {
   }
 
   private def stateRows(out: String) =
-    spark.read.parquet(out)
+    new StreamOps.PrioritySampleMaintainer(K, out).current(spark)
       .orderBy(col("priority").desc, col("doc_id"))
       .collect().map(_.toSeq).toSeq
 
@@ -65,5 +65,35 @@ class PrioritySampleStreamSpec extends SparkSpec {
       assert(stateRows(out) == batchTopK(docs),
         "a fresh instance must merge into the persisted state, not truncate it")
     } finally q.stop()
+  }
+
+  test("state writes are versioned: a torn write never destroys the committed sample") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_prioritycrash").toString + "/state"
+    val sink = new StreamOps.PrioritySampleMaintainer(K, out)
+    val rows = (1L to 60L).map(i => (i, "s", 10 * i))
+    sink.apply(spark.createDataset(rows).toDF("doc_id", "source", "n_chars"), 0L)
+    val committed = stateRows(out)
+
+    // simulate a crash mid-write of the NEXT version: a partial dir
+    // with data but no _SUCCESS marker must be invisible to readers
+    val partial = new java.io.File(out, "v=1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // torn bytes, not even valid parquet
+    assert(stateRows(out) == committed,
+      "an uncommitted version must not shadow the committed state")
+
+    // the next successful batch recovers: merges against the COMMITTED
+    // version and replaces the torn dir
+    val more = (61L to 90L).map(i => (i, "s", 10 * i))
+    sink.apply(spark.createDataset(more).toDF("doc_id", "source", "n_chars"), 1L)
+    assert(stateRows(out) == batchTopK(rows ++ more),
+      "recovery after a torn write must continue from the committed state")
+    // exactly one version remains after pruning
+    val vs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName)
+    assert(vs.toSeq == Seq("v=1"))
   }
 }

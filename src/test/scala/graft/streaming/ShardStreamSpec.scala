@@ -139,4 +139,39 @@ class ShardStreamSpec extends SparkSpec {
     assert(rows3 === (b1 ++ b2 ++ b3).sortBy(_._1).toSeq,
       "a new batch after restart must extend the layout, not replace it")
   }
+
+  test("a torn watermark marker degrades to replay, never wedges the stream") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, rest) = docs.splitAt(docs.length / 2)
+    val b2 = rest.take(3)
+    def df(xs: Seq[(Long, String)]) =
+      spark.createDataset(xs).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shardtorn").toString
+    val a = new StreamOps.ShardMaintainer(out)
+    a.apply(df(b1.toSeq), 0L)
+    a.apply(df(b2.toSeq), 1L)
+    val rows1 = spark.read.parquet(out)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sorted.toSeq
+
+    // a crash mid-marker-write used to leave an empty/garbage file that
+    // made every later restart throw in readMarker — simulate both
+    for (garbage <- Seq("", "not-a-number")) {
+      java.nio.file.Files.write(
+        new java.io.File(out, "_graft_last_batch").toPath,
+        garbage.getBytes("UTF-8"))
+      val fresh = new StreamOps.ShardMaintainer(out)
+      fresh.apply(df(b2.toSeq), 1L) // must replay idempotently, not throw
+      val rows = spark.read.parquet(out)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().sorted.toSeq
+      assert(rows === rows1,
+        s"torn marker '$garbage': replay must converge to the same layout")
+      // and the replay repaired the marker to a parsable value
+      val repaired = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(out, "_graft_last_batch").toPath), "UTF-8").trim
+      assert(repaired.toLong == 1L)
+    }
+  }
 }
