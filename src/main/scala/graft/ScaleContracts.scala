@@ -80,7 +80,36 @@ object ScaleContracts {
       Map("skew" -> "audited", "volume" -> "audited"),
       "",
       "x118's communities plus ONE window keyed by community; quota " +
-        "filter is map-side on the ranked rows"))
+        "filter is map-side on the ranked rows"),
+    Contract("x128_contamination_spans",
+      Map("skew" -> "audited", "volume" -> "excluded"),
+      "span-pair OUTPUT is quadratic in cross-split duplicate " +
+        "multiplicity by contract (every train×eval span pair is a " +
+        "correct result row) — d36's contract applied cross-corpus; " +
+        "under skew the df cap zeroes the pile's grams so the hostile " +
+        "run stays bounded",
+      "d36's gram df cap bounds the candidate join; at production the " +
+        "eval side is benchmark-sized and broadcastable"),
+    Contract("d47_line_dedup",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "line-df model is hashed count cells (partial+final agg); " +
+        "boilerplate filter is a keyed anti-join; rebuild regroups per " +
+        "doc — linear at any duplication"),
+    Contract("x126_incremental_manifest",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "d37's bucketed index probe (batch-proportional) + cell-domain-" +
+        "bounded quantile state merge + broadcast re-attach"),
+    Contract("x129_dsir_weights",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "both n-gram models bounded at DsirBuckets hashed cells and " +
+        "broadcast; feature explode map-only; per-doc aggregate"),
+    Contract("x130_community_cohesion",
+      Map("skew" -> "audited", "volume" -> "audited"),
+      "",
+      "x127's degree-3 mutual lcc table + one keyed rollup on community"))
 
   /** Fails (IllegalStateException) if `queries` disagrees with the
     * contract table for `gauntlet`, then writes the JSON record. */

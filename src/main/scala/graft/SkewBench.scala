@@ -385,7 +385,30 @@ object SkewBench {
     // directed graph, and the mutual restriction caps EVERY node's
     // degree at 3 — the hot bucket's unbounded in-degree never reaches
     // the wedge join
-    "x127_graph_triangles")
+    "x127_graph_triangles",
+    // d47 under the 10k-dup doc: every 8-word line of the dup doc sits
+    // in 10k docs — ONE hot count cell per line hash (absorbed by the
+    // partial aggregate), then a keyed anti-join; the rebuild regroups
+    // by doc_id (uniform). The hostile corpus IS the one-line-in-10k-
+    // docs case the operator exists for
+    "d47_line_dedup",
+    // x126 composes d37's admission (already in this gauntlet: the
+    // batch slice of the pile rejects against the corpus index at
+    // batch-proportional cost) with the broadcast cell re-attach —
+    // the 10k identical-length dups are ONE histogram cell
+    "x126_incremental_manifest",
+    // x128 inherits d36's cap posture: the dup cluster's grams all
+    // exceed the df cap and contribute ZERO span pairs; the cross-split
+    // filter only shrinks the join d36 already survives
+    "x128_contamination_spans",
+    // x129 under the pile: the dup doc's features are the Zipf head —
+    // t34's posture (model side is domain-bounded at DsirBuckets cells
+    // and broadcasts; the per-doc aggregate re-keys by doc_id)
+    "x129_dsir_weights",
+    // x130 rides x127's degree-3 mutual graph and x118's communities —
+    // the rollup keys on community; the pile concentrates one
+    // community's aggregate cell, absorbed map-side
+    "x130_community_cohesion")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -85,7 +85,20 @@ object VolumeBench {
     "x125_quantile_map",
     // x127's mutual restriction bounds degree at 3 over s40's capped
     // graph — wedges ≤ 3N, every join keyed; linear with the family
-    "x127_graph_triangles")
+    "x127_graph_triangles",
+    // d47: line segmentation is map-only, the line-df model collapses
+    // onto hashed count cells, the filter is a keyed anti-join, the
+    // rebuild regroups per doc — linear end to end
+    "d47_line_dedup",
+    // x126: the admission batch is a fixed fraction of the corpus, the
+    // d37 index probe is batch-proportional, the quantile state merge
+    // is cell-domain-bounded — the incremental contract measured
+    "x126_incremental_manifest",
+    // x129: feature explode is map-only; both models are bounded at
+    // DsirBuckets cells and broadcast; per-doc aggregate — linear
+    "x129_dsir_weights",
+    // x130: x127's bounded lcc table + one keyed community rollup
+    "x130_community_cohesion")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -255,6 +268,27 @@ object VolumeBench {
         if m("exch_big") > m("exch_base") && (strict || !isReplan(m)) =>
           s"$n:new_exchange" }.toSeq ++
       errors.keys
+    // QUALITY axis for the capped KNN-graph family: recall@3 vs the
+    // exact top-3 on a hash-ranked query sample, at the shipped LSH
+    // resolution AND at the adaptive-resolution rule, base and mult×
+    // corpora — the number that shows what the per-bucket cap does to
+    // the graph as bucket populations grow (cost stays linear either
+    // way; this records what resolution buys back).
+    val recallJson =
+      if (!names.contains("s40_knn_graph")) "{}"
+      else try {
+        def fmt(m: Map[String, Double]) =
+          m.toSeq.sortBy(_._1).map { case (k, v) => JsonOut.str(k) + ":" + v }
+            .mkString("{", ",", "}")
+        spark.sharedState.cacheManager.clearCache()
+        val base = graft.operators.Similarity.knnRecallProbe(spark, sfDir)
+        val big = graft.operators.Similarity.knnRecallProbe(spark, volDir)
+        s"""{"base":${fmt(base)},"big":${fmt(big)}}"""
+      } catch { case e: Throwable =>
+        errors("knn_recall_probe") =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+        "{}"
+      }
     val qs = results.map { case (k, m) =>
       JsonOut.str(k) + ":" + m.map { case (f, v) => JsonOut.str(f) + ":" + v }
         .mkString("{", ",", "}")
@@ -264,7 +298,7 @@ object VolumeBench {
     val vs = violations.map(JsonOut.str).mkString("[", ",", "]")
     val total = results.values.map(_("t_big")).sum
     val rp = replans.map(JsonOut.str).mkString("[", ",", "]")
-    println(s"""{"metric":"volume_total","value":$total,"unit":"sec","mult":$Mult,"cost_ratio_bound":$CostRatioBound,"gen_sec":$genSec,"queries":$qs,"errors":$es,"violations":$vs,"replans":$rp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"volume_total","value":$total,"unit":"sec","mult":$Mult,"cost_ratio_bound":$CostRatioBound,"gen_sec":$genSec,"queries":$qs,"errors":$es,"violations":$vs,"replans":$rp,"recall":$recallJson,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) sys.exit(1)
   }

@@ -934,18 +934,23 @@ object Dedup {
     * (a,b) pair. Intra-doc repetition can still multiply occurrences of a
     * df-passing gram (m×n matches when BOTH docs repeat it) — genuine
     * output, same quadratic-output-by-contract caveat as d30. */
-  val d36DuplicateSpans = Q(
-    "d36_duplicate_spans",
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** d36's positioned-gram occurrence CTEs (`toks`→`grams`→`hot`→`occ`)
+    * — shared with the cross-corpus contamination-span oracle
+    * ([[Pipeline.x128ContaminationSpans]]) so "an occurrence" is one SQL
+    * definition across the span operators. */
+  private[operators] def duckSpanOcc: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         grams AS (SELECT doc_id, i AS pos,
                          array_to_string(tk[i:i+${SpanGram - 1}], ' ') AS g
                   FROM toks, UNNEST(generate_series(1, len(tk) - ${SpanGram - 1})) AS t(i)),
         hot AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df
                                FROM grams GROUP BY g) WHERE df > $SpanGramDfCap),
-        occ AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
-        p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.pos AS pa, y.pos AS pb
-              FROM occ x JOIN occ y ON x.g = y.g AND x.doc_id < y.doc_id),
-        isl AS (SELECT a_id, b_id, pa, pb, pa - pb AS diag,
+        occ AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot))"""
+
+  /** The diagonal island-merge CTEs over a pair table `p(a_id, b_id,
+    * pa, pb)` — d36's span kernel, reused verbatim by x128. */
+  private[operators] def duckSpanIslands: String =
+    s"""isl AS (SELECT a_id, b_id, pa, pb, pa - pb AS diag,
                        pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, pa - pb
                          ORDER BY pa) AS isl
                 FROM p),
@@ -953,10 +958,12 @@ object Dedup {
                          CAST(MIN(pa) AS BIGINT) AS a_start,
                          CAST(MIN(pb) AS BIGINT) AS b_start,
                          CAST(MAX(pa) - MIN(pa) + $SpanGram AS BIGINT) AS span_tokens
-                  FROM isl GROUP BY a_id, b_id, diag, isl)
-        SELECT * FROM spans WHERE span_tokens >= $SpanMinTokens
-        ORDER BY a_id, b_id, a_start, b_start""") { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
+                  FROM isl GROUP BY a_id, b_id, diag, isl)"""
+
+  /** Spark twin of [[duckSpanOcc]]: df-capped positioned gram
+    * occurrences (doc_id, pos, g). */
+  private[operators] def spanGramOccurrences(spark: SparkSession,
+      dir: String): DataFrame = {
     val grams = T(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts
@@ -972,10 +979,13 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > SpanGramDfCap)
       .select("g")
-    val occ = grams.join(hot, Seq("g"), "left_anti")
-    val p = occ.select(col("g"), col("doc_id").as("a_id"), col("pos").as("pa"))
-      .join(occ.select(col("g").as("g2"), col("doc_id").as("b_id"), col("pos").as("pb")),
-        col("g") === col("g2") && col("a_id") < col("b_id"))
+    grams.join(hot, Seq("g"), "left_anti")
+  }
+
+  /** Spark twin of [[duckSpanIslands]]: collapse a pair table (a_id,
+    * b_id, pa, pb) into maximal shared spans ≥ [[SpanMinTokens]]. */
+  private[operators] def spanIslands(p: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
     p.withColumn("diag", col("pa") - col("pb"))
       .withColumn("isl", col("pa") - row_number().over(w))
@@ -985,6 +995,21 @@ object Dedup {
         (max(col("pa")) - min(col("pa")) + SpanGram).cast("long").as("span_tokens"))
       .filter(col("span_tokens") >= SpanMinTokens)
       .select("a_id", "b_id", "a_start", "b_start", "span_tokens")
+  }
+
+  val d36DuplicateSpans = Q(
+    "d36_duplicate_spans",
+    s"""WITH $duckSpanOcc,
+        p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.pos AS pa, y.pos AS pb
+              FROM occ x JOIN occ y ON x.g = y.g AND x.doc_id < y.doc_id),
+        $duckSpanIslands
+        SELECT * FROM spans WHERE span_tokens >= $SpanMinTokens
+        ORDER BY a_id, b_id, a_start, b_start""") { (spark, dir) =>
+    val occ = spanGramOccurrences(spark, dir)
+    val p = occ.select(col("g"), col("doc_id").as("a_id"), col("pos").as("pa"))
+      .join(occ.select(col("g").as("g2"), col("doc_id").as("b_id"), col("pos").as("pb")),
+        col("g") === col("g2") && col("a_id") < col("b_id"))
+    spanIslands(p)
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
@@ -1008,8 +1033,11 @@ object Dedup {
 
   /** Batch membership for [[d37IncrementalDedup]]: every 5th doc_id is
     * "newly arriving", the rest is the standing corpus. Deterministic and
-    * SF-independent, so the oracle can mirror the split exactly. */
-  private val d37BatchMod = 5
+    * SF-independent, so the oracle can mirror the split exactly.
+    * Shared with the admission-tier manifest
+    * ([[Pipeline.x126IncrementalManifest]]) so "the batch" is one
+    * definition across the ingestion operators. */
+  private[operators] val d37BatchMod = 5
 
   /** Band key with the band index embedded — a SINGLE join column, so the
     * candidate join's key matches the corpus index's bucketing exactly
@@ -1147,8 +1175,12 @@ object Dedup {
     (verdicts, bsets, bband)
   }
 
-  private def d37OracleSql: String =
-    s"""WITH $duckShingles,
+  /** The d37 admission fixpoint as a reusable CTE chain ending at
+    * `m(b_id, n_matches, first_match)` — shared by the d37 oracle and
+    * the x126 incremental-manifest oracle so "the admission verdict" is
+    * one SQL definition. */
+  private[operators] def d37OracleCtes: String =
+    s"""$duckShingles,
         $duckHashedShingles,
         cex AS (SELECT doc_id, unnest(th) AS h FROM hs0 WHERE doc_id % $d37BatchMod <> 0),
         hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM cex GROUP BY h)
@@ -1173,7 +1205,10 @@ object Dedup {
                         JOIN sh2 sa ON a_id = sa.doc_id),
         m AS (SELECT b_id, COUNT(*) AS n_matches, MIN(a_id) AS first_match
               FROM v WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
-              GROUP BY b_id)
+              GROUP BY b_id)"""
+
+  private def d37OracleSql: String =
+    s"""WITH $d37OracleCtes
         SELECT d.doc_id,
                CAST(CASE WHEN m.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted,
                COALESCE(m.n_matches, 0) AS n_matches, m.first_match
@@ -1593,12 +1628,86 @@ object Dedup {
       .orderBy("anchor_id")
   }
 
+  /** d47 line segmentation width (words per line) and the corpus
+    * document-frequency above which a line is boilerplate. The synthetic
+    * corpus has no newlines, so "lines" are deterministic 8-word
+    * segments — the same fixed-window segmentation both engines can
+    * mirror exactly; on real web text the splitter is `split(text,
+    * '\n')` and everything downstream is unchanged. */
+  private val LineW = 8
+  private val LineDfMax = 2
+
+  /** d47: LINE-LEVEL dedup (CCNet/RefinedWeb-style) — remove duplicated
+    * boilerplate LINES from within surviving documents, the granularity
+    * real web-corpus curation leads with (nav bars, cookie banners,
+    * footers repeat across docs whose bodies are unique — doc-level d26
+    * keeps them, span-level d36 reports them; d47 REWRITES them out).
+    * A line occurring in more than [[LineDfMax]] distinct documents is
+    * boilerplate; every document is re-emitted with its boilerplate
+    * lines dropped and the remainder stitched back in order, plus the
+    * line counts an audit wants.
+    *
+    * Scale: map-side segmentation (one corpus scan), the line-df
+    * aggregation is partial+final on the md5 LINE HASH (16-byte keys,
+    * never line text, shuffled), the boilerplate filter is a keyed
+    * left-anti join on that hash, and the rebuild regroups each doc's
+    * own lines — every stage keyed, nothing quadratic, a 10k-×
+    * duplicated line is just a hot count cell (SkewBench admits the
+    * hostile corpus). Order is restored by the in-doc line index, so
+    * the rebuild is deterministic in both engines. */
+  val d47LineDedup = Q(
+    "d47_line_dedup",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ix AS (SELECT doc_id, ws,
+                      unnest(range(0, ((len(ws) - 1) // $LineW) + 1)) AS i
+               FROM w),
+        l AS (SELECT doc_id, i,
+                     array_to_string(ws[i*$LineW+1 : i*$LineW+$LineW], ' ') AS line
+              FROM ix),
+        lh AS (SELECT doc_id, i, line, md5(line) AS h FROM l),
+        b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+                             FROM lh GROUP BY h)
+              WHERE df > $LineDfMax),
+        k AS (SELECT * FROM lh WHERE h NOT IN (SELECT h FROM b)),
+        a AS (SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(line, ' ' ORDER BY i) AS text_kept
+              FROM k GROUP BY doc_id),
+        n AS (SELECT doc_id, COUNT(*) AS n_lines FROM lh GROUP BY doc_id)
+        SELECT n.doc_id, CAST(n.n_lines AS BIGINT) AS n_lines,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.text_kept, '') AS text_kept
+        FROM n LEFT JOIN a ON n.doc_id = a.doc_id
+        ORDER BY n.doc_id""") { (spark, dir) =>
+    val lines = T(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $LineW), " +
+          s"i -> array_join(slice(ws, i * $LineW + 1, $LineW), ' '))")))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("line"),
+        md5(col("col").cast("binary")).as("h"))
+    val boiler = lines.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > LineDfMax)
+      .select("h")
+    val kept = lines.join(boiler, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(i, line))), " +
+        "s -> s.line), ' ')").as("text_kept"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,
     d41MinhashCalibration, d43LshPlanner, d45FingerprintAudit, d46PrefixJoin,
     d29Simhash, d30SimhashPairs, d31EmbeddingNeardup, d33EmbeddingNeardupLsh,
     d34DedupComponents, d35ComponentsStar, d36DuplicateSpans,
     d37IncrementalDedup, d38EditdistDedup, d39BestKeeper, x122DupWeights,
-    x123ContrastivePairs)
+    x123ContrastivePairs, d47LineDedup)
 }
 
 /** Cosine similarity as an identical sequential double fold in both SQL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline compositions: deterministic splits and the
@@ -238,6 +238,137 @@ object Pipeline {
         coalesce(col("n_cont"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_cont"), lit(0L)).cast("double")
           / nullif(col("n_shingles"), lit(0L))).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** x128: SUBSTRING-granularity benchmark decontamination — the exact
+    * shared SPANS between train-split documents and the held-out split
+    * (t27's hash split, the same benchmark stand-in as [[x92Decontamination]]),
+    * with positions on BOTH sides. x92 scores documents by shingle
+    * overlap and drops whole docs; the stronger standard (Lee et al.
+    * substring dedup applied to eval sets) masks just the contaminated
+    * spans — which needs exactly this table: (train doc, eval doc,
+    * a_start, b_start, span_tokens). The kernels are d36's VERBATIM
+    * ([[Dedup.spanGramOccurrences]] / [[Dedup.spanIslands]], one
+    * definition both operators and both dialects); the only new logic
+    * is the cross-split pair orientation (train side = a, eval side =
+    * b) — the x101 composition rule applied at span granularity.
+    *
+    * Scale: inherits d36's whole posture — linear positioned-gram
+    * explode, df-capped inverted-index join (never doc×doc), and the
+    * island merge keyed by (a, b, diagonal). The split filter makes the
+    * pair join strictly smaller than d36's (train×eval ⊂ all×all); at
+    * 100 TB the eval side is benchmark-sized, so the gram join's build
+    * side is tiny and broadcastable. */
+  val x128ContaminationSpans = Q(
+    "x128_contamination_spans",
+    s"""WITH ${Dedup.duckSpanOcc},
+        sp AS (SELECT doc_id, ${H.d("CAST(doc_id AS VARCHAR)")} % 10 AS b
+               FROM documents),
+        p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.pos AS pa, y.pos AS pb
+              FROM occ x JOIN occ y ON x.g = y.g
+              JOIN sp sa ON x.doc_id = sa.doc_id
+              JOIN sp sb ON y.doc_id = sb.doc_id
+              WHERE sa.b < 8 AND sb.b >= 8),
+        ${Dedup.duckSpanIslands}
+        SELECT * FROM spans WHERE span_tokens >= ${Dedup.SpanMinTokens}
+        ORDER BY a_id, b_id, a_start, b_start""") { (spark, dir) =>
+    val occ = Dedup.spanGramOccurrences(spark, dir)
+      .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+    val p = occ.filter(col("b") < 8)
+      .select(col("g"), col("doc_id").as("a_id"), col("pos").as("pa"))
+      .join(occ.filter(col("b") >= 8)
+        .select(col("g").as("g2"), col("doc_id").as("b_id"), col("pos").as("pb")),
+        col("g") === col("g2"))
+    Dedup.spanIslands(p)
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+  }
+
+  /** x129 feature-hash buckets: DSIR's hashed n-gram trick — the model
+    * state is BOUNDED at this many cells regardless of corpus size. */
+  private val DsirBuckets = 16384
+
+  /** x129: DSIR-style importance weighting (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling") — per document,
+    * the log importance ratio between a TARGET source's hashed-n-gram
+    * unigram model and the whole-corpus model: log₂ w(x) = Σ_f [bits_raw(f)
+    * − bits_target(f)], features f being word uni+bigrams hashed into
+    * [[DsirBuckets]] cells. Positive score ⇒ the document looks more
+    * like the target distribution than the corpus at large — the
+    * principled upgrade to [[x102TemperatureMix]]'s source-level
+    * temperature for quality-targeted sampling (its output feeds x120's
+    * priority sampler as the weight column). The target is the
+    * lexicographically-first source (x125's deterministic
+    * reference-choice rule).
+    *
+    * Exactness: bits are t34's floor-quantized integer log2 —
+    * `length(bin(total)) − length(bin(count + 1))` (add-one smoothing,
+    * so target-absent features score exactly, and no transcendental
+    * ever runs) — both engines bit-identical by construction.
+    *
+    * Scale: the feature stream is a map-only explode (≈ 2 features per
+    * token); BOTH models collapse onto the hashed bucket domain — at
+    * most [[DsirBuckets]] cells each, map-side partials absorbing any
+    * corpus size — and ride into the scoring join as broadcasts; the
+    * per-doc aggregate reuses the explode's layout. One corpus scan per
+    * model + one for scoring, zero corpus-sized shuffles. */
+  val x129DsirWeights = Q(
+    "x129_dsir_weights",
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+        uni AS (SELECT doc_id, source, unnest(t) AS f FROM tk),
+        big AS (SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS f
+                FROM tk),
+        fe AS (SELECT doc_id, source, ${H.d("f")} % $DsirBuckets AS fb
+               FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        ref AS (SELECT MIN(source) AS rs FROM documents),
+        tcnt AS (SELECT fb, COUNT(*) AS ct FROM fe, ref
+                 WHERE source = rs GROUP BY fb),
+        ttot AS (SELECT COUNT(*) AS tt FROM fe, ref WHERE source = rs),
+        rcnt AS (SELECT fb, COUNT(*) AS cr FROM fe GROUP BY fb),
+        rtot AS (SELECT COUNT(*) AS tr FROM fe),
+        sc AS (SELECT fe.doc_id, fe.source,
+                      (LENGTH(bin(rtot.tr)) - LENGTH(bin(rcnt.cr + 1)))
+                    - (LENGTH(bin(ttot.tt))
+                       - LENGTH(bin(COALESCE(tcnt.ct, 0) + 1))) AS bits
+               FROM fe JOIN rcnt ON fe.fb = rcnt.fb
+               LEFT JOIN tcnt ON fe.fb = tcnt.fb, rtot, ttot)
+        SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(bits) AS BIGINT) AS log2w_bits,
+               CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT)
+                 AS mean_bits_ppm
+        FROM sc GROUP BY doc_id, source ORDER BY doc_id""") { (spark, dir) =>
+    val tk = T(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val uni = tk.select(col("doc_id"), col("source"), explode(col("t")).as("f"))
+    val big = tk.filter(size(col("t")) >= 2) // duck range(1, 1) is empty too
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i+1]))")).as("f"))
+    val fe = uni.unionByName(big)
+      .withColumn("fb", expr(s"${H.s("f")} % $DsirBuckets"))
+      .select("doc_id", "source", "fb")
+    val refSrc = T(spark, dir, "documents")
+      .agg(min(col("source")).as("rs"))
+    val feT = fe.join(broadcast(refSrc), col("source") === col("rs"))
+    val tcnt = feT.groupBy("fb").agg(count(lit(1)).as("ct"))
+    val ttot = feT.agg(count(lit(1)).as("tt"))
+    val rcnt = fe.groupBy("fb").agg(count(lit(1)).as("cr"))
+    val rtot = fe.agg(count(lit(1)).as("tr"))
+    fe.join(broadcast(rcnt), Seq("fb"))
+      .join(broadcast(tcnt), Seq("fb"), "left")
+      .crossJoin(broadcast(rtot))
+      .crossJoin(broadcast(ttot))
+      .withColumn("bits",
+        ((length(bin(col("tr"))) - length(bin(col("cr") + 1)))
+          - (length(bin(col("tt")))
+            - length(bin(coalesce(col("ct"), lit(0L)) + 1)))).cast("long"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("log2w_bits"))
+      .withColumn("mean_bits_ppm",
+        expr("log2w_bits * 1000000 div n_feats"))
       .orderBy("doc_id")
   }
 
@@ -1627,6 +1758,120 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Persisted HISTORY (source, length-cell) counts for
+    * [[x126IncrementalManifest]] — the mergeable quantile state, x100's
+    * partial-aggregate discipline applied to x121's histogram: counts
+    * merge with any future batch delta by union + re-sum, so the
+    * full-corpus quantile table is reconstructed from state + batch
+    * without ever rescanning history documents. Written once per source
+    * content ([[Scale.sourceKey]]); at 100 TB this is the rollup the
+    * pipeline maintains per admission batch. */
+  private[operators] def x126CellState(spark: SparkSession, dir: String): String = {
+    val key = Scale.sourceKey(dir, "documents")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_x126_cells_$key"
+    if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+      T(spark, dir, "documents")
+        .filter(col("doc_id") % Dedup.d37BatchMod =!= 0)
+        .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** x126: INCREMENTAL sampling-manifest maintenance — the x124
+    * manifest for a d37 ADMISSION BATCH at batch-proportional cost:
+    * no full-corpus re-derivation, no history rescans. Per batch doc it
+    * emits the loader columns — t27 split, x121 quantile rank against
+    * the FULL (history + batch) distribution, the d37 admission
+    * verdict, a duplication-aware weight, and the composed training
+    * weight — where every corpus-sized input arrives through persisted,
+    * mergeable state:
+    *  - q_ppm: history (source, cell) counts ([[x126CellState]]) merge
+    *    with the batch's delta counts — the merged histogram IS the
+    *    full-corpus histogram (count merge is exact), so the quantile
+    *    ranks equal a from-scratch x121 run;
+    *  - admitted / n_matches: [[Dedup.incrementalAdmit]] against the
+    *    persisted d37 corpus index — batch bands probe the bucketed
+    *    index with zero corpus-side shuffle;
+    *  - weight_ppm = 10⁶ div (1 + n_matches), floored at 1: a batch doc
+    *    that near-duplicates k standing documents enters with ~1/(k+1)
+    *    of a document's sampling mass — the admission-tier form of
+    *    x122's 1/|cluster| (cluster membership of REJECTED arrivals is
+    *    exactly what n_matches counts; admitted docs have no matches by
+    *    the greedy contract, weight 10⁶).
+    * The oracle re-derives everything from the full tables (d37's
+    * fixpoint CTEs + x121's histogram); byte-equal output proves the
+    * incremental decomposition — the x100 proof applied to the
+    * manifest. Scale: one scan of the batch partition (pushed
+    * doc_id-mod filter), state reads are cell-/index-sized, the
+    * quantile re-attach broadcasts the cell table; history text is
+    * never read (ScaleSpec plan-gates the scans). */
+  val x126IncrementalManifest = Q(
+    "x126_incremental_manifest",
+    s"""WITH ${Dedup.d37OracleCtes},
+        ch AS (SELECT source, n_chars AS c, COUNT(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+        chc AS (SELECT source, c,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY c) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS n
+                FROM ch),
+        bd AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE doc_id % ${Dedup.d37BatchMod} = 0),
+        o AS (SELECT bd.doc_id, bd.source,
+                     ${H.d("CAST(bd.doc_id AS VARCHAR)")} % 10 AS b,
+                     chc.cum * 1000000 // chc.n AS q_ppm,
+                     CASE WHEN m.b_id IS NULL THEN 1 ELSE 0 END AS admitted,
+                     GREATEST(1000000 // (1 + COALESCE(m.n_matches, 0)), 1)
+                       AS weight_ppm
+              FROM bd
+              JOIN chc ON bd.source = chc.source AND bd.n_chars = chc.c
+              LEFT JOIN m ON bd.doc_id = m.b_id)
+        SELECT doc_id, source,
+               CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(q_ppm AS BIGINT) AS q_ppm,
+               CAST(admitted AS BIGINT) AS admitted,
+               CAST(weight_ppm AS BIGINT) AS weight_ppm,
+               CAST(CASE WHEN admitted = 1 AND b < 8 AND q_ppm >= 200000
+                         THEN weight_ppm ELSE 0 END AS BIGINT)
+                 AS train_weight_ppm
+        FROM o ORDER BY doc_id""") { (spark, dir) =>
+    val (hotPath, setsT, bandsT) = Dedup.d37CorpusIndex(spark, dir)
+    val batch = T(spark, dir, "documents")
+      .filter(col("doc_id") % Dedup.d37BatchMod === 0)
+    val (verdicts, _, _) = Dedup.incrementalAdmit(
+      batch.select("doc_id", "text"),
+      spark.table(setsT), spark.table(bandsT).hint("merge"),
+      spark.read.parquet(hotPath))
+    val hist = spark.read.parquet(x126CellState(spark, dir))
+    val delta = batch
+      .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = hist.unionByName(delta)
+      .groupBy("flag", "c").agg(sum(col("cnt")).as("cnt"))
+      .cache() // tiny (source, cell) counts — histCum consumes it twice
+    val cells = Relational2.histCum(merged)
+      .select(col("flag").as("source"), col("c"),
+        expr("cum * 1000000 div n").as("q_ppm"))
+    val docs = batch.select(col("doc_id"), col("source"), col("n_chars"))
+    docs.join(broadcast(cells),
+        docs("source") === cells("source") && docs("n_chars") === cells("c"))
+      .select(docs("doc_id"), docs("source"), col("q_ppm"))
+      .join(verdicts.select(col("doc_id"), col("admitted"), col("n_matches")),
+        Seq("doc_id"))
+      .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
+      .withColumn("weight_ppm",
+        expr("greatest(1000000 div (1 + n_matches), 1)"))
+      .select(col("doc_id"), col("source"),
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test").as("split"),
+        col("q_ppm"), col("admitted"), col("weight_ppm"),
+        when(col("admitted") === 1 && col("b") < 8 && col("q_ppm") >= 200000,
+          col("weight_ppm")).otherwise(lit(0L)).as("train_weight_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
     x92Decontamination, x94TokenBudgetMix, x97StratifiedSample,
     x99GlobalIndex, t33SequencePack, x101SplitLeakage, x102TemperatureMix,
@@ -1635,5 +1880,6 @@ object Pipeline {
     x106CurriculumOrder, x108DatasetCard, x109EpochPlan, x110ProfileDrift,
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
     x115CurriculumShards, x120PrioritySample, x121QuantileNorm,
-    x124SamplingManifest, x125QuantileMap)
+    x124SamplingManifest, x125QuantileMap, x126IncrementalManifest,
+    x128ContaminationSpans, x129DsirWeights)
 }

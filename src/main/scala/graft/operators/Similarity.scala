@@ -67,16 +67,39 @@ object Similarity {
   }
 
   // Random-hyperplane LSH: weight(b, d) = h32('hp<b>_<d>') % 2001 - 1000,
-  // bucket = Σ_b [dot(v, w_b) > 0] << b  (6 hyperplanes → 64 buckets).
+  // bucket = Σ_b [dot(v, w_b) > 0] << b  (nHp hyperplanes → 2^nHp buckets).
   //
   // The weights depend only on (b, d), so they are computed ONCE on the
-  // driver with the same md5 formula and embedded as a literal 6×64 matrix
-  // in both dialects (Catalyst constant-folds the Spark literal). The
-  // previous form recomputed the md5 inside the doubly-nested lambda —
+  // driver with the same md5 formula and embedded as a literal nHp×64
+  // matrix in both dialects (Catalyst constant-folds the Spark literal).
+  // The previous form recomputed the md5 inside the doubly-nested lambda —
   // ~384 interpreted md5 evaluations per vector per pass.
   private val Dim = 64
-  private[operators] val hpWeights: IndexedSeq[IndexedSeq[Long]] =
-    (0 until 6).map { b =>
+
+  /** LSH RESOLUTION knob: hyperplane count for the whole bucketed-LSH
+    * family (s33/s36/d33/s40 and the s40 consumers). Default 6 — 64
+    * buckets, the resolution every recorded artifact was produced at;
+    * deployments raise it via `-Dgraft.knn.hyperplanes` (sized by
+    * [[adaptiveHyperplanes]]) so bucket populations stay near
+    * [[KnnBucketCap]]'s design point as the corpus grows. BOTH dialects
+    * derive their bucketing from this one value, so Spark↔oracle parity
+    * holds at any setting (RecallSpec runs the graph at several). */
+  private[operators] val NumHp: Int =
+    Integer.getInteger("graft.knn.hyperplanes", 6).intValue()
+
+  /** The production sizing rule for [[NumHp]]: enough hyperplanes that
+    * the MEAN bucket population N/2^nHp sits at [[KnnBucketCap]]'s
+    * design point, floored at the default resolution — ⌈log₂(N/cap)⌉.
+    * At 10⁹ vectors: 25 hyperplanes → 32M buckets → mean population 30.
+    * The per-bucket cap alone already guarantees the linear COST bound
+    * at any resolution; resolution is the recall lever (RecallSpec's
+    * resolution-vs-recall audit pins the interaction). */
+  private[operators] def adaptiveHyperplanes(n: Long): Int =
+    math.max(NumHp, math.ceil(math.log(math.max(n, 1L).toDouble /
+      KnnBucketCap) / math.log(2.0)).toInt)
+
+  private[operators] def hpWeightsFor(nHp: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until nHp).map { b =>
       (0 until Dim).map { d =>
         val md5 = java.security.MessageDigest.getInstance("MD5")
           .digest(s"hp${b}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -85,16 +108,21 @@ object Similarity {
         h32 % 2001 - 1000
       }
     }
-  private def wLitDuck =
-    hpWeights.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  private[operators] val hpWeights: IndexedSeq[IndexedSeq[Long]] =
+    hpWeightsFor(NumHp)
+  private def wLitDuckFor(nHp: Int) =
+    hpWeightsFor(nHp).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
   /** 1-row CTE carrying the literal weight matrix (cross-joined in). */
-  private[operators] def duckW = s"w AS (SELECT $wLitDuck AS wm)"
+  private[operators] def duckWFor(nHp: Int) =
+    s"w AS (SELECT ${wLitDuckFor(nHp)} AS wm)"
+  private[operators] def duckW = duckWFor(NumHp)
 
-  private[operators] def bucketDuck =
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), b -> " +
+  private[operators] def bucketDuckFor(nHp: Int) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $nHp), b -> " +
       "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, len(v)), " +
       "d -> v[d+1] * wm[b+1][d+1])), (x, y) -> x + y) " +
       "> CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
+  private[operators] def bucketDuck = bucketDuckFor(NumHp)
 
   /** Wraps `expr` so it raises if the vector column is not [[Dim]]-wide.
     * Every operator whose OTHER dialect hard-codes Dim (literal weight
@@ -114,9 +142,11 @@ object Similarity {
     * the bucket is the exact integer sum of the set bits — bit-identical
     * to the oracle's nested-fold form ([[bucketDuck]]: same inner fold
     * order, exact long addition outside), with no lambda interpretation. */
-  private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until 6).map { b =>
-      val w = typedlit(hpWeights(b).map(_.toDouble))
+  private[operators] def bucketedVecsAt(spark: SparkSession, dir: String,
+      nHp: Int): DataFrame = {
+    val ws = hpWeightsFor(nHp)
+    val bucket = (0 until nHp).map { b =>
+      val w = typedlit(ws(b).map(_.toDouble))
       when(Cosine.dot(col("v"), w) > 0.0d, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     // the literal weight matrix is Dim-wide: ArrayDot would silently
@@ -124,15 +154,20 @@ object Similarity {
     // range — fail loudly instead of diverging
     vecs(spark, dir).withColumn("bucket", dimGuarded(col("v"), bucket))
   }
+  private[operators] def bucketedVecs(spark: SparkSession, dir: String): DataFrame =
+    bucketedVecsAt(spark, dir, NumHp)
 
-  /** THE Hamming-1 probe set (own bucket + each of the 6 hyperplane bits
-    * flipped), shared by [[s36AnnMultiprobe]] and the d33 near-dup pairs
-    * so "the same probe set" is a single definition, not four synced
-    * copies. */
-  private[operators] val probeMasks: Seq[Long] = 0L +: (0 until 6).map(b => 1L << b)
+  /** THE Hamming-1 probe set (own bucket + each hyperplane bit flipped),
+    * shared by [[s36AnnMultiprobe]] and the d33 near-dup pairs so "the
+    * same probe set" is a single definition, not four synced copies. */
+  private[operators] def probeMasksFor(nHp: Int): Seq[Long] =
+    0L +: (0 until nHp).map(b => 1L << b)
+  private[operators] val probeMasks: Seq[Long] = probeMasksFor(NumHp)
   /** Spark: bucket column → exploded probe-bucket column. */
+  private[operators] def probeBucketsFor(bucket: Column, nHp: Int): Column =
+    explode(array(probeMasksFor(nHp).map(m => bucket.bitwiseXOR(lit(m))): _*))
   private[operators] def probeBuckets(bucket: Column): Column =
-    explode(array(probeMasks.map(m => bucket.bitwiseXOR(lit(m))): _*))
+    probeBucketsFor(bucket, NumHp)
   /** DuckDB dialect of the same probe list over bucket expression `b`. */
   private[operators] def probeUnnestDuck(b: String): String =
     probeMasks.map(m => if (m == 0L) b else s"xor($b, $m)")
@@ -1051,11 +1086,21 @@ object Similarity {
 
   /** Spark twin of [[duckKnnGraph]]: the ranked top-3 edge list
     * (q_id, n_id, cos, rnk), shared by [[s40KnnGraph]] and
-    * [[x107Pagerank]]. */
-  private[operators] def knnGraphRanked(spark: SparkSession, dir: String): DataFrame = {
-    val bk = bucketedVecs(spark, dir)
-    val a = bk.select(col("vec_id").as("q_id"), col("v").as("va"),
-      col("nrm").as("na"), probeBuckets(col("bucket")).as("pb"))
+    * [[x107Pagerank]]. `nHp` is the LSH resolution — the registered
+    * queries run at [[NumHp]]; RecallSpec and VolumeBench's recall
+    * probe drive higher resolutions ([[adaptiveHyperplanes]]) to
+    * measure what resolution buys when bucket populations outgrow
+    * [[KnnBucketCap]]. */
+  private[operators] def knnGraphRankedAt(spark: SparkSession, dir: String,
+      nHp: Int, querySample: Option[DataFrame] = None): DataFrame = {
+    val bk = bucketedVecsAt(spark, dir, nHp)
+    // querySample restricts the QUERY side only (per-query ranking is
+    // independent, so sampled rows are identical to the full graph's) —
+    // the recall probe's way of auditing a huge corpus at sampled cost
+    val aBase = querySample.fold(bk)(s =>
+      bk.join(broadcast(s.select("vec_id")), Seq("vec_id"), "left_semi"))
+    val a = aBase.select(col("vec_id").as("q_id"), col("v").as("va"),
+      col("nrm").as("na"), probeBucketsFor(col("bucket"), nHp).as("pb"))
     // neighbor side: ≤ KnnBucketCap hash-ranked members per bucket — the
     // one-window (O(N) rows keyed by bucket) linearity bound above
     val bw = Window.partitionBy(col("bucket"))
@@ -1069,6 +1114,55 @@ object Similarity {
       .withColumn("cos", Cosine.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
+  }
+  private[operators] def knnGraphRanked(spark: SparkSession, dir: String): DataFrame =
+    knnGraphRankedAt(spark, dir, NumHp)
+
+  /** Recall@3 of the capped s40 graph against the EXACT top-3, measured
+    * on a deterministic hash-ranked query sample — the quality axis of
+    * the scale gauntlet ([[KnnBucketCap]] bounds COST at any bucket
+    * population; this measures what that cap plus the LSH resolution do
+    * to the GRAPH as populations grow). Returns recall at the default
+    * resolution and at [[adaptiveHyperplanes]](N), so the gauntlet
+    * record shows both what the shipped default delivers at mult× and
+    * what the documented resolution rule buys back. Cost: one exact
+    * pass (|sample|·N dots, sample side broadcast) plus two
+    * sampled-query graph builds — the corpus-sized work per build is
+    * the bucketing scan and the per-bucket cap window, both linear. */
+  private[graft] def knnRecallProbe(spark: SparkSession, dir: String,
+      nQueries: Int = 50): Map[String, Double] = {
+    val e = vecs(spark, dir)
+    val n = e.count()
+    val qIds = e.select(col("vec_id"))
+      .orderBy(expr(H.s("cast(vec_id as string)")), col("vec_id"))
+      .limit(nQueries)
+      .cache()
+    val q = e.join(broadcast(qIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val exact = broadcast(q)
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"),
+        col("nrm").as("nn")), col("n_id") =!= col("q_id"))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id")
+      .cache() // ≤ 3·nQueries rows
+    val denom = exact.count().toDouble
+    def recallAt(nHp: Int): Double =
+      knnGraphRankedAt(spark, dir, nHp, Some(qIds))
+        .select("q_id", "n_id")
+        .join(exact, Seq("q_id", "n_id"), "left_semi")
+        .count().toDouble / denom
+    val ad = adaptiveHyperplanes(n)
+    val rDefault = recallAt(NumHp)
+    Map(
+      "n_vectors" -> n.toDouble,
+      "n_queries" -> math.min(nQueries.toLong, n).toDouble,
+      "nhp_default" -> NumHp.toDouble,
+      "recall3_default" -> rDefault,
+      "nhp_adaptive" -> ad.toDouble,
+      "recall3_adaptive" -> (if (ad == NumHp) rDefault else recallAt(ad)))
   }
 
   val s40KnnGraph = Q(
@@ -1340,12 +1434,12 @@ object Similarity {
     * (q_id, n_id) ↔ (n_id, q_id); wedges e1⋈e2 on the shared endpoint
     * ≤ 3 per node; triangle close is a left-semi on the edge key. All
     * equi-joins on bounded frames. */
-  val x127GraphTriangles = Q(
-    "x127_graph_triangles",
-    s"""WITH $duckVecs, $duckW,
-        $duckKnnGraph,
-        g AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
-        mu AS (SELECT a.q_id AS u, a.n_id AS w FROM g a
+  /** The mutual-edge triangle CTEs over a `g(q_id, n_id)` edge list
+    * (`mu`→`deg`→`tri`→`tn`) — x127's kernel, shared with the
+    * per-community cohesion rollup ([[x130CommunityCohesion]]) so "a
+    * triangle" is one SQL definition across the graph diagnostics. */
+  private def duckTriChain =
+    s"""mu AS (SELECT a.q_id AS u, a.n_id AS w FROM g a
                JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
                WHERE a.q_id < a.n_id),
         deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
@@ -1358,15 +1452,19 @@ object Similarity {
         tn AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
                  SELECT a AS vec_id FROM tri
                  UNION ALL SELECT b FROM tri
-                 UNION ALL SELECT c FROM tri) GROUP BY vec_id)
-        SELECT d.vec_id, d.deg,
-               CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
-               CAST(CASE WHEN d.deg >= 2
-                         THEN COALESCE(tn.n_tri, 0) * 2000000
-                                // (d.deg * (d.deg - 1))
-                         ELSE 0 END AS BIGINT) AS lcc_ppm
-        FROM deg d LEFT JOIN tn ON d.vec_id = tn.vec_id
-        ORDER BY d.vec_id""") { (spark, dir) =>
+                 UNION ALL SELECT c FROM tri) GROUP BY vec_id),
+        lcc AS (SELECT d.vec_id, d.deg,
+                       CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+                       CAST(CASE WHEN d.deg >= 2
+                                 THEN COALESCE(tn.n_tri, 0) * 2000000
+                                        // (d.deg * (d.deg - 1))
+                                 ELSE 0 END AS BIGINT) AS lcc_ppm
+                FROM deg d LEFT JOIN tn ON d.vec_id = tn.vec_id)"""
+
+  /** Spark twin of [[duckTriChain]]: (vec_id, deg, n_tri, lcc_ppm) over
+    * the mutual restriction of the s40 graph — shared by x127 and
+    * x130. */
+  private def mutualLcc(spark: SparkSession, dir: String): DataFrame = {
     val g = knnGraphRanked(spark, dir).select(col("q_id"), col("n_id"))
     val mu = g
       .join(g.select(col("q_id").as("rq"), col("n_id").as("rn")),
@@ -1393,7 +1491,64 @@ object Similarity {
         when(col("deg") >= 2,
           expr("coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("lcc_ppm"))
-      .orderBy("vec_id")
+  }
+
+  val x127GraphTriangles = Q(
+    "x127_graph_triangles",
+    s"""WITH $duckVecs, $duckW,
+        $duckKnnGraph,
+        g AS (SELECT q_id, n_id FROM r WHERE rnk <= 3),
+        $duckTriChain
+        SELECT vec_id, deg, n_tri, lcc_ppm
+        FROM lcc ORDER BY vec_id""") { (spark, dir) =>
+    mutualLcc(spark, dir).orderBy("vec_id")
+  }
+
+  /** x130: per-COMMUNITY cohesion — x127's triangle/lcc diagnostics
+    * rolled up onto x118's label-propagation communities: member count,
+    * how many members have any mutual edge, total mutual degree,
+    * node-triangle mass, and the mean lcc in ppm (over ALL members —
+    * an isolated member contributes 0, exactly the dilution a cohesion
+    * score should feel). This is the dup-cluster-quality table that
+    * decides WHICH communities SemDeDup (x96) should collapse: high
+    * mean-lcc communities are tight semantic piles (collapse), low-lcc
+    * ones are topical neighborhoods (keep). Pure composition of two
+    * green operators — both kernels reused verbatim ([[lpaCommunities]],
+    * [[mutualLcc]] / [[duckTriChain]]).
+    *
+    * Scale: the lcc table is ≤ N rows from x127's bounded joins, the
+    * rollup is one keyed aggregate on community — O(N) shuffle, same
+    * contract as x118 itself. */
+  val x130CommunityCohesion = Q(
+    "x130_community_cohesion",
+    s"""WITH $duckLpaChain,
+        $duckTriChain,
+        j AS (SELECT c.community, c.csize,
+                     COALESCE(l.deg, 0) AS deg,
+                     COALESCE(l.n_tri, 0) AS n_tri,
+                     COALESCE(l.lcc_ppm, 0) AS lcc_ppm
+              FROM comm c LEFT JOIN lcc l ON c.vec_id = l.vec_id)
+        SELECT community, CAST(MAX(csize) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN deg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mutual,
+               CAST(SUM(deg) AS BIGINT) AS sum_deg,
+               CAST(SUM(n_tri) AS BIGINT) AS sum_tri,
+               CAST(SUM(lcc_ppm) // MAX(csize) AS BIGINT) AS mean_lcc_ppm
+        FROM j GROUP BY community ORDER BY community""") { (spark, dir) =>
+    val lcc = mutualLcc(spark, dir)
+    lpaCommunities(spark, dir)
+      .join(lcc, Seq("vec_id"), "left")
+      .select(col("community"), col("csize"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("lcc_ppm"), lit(0L)).as("lcc_ppm"))
+      .groupBy("community")
+      .agg(max(col("csize")).as("n_members"),
+        sum(when(col("deg") > 0, 1L).otherwise(0L)).as("n_mutual"),
+        sum(col("deg")).as("sum_deg"),
+        sum(col("n_tri")).as("sum_tri"),
+        expr("sum(lcc_ppm) div max(csize)").as("mean_lcc_ppm"))
+      .orderBy("community")
   }
 
   /** s41: IVF index-health report — the observability tier of the ANN
@@ -2008,7 +2163,7 @@ object Similarity {
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
     x107Pagerank, x118LabelCommunities, x119CommunitySample,
-    x127GraphTriangles, s41IvfStats,
+    x127GraphTriangles, x130CommunityCohesion, s41IvfStats,
     s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval, s45IvfRebalance,
     s46RebalanceRecall, s47PersistedIvf, s48ProbeSweep)
 }

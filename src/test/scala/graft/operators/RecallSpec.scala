@@ -398,6 +398,60 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.35, f"s40 recall@3 $r%.3f < 0.35 under a ~0.5 sampling ratio")
   }
 
+  test("s40: adaptive LSH resolution recovers the recall overcrowded buckets lose") {
+    // 480 tight 8-member clusters (3840 vectors): at the default 6
+    // hyperplanes the mean bucket population is 60 — ~1.9× the cap, and
+    // ~7.5 clusters collide per bucket — so each query sees only a
+    // hash-sample of its own cluster. adaptiveHyperplanes(3840)=7 puts
+    // the mean population back at the cap's design point (30), and a
+    // deep 10-hyperplane resolution separates the clusters almost
+    // entirely. Recall must recover monotonically along that ladder —
+    // the quality axis of the resolution knob. All inputs and caps are
+    // deterministic, so the measured recalls are exact per fixture.
+    val rnd = new scala.util.Random(17L)
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(480)(normed(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 3840).map { i =>
+      val v = normed(centers(i % 480).map(_ + rnd.nextGaussian() * 0.01))
+      (i.toLong, v.map(_.toFloat), i % 480)
+    }
+    val dir = writeCorpus(rows)
+    val nAdaptive = Similarity.adaptiveHyperplanes(3840L)
+    assert(nAdaptive === 7, s"adaptiveHyperplanes(3840) = $nAdaptive")
+    val exact = exactTop3(rows)
+    def recallAt(nHp: Int): Double = recall3(
+      Similarity.knnGraphRankedAt(spark, dir, nHp)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq, exact)
+    val r6 = recallAt(6)
+    val r7 = recallAt(nAdaptive)
+    val r10 = recallAt(10)
+    info(f"s40 resolution ladder: recall@3 = $r6%.3f (6hp) → $r7%.3f " +
+      f"(${nAdaptive}hp adaptive) → $r10%.3f (10hp)")
+    assert(r7 >= r6 + 0.05,
+      f"adaptive resolution must decisively beat the overcrowded default: $r7%.3f vs $r6%.3f")
+    assert(r10 >= r7, f"deeper resolution regressed recall: $r10%.3f < $r7%.3f")
+    assert(r10 >= 0.85, f"recall@3 $r10%.3f < 0.85 at the separated resolution")
+  }
+
+  test("adaptiveHyperplanes: the sizing rule keeps mean populations at the cap") {
+    // floored at the default resolution; ⌈log2(N/cap)⌉ above it
+    assert(Similarity.adaptiveHyperplanes(1L) === 6)
+    assert(Similarity.adaptiveHyperplanes(2048L) === 6)   // 2^6 buckets → pop 32
+    assert(Similarity.adaptiveHyperplanes(4096L) === 7)
+    assert(Similarity.adaptiveHyperplanes(20000L) === 10) // the 10x sf0.1 corpus
+    assert(Similarity.adaptiveHyperplanes(200000L) === 13)
+    assert(Similarity.adaptiveHyperplanes(1000000000L) === 25)
+    // at the chosen resolution the mean population sits within [cap/2, cap]
+    for (n <- Seq(4096L, 20000L, 200000L, 1000000000L)) {
+      val pop = n.toDouble / (1L << Similarity.adaptiveHyperplanes(n))
+      assert(pop <= Similarity.KnnBucketCap && pop > Similarity.KnnBucketCap / 2.0,
+        s"n=$n: mean population $pop off the design point")
+    }
+  }
+
   test("s36 multi-probe recovers the clusters single-probe loses at wide noise") {
     // at 5x noise the single-probe envelope collapses (measured 0.60):
     // members near a hyperplane fall on its far side, out of the query's

@@ -185,6 +185,54 @@ class ScaleSpec extends SparkSpec {
       "the band index scan must be a bucketed scan (bucket-aligned probe)")
   }
 
+  test("x126: manifest derivation scans ONLY the batch slice of documents") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // warm the persisted states so their one-time bootstrap scans (which
+    // DO read history — that is the bootstrap's job) sit outside this plan
+    Pipeline.x126CellState(spark, sfDir)
+    Dedup.d37CorpusIndex(spark, sfDir)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case s: QueryStageExec => p +: nodes(s.plan)
+      case o => p +: o.children.flatMap(nodes)
+    }
+    val root = Pipeline.x126IncrementalManifest.fn(spark, sfDir)
+      .queryExecution.executedPlan
+    val docScans = ScaleSpec.allScans(root).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")))
+    assert(docScans.nonEmpty, "expected documents scans in the manifest plan")
+    docScans.foreach { sc =>
+      val guarded =
+        sc.dataFilters.mkString(" ").contains("% 5") ||
+          nodes(root).exists {
+            case f: FilterExec => f.condition.toString.contains("% 5") &&
+              ScaleSpec.allScans(f).contains(sc)
+            case _ => false
+          }
+      assert(guarded,
+        s"a documents scan is not confined to the admission batch: $sc")
+    }
+  }
+
+  test("x126: history cell state + batch delta merges to the full-corpus histogram") {
+    // the mergeability claim behind the incremental q_ppm: state counts
+    // plus the batch's delta equal one full-table pass, cell for cell
+    val full = T(spark, sfDir, "documents")
+      .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hist = spark.read.parquet(Pipeline.x126CellState(spark, sfDir))
+    val delta = T(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .groupBy(col("source").as("flag"), col("n_chars").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = hist.unionByName(delta)
+      .groupBy("flag", "c").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === full, "state + delta must equal the one-pass histogram")
+  }
+
   test("x100: HLL sketch partials merge to the single-pass estimate (and exact, here)") {
     // the approximate-mergeable tier of incremental aggregation: per-side
     // DataSketches HLL partials union into the same estimate one pass
