@@ -46,7 +46,9 @@ object PlanDump {
     "x118_label_communities", "x119_community_sample", "s47_persisted_ivf",
     "s48_probe_sweep", "x120_priority_sample", "x121_quantile_norm",
     "x122_dup_weights", "x123_contrastive_pairs", "x124_sampling_manifest",
-    "x125_quantile_map", "x127_graph_triangles")
+    "x125_quantile_map", "x127_graph_triangles", "d47_line_dedup",
+    "x126_incremental_manifest", "x128_contamination_spans",
+    "x129_dsir_weights", "x130_community_cohesion")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
