@@ -48,7 +48,8 @@ object PlanDump {
     "x122_dup_weights", "x123_contrastive_pairs", "x124_sampling_manifest",
     "x125_quantile_map", "x127_graph_triangles", "d47_line_dedup",
     "x126_incremental_manifest", "x128_contamination_spans",
-    "x129_dsir_weights", "x130_community_cohesion")
+    "x129_dsir_weights", "x130_community_cohesion",
+    "x131_decontaminated_rewrite")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

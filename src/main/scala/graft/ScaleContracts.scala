@@ -109,7 +109,14 @@ object ScaleContracts {
     Contract("x130_community_cohesion",
       Map("skew" -> "audited", "volume" -> "audited"),
       "",
-      "x127's degree-3 mutual lcc table + one keyed rollup on community"))
+      "x127's degree-3 mutual lcc table + one keyed rollup on community"),
+    Contract("x131_decontaminated_rewrite",
+      Map("skew" -> "audited", "volume" -> "excluded"),
+      "consumes x128's span table, whose pair stage is quadratic in " +
+        "cross-split duplicate multiplicity by the d36 contract; the " +
+        "rewrite itself is per-doc linear",
+      "d36's gram df cap bounds the candidate join; the span table " +
+        "broadcasts and the mask join is doc_id-keyed"))
 
   /** Fails (IllegalStateException) if `queries` disagrees with the
     * contract table for `gauntlet`, then writes the JSON record. */

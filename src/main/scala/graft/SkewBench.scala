@@ -408,7 +408,11 @@ object SkewBench {
     // x130 rides x127's degree-3 mutual graph and x118's communities —
     // the rollup keys on community; the pile concentrates one
     // community's aggregate cell, absorbed map-side
-    "x130_community_cohesion")
+    "x130_community_cohesion",
+    // x131 under the pile: the dup cluster's grams are df-capped out of
+    // the span table (x128's posture), so the mask join is organic-
+    // sized; the rebuild regroups per doc_id (uniform)
+    "x131_decontaminated_rewrite")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

@@ -260,9 +260,12 @@ object Pipeline {
     * pair join strictly smaller than d36's (train×eval ⊂ all×all); at
     * 100 TB the eval side is benchmark-sized, so the gram join's build
     * side is tiny and broadcastable. */
-  val x128ContaminationSpans = Q(
-    "x128_contamination_spans",
-    s"""WITH ${Dedup.duckSpanOcc},
+  /** The cross-split contamination-span CTE chain (through `spans`) and
+    * its Spark twin — shared by x128 (the span report) and x131 (the
+    * rewrite that applies it), so "a contaminated span" is one
+    * definition. */
+  private[operators] def duckContaminationCtes: String =
+    s"""${Dedup.duckSpanOcc},
         sp AS (SELECT doc_id, ${H.d("CAST(doc_id AS VARCHAR)")} % 10 AS b
                FROM documents),
         p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.pos AS pa, y.pos AS pb
@@ -270,9 +273,10 @@ object Pipeline {
               JOIN sp sa ON x.doc_id = sa.doc_id
               JOIN sp sb ON y.doc_id = sb.doc_id
               WHERE sa.b < 8 AND sb.b >= 8),
-        ${Dedup.duckSpanIslands}
-        SELECT * FROM spans WHERE span_tokens >= ${Dedup.SpanMinTokens}
-        ORDER BY a_id, b_id, a_start, b_start""") { (spark, dir) =>
+        ${Dedup.duckSpanIslands}"""
+
+  private[operators] def contaminationSpans(spark: SparkSession,
+      dir: String): DataFrame = {
     val occ = Dedup.spanGramOccurrences(spark, dir)
       .withColumn("b", expr(s"${H.s("cast(doc_id as string)")} % 10"))
     val p = occ.filter(col("b") < 8)
@@ -281,7 +285,81 @@ object Pipeline {
         .select(col("g").as("g2"), col("doc_id").as("b_id"), col("pos").as("pb")),
         col("g") === col("g2"))
     Dedup.spanIslands(p)
+  }
+
+  val x128ContaminationSpans = Q(
+    "x128_contamination_spans",
+    s"""WITH $duckContaminationCtes
+        SELECT * FROM spans WHERE span_tokens >= ${Dedup.SpanMinTokens}
+        ORDER BY a_id, b_id, a_start, b_start""") { (spark, dir) =>
+    contaminationSpans(spark, dir)
       .orderBy("a_id", "b_id", "a_start", "b_start")
+  }
+
+  /** x131: DECONTAMINATED REWRITE — x128's consumer: every train-split
+    * document re-emitted with its benchmark-contaminated token
+    * positions MASKED OUT (the union of x128's [a_start, a_start +
+    * span_tokens) intervals), the surviving tokens stitched back in
+    * order, plus the audit counts. This is the "mask the spans, keep
+    * the document" endpoint the substring-decontamination standard
+    * prescribes — x92 drops whole docs, x128 reports the spans, x131
+    * produces the training text. Span definition is
+    * [[duckContaminationCtes]]/[[contaminationSpans]] VERBATIM; the
+    * rebuild is d47's ordered-stitch idiom.
+    *
+    * Scale: the span table is contamination-sized (rare by
+    * construction — it broadcasts), the mask test is a doc_id-keyed
+    * anti-join with a range predicate on the SMALL side, and the
+    * rebuild regroups each doc's own tokens — one corpus scan, nothing
+    * quadratic corpus-side. */
+  val x131DecontaminatedRewrite = Q(
+    "x131_decontaminated_rewrite",
+    s"""WITH $duckContaminationCtes,
+        csp AS (SELECT a_id, a_start, a_start + span_tokens - 1 AS a_end
+                FROM spans WHERE span_tokens >= ${Dedup.SpanMinTokens}),
+        tkn AS (SELECT t.doc_id, i AS pos, tk[i] AS w
+                FROM toks t JOIN sp ON t.doc_id = sp.doc_id,
+                     UNNEST(generate_series(1, len(tk))) AS u(i)
+                WHERE sp.b < 8),
+        mk AS (SELECT doc_id, pos, w,
+                      EXISTS (SELECT 1 FROM csp
+                              WHERE csp.a_id = tkn.doc_id
+                                AND tkn.pos BETWEEN csp.a_start AND csp.a_end)
+                        AS masked
+               FROM tkn)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked,
+               COALESCE(string_agg(w, ' ' ORDER BY pos)
+                          FILTER (WHERE NOT masked), '') AS text_clean
+        FROM mk GROUP BY doc_id ORDER BY doc_id""") { (spark, dir) =>
+    val spans = contaminationSpans(spark, dir)
+      .select(col("a_id"), col("a_start"),
+        (col("a_start") + col("span_tokens") - 1).as("a_end"))
+    val tkn = T(spark, dir, "documents")
+      .filter(expr(s"${H.s("cast(doc_id as string)")} % 10 < 8"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    val masked = tkn.join(broadcast(spans),
+      col("doc_id") === col("a_id")
+        && col("pos") >= col("a_start") && col("pos") <= col("a_end"),
+      "left_semi")
+    val kept = tkn.join(broadcast(spans),
+      col("doc_id") === col("a_id")
+        && col("pos") >= col("a_start") && col("pos") <= col("a_end"),
+      "left_anti")
+    val nm = masked.groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, w))), " +
+        "s -> s.w), ' ')").as("text_clean"))
+    tkn.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(nm, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
   }
 
   /** x129 feature-hash buckets: DSIR's hashed n-gram trick — the model
@@ -1766,7 +1844,7 @@ object Pipeline {
     * without ever rescanning history documents. Written once per source
     * content ([[Scale.sourceKey]]); at 100 TB this is the rollup the
     * pipeline maintains per admission batch. */
-  private[operators] def x126CellState(spark: SparkSession, dir: String): String = {
+  private[graft] def x126CellState(spark: SparkSession, dir: String): String = {
     val key = Scale.sourceKey(dir, "documents")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_x126_cells_$key"
     if (!new java.io.File(s"$p/_SUCCESS").exists()) {
@@ -1845,13 +1923,29 @@ object Pipeline {
       spark.table(setsT), spark.table(bandsT).hint("merge"),
       spark.read.parquet(hotPath))
     val hist = spark.read.parquet(x126CellState(spark, dir))
+    val merged = mergeCellState(hist, batch)
+      .cache() // tiny (source, cell) counts — histCum consumes it twice
+    manifestRows(batch, verdicts, merged).orderBy("doc_id")
+  }
+
+  /** Merge a (flag, c, cnt) cell-count state with a batch's delta —
+    * x126's quantile-state maintenance step, shared with the streaming
+    * maintainer ([[graft.streaming.StreamOps.ManifestMaintainer]]). */
+  private[graft] def mergeCellState(state: DataFrame,
+      batch: DataFrame): DataFrame = {
     val delta = batch
       .groupBy(col("source").as("flag"), col("n_chars").as("c"))
       .agg(count(lit(1)).as("cnt"))
-    val merged = hist.unionByName(delta)
+    state.unionByName(delta)
       .groupBy("flag", "c").agg(sum(col("cnt")).as("cnt"))
-      .cache() // tiny (source, cell) counts — histCum consumes it twice
-    val cells = Relational2.histCum(merged)
+  }
+
+  /** x126's scoring tail — batch docs + admission verdicts + the merged
+    * cell state → manifest rows. ONE definition for the batch query and
+    * the streaming maintainer, so the two tiers cannot drift. */
+  private[graft] def manifestRows(batch: DataFrame, verdicts: DataFrame,
+      mergedCells: DataFrame): DataFrame = {
+    val cells = Relational2.histCum(mergedCells)
       .select(col("flag").as("source"), col("c"),
         expr("cum * 1000000 div n").as("q_ppm"))
     val docs = batch.select(col("doc_id"), col("source"), col("n_chars"))
@@ -1869,7 +1963,6 @@ object Pipeline {
         col("q_ppm"), col("admitted"), col("weight_ppm"),
         when(col("admitted") === 1 && col("b") < 8 && col("q_ppm") >= 200000,
           col("weight_ppm")).otherwise(lit(0L)).as("train_weight_ppm"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(t27TrainSplit, x90CorpusPipeline, x91SourceMix,
@@ -1881,5 +1974,5 @@ object Pipeline {
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
     x115CurriculumShards, x120PrioritySample, x121QuantileNorm,
     x124SamplingManifest, x125QuantileMap, x126IncrementalManifest,
-    x128ContaminationSpans, x129DsirWeights)
+    x128ContaminationSpans, x129DsirWeights, x131DecontaminatedRewrite)
 }

@@ -767,6 +767,51 @@ object StreamOps {
     }
   }
 
+  /** x126's streaming twin: CONTINUOUS sampling-manifest maintenance —
+    * each micro-batch of arriving documents is admission-checked
+    * against the growing d37 index, scored against the MERGED quantile
+    * state (history cells + every batch seen so far), and its manifest
+    * rows appended to `out`. The three state pieces and their
+    * disciplines:
+    *  - admission index (sets/bands/hot): [[graft.operators.Dedup.incrementalAdmit]]
+    *    with per-batch appends, exactly [[IngestAdmission]];
+    *  - (source, cell) histogram: mergeable counts
+    *    ([[graft.operators.Pipeline.mergeCellState]] — x100's partial
+    *    discipline), lineage-truncated per batch;
+    *  - manifest rows: [[graft.operators.Pipeline.manifestRows]]
+    *    VERBATIM — one scoring definition for both tiers.
+    * CONTRACT: a batch's rows carry the quantile state AS OF its
+    * admission (a later batch shifts quantiles for later docs only —
+    * the manifest is an append-only ledger; x110's drift audit decides
+    * when a full x124/x126 re-derivation is due). A single batch
+    * containing everything x126 calls "the batch" therefore produces
+    * EXACTLY x126's rows (ManifestStreamSpec pins this, plus the
+    * multi-batch as-of-state semantics against an independent
+    * in-test oracle). Per-batch cost ∝ batch size + cell domain —
+    * the corpus is never rescanned. */
+  final class ManifestMaintainer(
+      corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
+      initialCells: DataFrame, out: String) extends ((DataFrame, Long) => Unit) {
+    private var sets = corpusSets
+    private var bands = corpusBands
+    private var cells = initialCells
+    private var lastBatchId: Long = -1L
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return // re-delivered epoch (CmsAccumulator guard)
+      val (verdicts, bsets, bbands) =
+        graft.operators.Dedup.incrementalAdmit(
+          batch.select("doc_id", "text"), sets, bands, hotDf)
+      cells = graft.operators.Pipeline.mergeCellState(cells, batch).ckptRound
+      graft.operators.Pipeline.manifestRows(batch, verdicts, cells)
+        .write.mode("append").parquet(out)
+      sets = sets.unionByName(bsets).ckptRound
+      bands = bands.unionByName(bbands).ckptRound
+      bsets.unpersist()
+      bbands.unpersist()
+      lastBatchId = batchId
+    }
+  }
+
   final class CmsAccumulator(d: Int, wBuckets: Int)
       extends ((DataFrame, Long) => Unit) {
     @volatile private var cells: DataFrame = null
