@@ -116,7 +116,12 @@ object ScaleContracts {
         "cross-split duplicate multiplicity by the d36 contract; the " +
         "rewrite itself is per-doc linear",
       "d36's gram df cap bounds the candidate join; the span table " +
-        "broadcasts and the mask join is doc_id-keyed"))
+        "broadcasts and the mask join is doc_id-keyed"),
+    Contract("x132_source_priority_sample",
+      Map("skew" -> "audited"),
+      "",
+      "map-side Partial WindowGroupLimit caps every source at K rows " +
+        "per task before the shuffle (x91's posture, PlanSpec-gated)"))
 
   /** Fails (IllegalStateException) if `queries` disagrees with the
     * contract table for `gauntlet`, then writes the JSON record. */

@@ -412,7 +412,11 @@ object SkewBench {
     // x131 under the pile: the dup cluster's grams are df-capped out of
     // the span table (x128's posture), so the mask join is organic-
     // sized; the rebuild regroups per doc_id (uniform)
-    "x131_decontaminated_rewrite")
+    "x131_decontaminated_rewrite",
+    // x132's 10k-doc hot source is x91's worst case — the per-source
+    // rank must cap map-side (Partial WindowGroupLimit) so the exchange
+    // carries O(sources · K) rows, never the pile
+    "x132_source_priority_sample")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

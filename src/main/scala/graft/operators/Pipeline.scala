@@ -1617,6 +1617,48 @@ object Pipeline {
       .limit(100)
   }
 
+  /** x132: PER-SOURCE weight-proportional sample — x120's priority
+    * sampling applied WITHIN each source (top-25 priorities per
+    * source): the per-source reservoir a mix builder draws from when
+    * the recipe says "K weight-proportional docs from every source",
+    * where global x120 would let a large source crowd the small ones
+    * out entirely. Priorities are [[priorityExpr]] VERBATIM (same
+    * integer arithmetic, same w < 2³⁰ raise), so the global and
+    * per-source tiers rank identically.
+    *
+    * Scale is x91's posture, not a global sort: ROW_NUMBER partitioned
+    * by source with a raw `rnk <= K` filter triggers the map-side
+    * Partial WindowGroupLimit (PlanSpec-gated), so each task forwards
+    * at most K rows per source and the exchange carries O(sources · K)
+    * rows — a 10k-doc hot source never floods one reducer. */
+  val x132SourcePrioritySample = Q(
+    "x132_source_priority_sample",
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+                          GREATEST(n_chars, 1) * 4294967296 //
+                            (${H.d("CAST(doc_id AS VARCHAR)")} + 1) AS priority
+                   FROM documents),
+        r AS (SELECT doc_id, source, n_chars, priority,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY priority DESC, doc_id) AS rnk
+              FROM d)
+        SELECT source, doc_id, n_chars, CAST(priority AS BIGINT) AS priority,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 25 ORDER BY source, rnk""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    T(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(priorityExpr).as("priority"))
+      .withColumn("rnk", row_number().over(w))
+      // filter on the raw rank attribute (cast AFTER): a cast wrapped
+      // around the rank would hide it from InferWindowGroupLimit (x91)
+      .filter(col("rnk") <= 25)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("priority"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
+  }
+
   /** x121: cross-source QUANTILE NORMALIZATION — every document's raw
     * score (n_chars) replaced by its within-source quantile rank in
     * integer ppm, the step that makes per-source scores COMPARABLE
@@ -1974,5 +2016,6 @@ object Pipeline {
     x111AblationProfile, x112PipelineFunnel, x114ChurnAudit,
     x115CurriculumShards, x120PrioritySample, x121QuantileNorm,
     x124SamplingManifest, x125QuantileMap, x126IncrementalManifest,
-    x128ContaminationSpans, x129DsirWeights, x131DecontaminatedRewrite)
+    x128ContaminationSpans, x129DsirWeights, x131DecontaminatedRewrite,
+    x132SourcePrioritySample)
 }

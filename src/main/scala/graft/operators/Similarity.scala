@@ -1359,8 +1359,15 @@ object Similarity {
 
   /** Spark twin of [[duckLpaChain]]: the labeled corpus
     * (vec_id, community, csize), shared by x118 and x119. */
-  private[operators] def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val g = knnGraphRanked(spark, dir).select("q_id", "n_id").ckptRound
+  private[operators] def lpaCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaCommunitiesFrom(spark, dir,
+      knnGraphRanked(spark, dir).select("q_id", "n_id").ckptRound)
+
+  /** [[lpaCommunities]] over a caller-supplied (already materialized)
+    * edge frame — lets x130 build the s40 graph ONCE and feed both the
+    * community and the triangle kernels. */
+  private[operators] def lpaCommunitiesFrom(spark: SparkSession, dir: String,
+      g: DataFrame): DataFrame = {
     val ue = g.select(col("q_id").as("u"), col("n_id").as("w"))
       .union(g.select(col("n_id").as("u"), col("q_id").as("w")))
       .distinct().ckptRound
@@ -1464,8 +1471,10 @@ object Similarity {
   /** Spark twin of [[duckTriChain]]: (vec_id, deg, n_tri, lcc_ppm) over
     * the mutual restriction of the s40 graph — shared by x127 and
     * x130. */
-  private def mutualLcc(spark: SparkSession, dir: String): DataFrame = {
-    val g = knnGraphRanked(spark, dir).select(col("q_id"), col("n_id"))
+  private def mutualLcc(spark: SparkSession, dir: String): DataFrame =
+    mutualLccFrom(knnGraphRanked(spark, dir).select(col("q_id"), col("n_id")))
+
+  private def mutualLccFrom(g: DataFrame): DataFrame = {
     val mu = g
       .join(g.select(col("q_id").as("rq"), col("n_id").as("rn")),
         col("q_id") === col("rn") && col("n_id") === col("rq"))
@@ -1535,8 +1544,11 @@ object Similarity {
                CAST(SUM(n_tri) AS BIGINT) AS sum_tri,
                CAST(SUM(lcc_ppm) // MAX(csize) AS BIGINT) AS mean_lcc_ppm
         FROM j GROUP BY community ORDER BY community""") { (spark, dir) =>
-    val lcc = mutualLcc(spark, dir)
-    lpaCommunities(spark, dir)
+    // ONE graph build feeds both kernels (materialized once; the two
+    // consumers otherwise each rebuild the candidate join + rank)
+    val g = knnGraphRanked(spark, dir).select("q_id", "n_id").ckptRound
+    val lcc = mutualLccFrom(g)
+    lpaCommunitiesFrom(spark, dir, g)
       .join(lcc, Seq("vec_id"), "left")
       .select(col("community"), col("csize"),
         coalesce(col("deg"), lit(0L)).as("deg"),

@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
       "text must be pruned from the scan")
   }
 
+  test("x132: per-source priority rank caps map-side; text pruned") {
+    val p = plan("x132_source_priority_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= K must trigger InferWindowGroupLimit")
+    assert(p.contains("Partial"),
+      "the partial (pre-shuffle) group limit is the scale guarantee: " +
+        "each task forwards at most K rows per source")
+    assert(!p.contains("text"), "text must be pruned from the scan")
+  }
+
   test("t29: gram counting is partial+final agg, no cartesian") {
     val p = plan("t29_repetition")
     assert(p.contains("partial_max") || p.contains("Partial"))
