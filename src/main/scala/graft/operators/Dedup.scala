@@ -1635,7 +1635,7 @@ object Dedup {
     * mirror exactly; on real web text the splitter is `split(text,
     * '\n')` and everything downstream is unchanged. */
   private val LineW = 8
-  private val LineDfMax = 2
+  private[graft] val LineDfMax = 2
 
   /** d47: LINE-LEVEL dedup (CCNet/RefinedWeb-style) — remove duplicated
     * boilerplate LINES from within surviving documents, the granularity
@@ -1678,17 +1678,32 @@ object Dedup {
                COALESCE(a.text_kept, '') AS text_kept
         FROM n LEFT JOIN a ON n.doc_id = a.doc_id
         ORDER BY n.doc_id""") { (spark, dir) =>
-    val lines = T(spark, dir, "documents")
+    val lines = lineOccurrences(T(spark, dir, "documents"))
+    val boiler = lineDf(lines).filter(col("df") > LineDfMax).select("h")
+    rewriteLines(lines, boiler).orderBy("doc_id")
+  }
+
+  /** d47's line segmentation over a (doc_id, text) frame — (doc_id, i,
+    * line, h) rows, shared with the streaming maintainer
+    * ([[graft.streaming.StreamOps.LineDedupMaintainer]]). */
+  private[graft] def lineOccurrences(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(ws) - 1) div $LineW), " +
           s"i -> array_join(slice(ws, i * $LineW + 1, $LineW), ' '))")))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("line"),
         md5(col("col").cast("binary")).as("h"))
-    val boiler = lines.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > LineDfMax)
-      .select("h")
+
+  /** Distinct-doc frequency per line hash — the mergeable line-df model
+    * (each document arrives once, so per-batch distinct counts SUM). */
+  private[graft] def lineDf(lines: DataFrame): DataFrame =
+    lines.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+
+  /** d47's rewrite tail: drop boilerplate lines, stitch survivors in
+    * order, emit audit counts — ONE definition for batch and stream. */
+  private[graft] def rewriteLines(lines: DataFrame,
+      boiler: DataFrame): DataFrame = {
     val kept = lines.join(boiler, Seq("h"), "left_anti")
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
@@ -1699,7 +1714,6 @@ object Dedup {
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(d26ExactDedup, d27NgramJaccard, d40Containment, d28MinhashLsh,

@@ -812,6 +812,40 @@ object StreamOps {
     }
   }
 
+  /** d47's streaming twin: CONTINUOUS boilerplate-line maintenance —
+    * the line-df model is mergeable distinct-doc counts (each document
+    * arrives once, the ingestion premise, so per-batch counts SUM),
+    * maintained across micro-batches; every arriving batch is
+    * rewritten against the model AS OF its admission and appended to
+    * `out` (the same ledger contract as [[ManifestMaintainer]]: a line
+    * that only later crosses the boilerplate threshold is not
+    * retroactively removed from already-exported docs — x110's drift
+    * audit owns the full-re-derivation decision). Kernels are d47's
+    * VERBATIM ([[graft.operators.Dedup.lineOccurrences]]/[[graft.operators.Dedup.lineDf]]/
+    * [[graft.operators.Dedup.rewriteLines]]); LineDedupStreamSpec pins
+    * single-batch-from-empty == batch d47 exactly, plus the multi-batch
+    * as-of semantics against an independent in-test oracle. Per-batch
+    * cost ∝ batch lines + the df-state merge (hashed count cells). */
+  final class LineDedupMaintainer(initialDf: DataFrame, out: String)
+      extends ((DataFrame, Long) => Unit) {
+    private var dfState = initialDf // (h, df)
+    private var lastBatchId: Long = -1L
+    override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return // re-delivered epoch (CmsAccumulator guard)
+      val lines = graft.operators.Dedup
+        .lineOccurrences(batch.select("doc_id", "text")).cache()
+      dfState = dfState.unionByName(graft.operators.Dedup.lineDf(lines))
+        .groupBy("h").agg(org.apache.spark.sql.functions.sum(col("df")).as("df"))
+        .ckptRound
+      val boiler = dfState
+        .filter(col("df") > graft.operators.Dedup.LineDfMax).select("h")
+      graft.operators.Dedup.rewriteLines(lines, boiler)
+        .write.mode("append").parquet(out)
+      lines.unpersist()
+      lastBatchId = batchId
+    }
+  }
+
   final class CmsAccumulator(d: Int, wBuckets: Int)
       extends ((DataFrame, Long) => Unit) {
     @volatile private var cells: DataFrame = null
