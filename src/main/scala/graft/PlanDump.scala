@@ -49,7 +49,8 @@ object PlanDump {
     "x125_quantile_map", "x127_graph_triangles", "d47_line_dedup",
     "x126_incremental_manifest", "x128_contamination_spans",
     "x129_dsir_weights", "x130_community_cohesion",
-    "x131_decontaminated_rewrite", "x132_source_priority_sample")
+    "x131_decontaminated_rewrite", "x132_source_priority_sample",
+    "s49_graph_recall_audit", "m50_media_best_keeper")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

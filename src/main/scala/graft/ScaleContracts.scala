@@ -121,7 +121,17 @@ object ScaleContracts {
       Map("skew" -> "audited"),
       "",
       "map-side Partial WindowGroupLimit caps every source at K rows " +
-        "per task before the shuffle (x91's posture, PlanSpec-gated)"))
+        "per task before the shuffle (x91's posture, PlanSpec-gated)"),
+    Contract("s49_graph_recall_audit",
+      Map("skew" -> "audited"),
+      "",
+      "exact side is a fixed 20-query broadcast sample x N (linear); " +
+        "graph side inherits s40's per-bucket cap"),
+    Contract("m50_media_best_keeper",
+      Map("volume" -> "audited"),
+      "",
+      "m49's audited candidate machinery + rank-1 window keyed by " +
+        "component + component-keyed keeper re-attach (d39's posture)"))
 
   /** Fails (IllegalStateException) if `queries` disagrees with the
     * contract table for `gauntlet`, then writes the JSON record. */

@@ -416,7 +416,11 @@ object SkewBench {
     // x132's 10k-doc hot source is x91's worst case — the per-source
     // rank must cap map-side (Partial WindowGroupLimit) so the exchange
     // carries O(sources · K) rows, never the pile
-    "x132_source_priority_sample")
+    "x132_source_priority_sample",
+    // s49 under the 10k-dup embedding: the exact side is 20 broadcast
+    // queries × N (linear, sample-bounded) and the graph side inherits
+    // s40's per-bucket cap — the audit itself must hold the bound
+    "s49_graph_recall_audit")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

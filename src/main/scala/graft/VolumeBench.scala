@@ -98,7 +98,10 @@ object VolumeBench {
     // DsirBuckets cells and broadcast; per-doc aggregate — linear
     "x129_dsir_weights",
     // x130: x127's bounded lcc table + one keyed community rollup
-    "x130_community_cohesion")
+    "x130_community_cohesion",
+    // m50: m49's audited candidate machinery + a rank-1 window keyed by
+    // component + a component-keyed keeper re-attach (d39's posture)
+    "m50_media_best_keeper")
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

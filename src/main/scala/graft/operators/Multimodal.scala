@@ -388,6 +388,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m50: media BEST-COPY keeper — d39's quality-argmax keeper rule
+    * applied to the media tier: per m49 duplicate cluster, keep the
+    * LARGEST blob (byte length as the quality proxy — for media,
+    * bigger generally means less recompressed), ties to the smaller
+    * id, instead of m49's arbitrary min-id representative. The
+    * keeper-decision table a media pipeline acts on.
+    *
+    * Scale: m49's capped candidate machinery verbatim; the argmax is
+    * ONE window keyed by component (rank-1 → map-side group limit) and
+    * the keeper re-attach is a component-keyed join — d39's posture. */
+  val m50MediaBestKeeper = Q(
+    "m50_media_best_keeper",
+    s"""WITH RECURSIVE $duckMedia56Ctes,
+        edges AS (SELECT a_id AS u, b_id AS w FROM cand
+                  UNION ALL SELECT b_id, a_id FROM cand),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w),
+        comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+        sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM comp GROUP BY component),
+        mem AS (SELECT c.doc_id, c.component, s.n_members,
+                       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+                FROM comp c JOIN sz s ON c.component = s.component
+                JOIN documents d ON d.doc_id = c.doc_id),
+        k AS (SELECT component, doc_id AS keeper_id FROM (
+                SELECT component, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                         ORDER BY n_bytes DESC, doc_id) AS rnk FROM mem)
+              WHERE rnk = 1)
+        SELECT m.doc_id, m.component, m.n_members, m.n_bytes, k.keeper_id,
+               m.doc_id = k.keeper_id AS is_best
+        FROM mem m JOIN k ON m.component = k.component
+        ORDER BY m.doc_id""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val comp = Dedup.connectedComponents(mediaPairs56(spark, dir))
+      .select("doc_id", "component", "n_members")
+    val bytes = T(spark, dir, "documents")
+      .select(col("doc_id"), expr("octet_length(text)").cast("long").as("n_bytes"))
+    val mem = comp.join(bytes, "doc_id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    val kp = mem.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("component"), col("doc_id").as("keeper_id"))
+    mem.join(kp, "component")
+      .select(col("doc_id"), col("component"), col("n_members"),
+        col("n_bytes"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_best"))
+      .orderBy("doc_id")
+  }
+
   /** Frame geometry for [[m45AudioFrames]]: 256 samples per frame, and a
     * frame whose energy is below [[SilenceE]] counts as silence (the VAD
     * trim threshold). */
@@ -570,6 +624,6 @@ object Multimodal {
 
   val all: Seq[Q] =
     Seq(m41BinaryFeatures, m42FrameSample, m43ResizePlan, m44MediaNeardup,
-      m46MediaComponents, m49MediaComponentsScalable,
+      m46MediaComponents, m49MediaComponentsScalable, m50MediaBestKeeper,
       m45AudioFrames, m47SceneCuts, m48ChunkManifest)
 }

@@ -1563,6 +1563,83 @@ object Similarity {
       .orderBy("community")
   }
 
+  /** s49: KNN-graph RECALL AUDIT as an oracle row — per sampled query
+    * (20 hash-ranked vectors), how many of its exact top-3 neighbors
+    * the capped s40 graph actually found, with the per-query recall in
+    * ppm. The graph-quality number the gauntlet probe measures at
+    * volume ([[knnRecallProbe]]) made CROSS-ENGINE CHECKABLE at the
+    * base SF: both engines independently derive the exact ranking AND
+    * the capped graph, so a divergence in either shows up as a hash
+    * mismatch, and the recorded recall is a standing correctness
+    * artifact rather than a spec-side number.
+    *
+    * Scale: the exact side is |sample|·N dots with the 20-row query
+    * side broadcast (the s32 contract confined to a fixed sample — at
+    * 100 TB this row stays sample-bounded); the graph side inherits
+    * s40's cap.
+    *
+    * Reading the number: the synthetic sf embeddings are near-uniform
+    * (labels, not geometric clusters), the adversarial regime for any
+    * LSH — ~0.2-0.25 mean recall here is the multi-probe envelope on
+    * unstructured vectors, NOT a defect; on clustered corpora the same
+    * graph measures 0.85-0.96 (RecallSpec's ladder, the VolumeBench
+    * probe at adaptive resolution). The row exists so that number is
+    * pinned cross-engine and visible per query. */
+  val s49GraphRecallAudit = Q(
+    "s49_graph_recall_audit",
+    s"""WITH $duckVecs, $duckW,
+        $duckKnnGraph,
+        qs AS (SELECT vec_id AS q_id FROM e
+               ORDER BY ${H.d("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 20),
+        g AS (SELECT q_id, n_id FROM r
+              WHERE rnk <= 3 AND q_id IN (SELECT q_id FROM qs)),
+        ex0 AS (SELECT q.q_id, n.vec_id AS n_id,
+                       ${Cosine.duckDot("eq.v", "n.v")} / (eq.nrm * n.nrm) AS cos
+                FROM qs q JOIN e eq ON eq.vec_id = q.q_id
+                JOIN e n ON n.vec_id <> q.q_id),
+        ex AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, n_id) AS rnk FROM ex0)
+               WHERE rnk <= 3),
+        hit AS (SELECT ex.q_id, COUNT(*) AS n_hit
+                FROM ex JOIN g ON ex.q_id = g.q_id AND ex.n_id = g.n_id
+                GROUP BY ex.q_id),
+        nx AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM ex GROUP BY q_id)
+        SELECT nx.q_id, nx.n_exact,
+               CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(hit.n_hit, 0) * 1000000 // nx.n_exact AS BIGINT)
+                 AS recall_ppm
+        FROM nx LEFT JOIN hit ON nx.q_id = hit.q_id
+        ORDER BY nx.q_id""") { (spark, dir) =>
+    val e = vecs(spark, dir)
+    val qIds = e.select(col("vec_id"))
+      .orderBy(expr(H.s("cast(vec_id as string)")), col("vec_id"))
+      .limit(20)
+    val q = e.join(broadcast(qIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val exact = broadcast(q)
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("vn"),
+        col("nrm").as("nn")), col("n_id") =!= col("q_id"))
+      .withColumn("cos", Cosine.dot(col("vq"), col("vn")) / (col("nq") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "n_id")
+      .cache() // ≤ 3·|sample| rows — hit join + per-query totals
+    val g = knnGraphRankedAt(spark, dir, NumHp, Some(qIds))
+      .select("q_id", "n_id")
+    val hit = exact.join(g, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hit, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000 div n_exact").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
   /** s41: IVF index-health report — the observability tier of the ANN
     * family: per centroid cell its population, corpus share (ppm), and
     * distinct-label spread, INCLUDING empty cells (a left join from the
@@ -2175,7 +2252,8 @@ object Similarity {
     s36AnnMultiprobe, x93KmeansStep, x95KmeansLloyd, x96Semdedup,
     x98ClusterReps, s37QuantizedKnn, s38PqKnn, s39FilteredAnn, s40KnnGraph,
     x107Pagerank, x118LabelCommunities, x119CommunitySample,
-    x127GraphTriangles, x130CommunityCohesion, s41IvfStats,
+    x127GraphTriangles, x130CommunityCohesion, s49GraphRecallAudit,
+    s41IvfStats,
     s42VectorAudit, s43IvfPqKnn, s44HybridRetrieval, s45IvfRebalance,
     s46RebalanceRecall, s47PersistedIvf, s48ProbeSweep)
 }
