@@ -50,7 +50,7 @@ object PlanDump {
     "x126_incremental_manifest", "x128_contamination_spans",
     "x129_dsir_weights", "x130_community_cohesion",
     "x131_decontaminated_rewrite", "x132_source_priority_sample",
-    "s49_graph_recall_audit", "m50_media_best_keeper")
+    "s49_graph_recall_audit", "m50_media_best_keeper", "x133_dsir_selection")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -127,6 +127,11 @@ object ScaleContracts {
       "",
       "exact side is a fixed 20-query broadcast sample x N (linear); " +
         "graph side inherits s40's per-bucket cap"),
+    Contract("x133_dsir_selection",
+      Map("skew" -> "audited"),
+      "",
+      "x129's 16k-cell broadcast models + x132's map-side per-source " +
+        "group limit"),
     Contract("m50_media_best_keeper",
       Map("volume" -> "audited"),
       "",

@@ -420,7 +420,11 @@ object SkewBench {
     // s49 under the 10k-dup embedding: the exact side is 20 broadcast
     // queries × N (linear, sample-bounded) and the graph side inherits
     // s40's per-bucket cap — the audit itself must hold the bound
-    "s49_graph_recall_audit")
+    "s49_graph_recall_audit",
+    // x133 composes x129's bounded-model scoring with x132's map-side
+    // per-source group limit — the pile is one hot source whose rank
+    // caps before the shuffle
+    "x133_dsir_selection")
 
   /** Writes the hostile tables into `outDir` (only the tables the skew
     * queries read). Deterministic — no rand(). */

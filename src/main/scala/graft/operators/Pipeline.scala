@@ -418,6 +418,13 @@ object Pipeline {
                CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT)
                  AS mean_bits_ppm
         FROM sc GROUP BY doc_id, source ORDER BY doc_id""") { (spark, dir) =>
+    dsirScores(spark, dir).orderBy("doc_id")
+  }
+
+  /** x129's scoring pipeline without the output ordering — (doc_id,
+    * source, n_feats, log2w_bits, mean_bits_ppm), shared by x129 and
+    * the x133 selection tier so the two cannot drift. */
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
     val tk = T(spark, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
     val uni = tk.select(col("doc_id"), col("source"), explode(col("t")).as("f"))
@@ -447,7 +454,66 @@ object Pipeline {
       .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("log2w_bits"))
       .withColumn("mean_bits_ppm",
         expr("log2w_bits * 1000000 div n_feats"))
-      .orderBy("doc_id")
+  }
+
+  /** x133: DSIR SELECTION — the resampling step that consumes x129's
+    * importance scores: per source, the 25 most target-like documents
+    * (highest mean log₂ importance ratio, ties to the smaller id). The
+    * score formula is x129's CTE chain VERBATIM (the x90/x112
+    * composition rule), so selection can never drift from scoring; the
+    * per-source rank is x132's map-side group-limit posture. Together
+    * x129→x133 is DSIR end-to-end: build hashed models → score every
+    * doc → select the importance-weighted subset per source.
+    *
+    * Scale: x129's bounded-model broadcasts + one ROW_NUMBER window
+    * whose `rnk <= K` filter caps map-side (Partial WindowGroupLimit),
+    * so the exchange carries O(sources · K) rows. */
+  val x133DsirSelection = Q(
+    "x133_dsir_selection",
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+        uni AS (SELECT doc_id, source, unnest(t) AS f FROM tk),
+        big AS (SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS f
+                FROM tk),
+        fe AS (SELECT doc_id, source, ${H.d("f")} % $DsirBuckets AS fb
+               FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        ref AS (SELECT MIN(source) AS rs FROM documents),
+        tcnt AS (SELECT fb, COUNT(*) AS ct FROM fe, ref
+                 WHERE source = rs GROUP BY fb),
+        ttot AS (SELECT COUNT(*) AS tt FROM fe, ref WHERE source = rs),
+        rcnt AS (SELECT fb, COUNT(*) AS cr FROM fe GROUP BY fb),
+        rtot AS (SELECT COUNT(*) AS tr FROM fe),
+        sc AS (SELECT fe.doc_id, fe.source,
+                      (LENGTH(bin(rtot.tr)) - LENGTH(bin(rcnt.cr + 1)))
+                    - (LENGTH(bin(ttot.tt))
+                       - LENGTH(bin(COALESCE(tcnt.ct, 0) + 1))) AS bits
+               FROM fe JOIN rcnt ON fe.fb = rcnt.fb
+               LEFT JOIN tcnt ON fe.fb = tcnt.fb, rtot, ttot),
+        ds AS (SELECT doc_id, source,
+                      SUM(bits) * 1000000 // COUNT(*) AS mean_bits_ppm
+               FROM sc GROUP BY doc_id, source),
+        rk AS (SELECT doc_id, source, mean_bits_ppm,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY mean_bits_ppm DESC, doc_id) AS rnk
+               FROM ds)
+        SELECT source, doc_id, CAST(mean_bits_ppm AS BIGINT) AS mean_bits_ppm,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM rk WHERE rnk <= 25 ORDER BY source, rnk""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = dsirScores(spark, dir)
+      .select(col("doc_id"), col("source"), col("mean_bits_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mean_bits_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      // raw rank attribute filtered before the cast (x91/x132's
+      // InferWindowGroupLimit rule)
+      .filter(col("rnk") <= 25)
+      .select(col("source"), col("doc_id"), col("mean_bits_ppm"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("source", "rnk")
   }
 
   /** Token-budget data mixing: fill a fixed per-source token budget with
@@ -2017,5 +2083,5 @@ object Pipeline {
     x115CurriculumShards, x120PrioritySample, x121QuantileNorm,
     x124SamplingManifest, x125QuantileMap, x126IncrementalManifest,
     x128ContaminationSpans, x129DsirWeights, x131DecontaminatedRewrite,
-    x132SourcePrioritySample)
+    x132SourcePrioritySample, x133DsirSelection)
 }

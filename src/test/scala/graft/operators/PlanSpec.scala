@@ -127,6 +127,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text"), "text must be pruned from the scan")
   }
 
+  test("x133: DSIR selection rank caps map-side; models broadcast") {
+    val p = plan("x133_dsir_selection")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "rnk <= K must cap map-side before the shuffle")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 16k-cell models must broadcast into the scoring join")
+  }
+
   test("t29: gram counting is partial+final agg, no cartesian") {
     val p = plan("t29_repetition")
     assert(p.contains("partial_max") || p.contains("Partial"))
