@@ -788,7 +788,20 @@ object StreamOps {
     * EXACTLY x126's rows (ManifestStreamSpec pins this, plus the
     * multi-batch as-of-state semantics against an independent
     * in-test oracle). Per-batch cost ∝ batch size + cell domain —
-    * the corpus is never rescanned. */
+    * the corpus is never rescanned.
+    *
+    * Restart contract ([[IngestAdmission]]'s, stated explicitly): the
+    * per-batch index/cell growth lives in this JVM — after a restart,
+    * reconstruct from the STANDING corpus state (the constructor
+    * inputs: d37CorpusIndex + x126CellState) and replay the
+    * unprocessed batches; already-appended manifest rows are an
+    * append-only ledger keyed by doc_id, so a replayed batch rewrites
+    * to identical rows only if the ledger is deduplicated by the
+    * reader (or the out path is per-run). This is NOT the
+    * ShardMaintainer/PrioritySample filesystem-truth tier — promoting
+    * it means persisting the cell state per batch (the versioned-dir
+    * recipe) and appending the index tables; contract documented
+    * rather than claimed. */
   final class ManifestMaintainer(
       corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
       initialCells: DataFrame, out: String) extends ((DataFrame, Long) => Unit) {
@@ -825,7 +838,10 @@ object StreamOps {
     * [[graft.operators.Dedup.rewriteLines]]); LineDedupStreamSpec pins
     * single-batch-from-empty == batch d47 exactly, plus the multi-batch
     * as-of semantics against an independent in-test oracle. Per-batch
-    * cost ∝ batch lines + the df-state merge (hashed count cells). */
+    * cost ∝ batch lines + the df-state merge (hashed count cells).
+    * Restart contract: same as [[ManifestMaintainer]] — in-JVM model
+    * growth, reconstruct from the standing state and replay; the
+    * filesystem-truth upgrade is the versioned-dir recipe. */
   final class LineDedupMaintainer(initialDf: DataFrame, out: String)
       extends ((DataFrame, Long) => Unit) {
     private var dfState = initialDf // (h, df)
