@@ -771,57 +771,107 @@ object StreamOps {
     * each micro-batch of arriving documents is admission-checked
     * against the growing d37 index, scored against the MERGED quantile
     * state (history cells + every batch seen so far), and its manifest
-    * rows appended to `out`. The three state pieces and their
-    * disciplines:
-    *  - admission index (sets/bands/hot): [[graft.operators.Dedup.incrementalAdmit]]
-    *    with per-batch appends, exactly [[IngestAdmission]];
+    * rows committed under `root/manifest/epoch=<batchId>`. The three
+    * state pieces and their disciplines:
+    *  - admission index (sets/bands/hot): [[graft.operators.Dedup.incrementalAdmit]];
+    *    each epoch's batch sets/bands are committed as their own
+    *    `e=<batchId>` dirs beside the standing corpus index;
     *  - (source, cell) histogram: mergeable counts
     *    ([[graft.operators.Pipeline.mergeCellState]] — x100's partial
-    *    discipline), lineage-truncated per batch;
+    *    discipline), committed per epoch as a full snapshot (the cell
+    *    domain is value-bounded, so a snapshot is cells-sized);
     *  - manifest rows: [[graft.operators.Pipeline.manifestRows]]
     *    VERBATIM — one scoring definition for both tiers.
     * CONTRACT: a batch's rows carry the quantile state AS OF its
     * admission (a later batch shifts quantiles for later docs only —
-    * the manifest is an append-only ledger; x110's drift audit decides
-    * when a full x124/x126 re-derivation is due). A single batch
-    * containing everything x126 calls "the batch" therefore produces
-    * EXACTLY x126's rows (ManifestStreamSpec pins this, plus the
-    * multi-batch as-of-state semantics against an independent
-    * in-test oracle). Per-batch cost ∝ batch size + cell domain —
-    * the corpus is never rescanned.
+    * the manifest is an append-only per-epoch ledger; x110's drift
+    * audit decides when a full x124/x126 re-derivation is due). A
+    * single batch containing everything x126 calls "the batch"
+    * therefore produces EXACTLY x126's rows (ManifestStreamSpec pins
+    * this, plus the multi-batch as-of-state semantics against an
+    * independent in-test oracle).
     *
-    * Restart contract ([[IngestAdmission]]'s, stated explicitly): the
-    * per-batch index/cell growth lives in this JVM — after a restart,
-    * reconstruct from the STANDING corpus state (the constructor
-    * inputs: d37CorpusIndex + x126CellState) and replay the
-    * unprocessed batches; already-appended manifest rows are an
-    * append-only ledger keyed by doc_id, so a replayed batch rewrites
-    * to identical rows only if the ledger is deduplicated by the
-    * reader (or the out path is per-run). This is NOT the
-    * ShardMaintainer/PrioritySample filesystem-truth tier — promoting
-    * it means persisting the cell state per batch (the versioned-dir
-    * recipe) and appending the index tables; contract documented
-    * rather than claimed. */
+    * Restart safety by FILESYSTEM TRUTH (the ShardMaintainer/
+    * PrioritySample discipline): NO JVM state is load-bearing — the
+    * applied-epoch watermark is the highest epoch whose MANIFEST dir
+    * committed (the epoch's LAST write, so it is a floor, never a
+    * promise); admission state is the standing corpus index plus every
+    * committed PRIOR epoch's appends; the quantile predecessor is the
+    * highest committed cells snapshot below the epoch, so a crashed
+    * attempt can never double-merge a batch (it recomputes from the
+    * predecessor and overwrites its own torn dirs — every per-epoch
+    * write is an idempotent overwrite with its own _SUCCESS, and
+    * superseded snapshots are pruned only AFTER the epoch commits).
+    * A fresh instance over the same `root` resumes exactly; epochs must
+    * be monotone (Structured Streaming's checkpointed batchIds — the
+    * ShardMaintainer contract). Per-batch cost ∝ batch size + committed
+    * index appends + cell domain — the corpus is never rescanned;
+    * long-running streams compact the `e=` append dirs periodically
+    * (x105's posture). */
   final class ManifestMaintainer(
       corpusSets: DataFrame, corpusBands: DataFrame, hotDf: DataFrame,
-      initialCells: DataFrame, out: String) extends ((DataFrame, Long) => Unit) {
-    private var sets = corpusSets
-    private var bands = corpusBands
-    private var cells = initialCells
-    private var lastBatchId: Long = -1L
+      initialCells: DataFrame, root: String) extends ((DataFrame, Long) => Unit) {
+
+    /** The manifest ledger (epoch=<n>-partitioned parquet). */
+    def manifestPath: String = s"$root/manifest"
+
+    private def committedEpochs(spark: SparkSession, dir: String,
+        prefix: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix(prefix).toLong)
+    }
+
+    /** Applied-epoch watermark — filesystem truth, valid across
+      * restarts. */
+    private def lastApplied(spark: SparkSession): Long =
+      committedEpochs(spark, manifestPath, "epoch=").foldLeft(-1L)(math.max)
+
     override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return // re-delivered epoch (CmsAccumulator guard)
-      val (verdicts, bsets, bbands) =
-        graft.operators.Dedup.incrementalAdmit(
-          batch.select("doc_id", "text"), sets, bands, hotDf)
-      cells = graft.operators.Pipeline.mergeCellState(cells, batch).ckptRound
+      val spark = batch.sparkSession
+      if (batchId <= lastApplied(spark)) return // committed epoch: skip
+      // admission state = standing corpus index + committed PRIOR
+      // epochs' appends (this epoch's own torn dirs from a crashed
+      // attempt are excluded by the < filter and overwritten below)
+      def appends(name: String): Option[DataFrame] = {
+        val es = committedEpochs(spark, s"$root/$name", "e=")
+          .filter(_ < batchId)
+        if (es.isEmpty) None
+        else Some(spark.read.parquet(
+          es.map(e => s"$root/$name/e=$e"): _*))
+      }
+      val sets = appends("sets").fold(corpusSets)(corpusSets.unionByName(_))
+      val bands = appends("bands").fold(corpusBands)(corpusBands.unionByName(_))
+      val (verdicts, bsets, bbands) = graft.operators.Dedup.incrementalAdmit(
+        batch.select("doc_id", "text"), sets, bands, hotDf)
+      // quantile predecessor: highest committed snapshot BELOW this
+      // epoch — replay recomputes from it, never double-merges
+      val prevCells = committedEpochs(spark, s"$root/cells", "e=")
+        .filter(_ < batchId).sorted.lastOption
+        .map(e => spark.read.parquet(s"$root/cells/e=$e"))
+        .getOrElse(initialCells)
+      val cells = graft.operators.Pipeline.mergeCellState(prevCells, batch)
+        .ckptRound
+      // per-epoch idempotent overwrites, each with its own _SUCCESS;
+      // the MANIFEST write commits the epoch, so it goes LAST
+      cells.write.mode("overwrite").parquet(s"$root/cells/e=$batchId")
+      bsets.write.mode("overwrite").parquet(s"$root/sets/e=$batchId")
+      bbands.write.mode("overwrite").parquet(s"$root/bands/e=$batchId")
       graft.operators.Pipeline.manifestRows(batch, verdicts, cells)
-        .write.mode("append").parquet(out)
-      sets = sets.unionByName(bsets).ckptRound
-      bands = bands.unionByName(bbands).ckptRound
+        .write.mode("overwrite").parquet(s"$manifestPath/epoch=$batchId")
       bsets.unpersist()
       bbands.unpersist()
-      lastBatchId = batchId
+      // prune superseded cell snapshots only after this epoch committed
+      val cp = new org.apache.hadoop.fs.Path(s"$root/cells")
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      committedEpochs(spark, s"$root/cells", "e=").filter(_ < batchId)
+        .foreach(e => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$root/cells/e=$e"), true))
     }
   }
 
@@ -839,26 +889,59 @@ object StreamOps {
     * single-batch-from-empty == batch d47 exactly, plus the multi-batch
     * as-of semantics against an independent in-test oracle. Per-batch
     * cost ∝ batch lines + the df-state merge (hashed count cells).
-    * Restart contract: same as [[ManifestMaintainer]] — in-JVM model
-    * growth, reconstruct from the standing state and replay; the
-    * filesystem-truth upgrade is the versioned-dir recipe. */
-  final class LineDedupMaintainer(initialDf: DataFrame, out: String)
+    *
+    * Restart safety by FILESYSTEM TRUTH ([[ManifestMaintainer]]'s
+    * discipline, same layout): the applied-epoch watermark is the
+    * highest epoch whose OUTPUT dir committed (the epoch's last write);
+    * the df model's predecessor is the highest committed snapshot below
+    * the epoch, so a crashed attempt recomputes from it and overwrites
+    * its own torn dirs instead of double-merging; snapshots prune only
+    * after the epoch commits. Fresh instances over the same `root`
+    * resume exactly; epochs must be monotone (checkpointed batchIds). */
+  final class LineDedupMaintainer(initialDf: DataFrame, root: String)
       extends ((DataFrame, Long) => Unit) {
-    private var dfState = initialDf // (h, df)
-    private var lastBatchId: Long = -1L
+
+    /** The rewritten-batch ledger (epoch=<n>-partitioned parquet). */
+    def outPath: String = s"$root/out"
+
+    private def committedEpochs(spark: SparkSession, dir: String,
+        prefix: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix(prefix).toLong)
+    }
+
     override def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return // re-delivered epoch (CmsAccumulator guard)
+      val spark = batch.sparkSession
+      val applied = committedEpochs(spark, outPath, "epoch=")
+        .foldLeft(-1L)(math.max)
+      if (batchId <= applied) return // committed epoch: skip
       val lines = graft.operators.Dedup
         .lineOccurrences(batch.select("doc_id", "text")).cache()
-      dfState = dfState.unionByName(graft.operators.Dedup.lineDf(lines))
+      val prevDf = committedEpochs(spark, s"$root/df", "e=")
+        .filter(_ < batchId).sorted.lastOption
+        .map(e => spark.read.parquet(s"$root/df/e=$e"))
+        .getOrElse(initialDf)
+      val merged = prevDf.unionByName(graft.operators.Dedup.lineDf(lines))
         .groupBy("h").agg(org.apache.spark.sql.functions.sum(col("df")).as("df"))
         .ckptRound
-      val boiler = dfState
+      merged.write.mode("overwrite").parquet(s"$root/df/e=$batchId")
+      val boiler = merged
         .filter(col("df") > graft.operators.Dedup.LineDfMax).select("h")
+      // the OUTPUT write commits the epoch — last
       graft.operators.Dedup.rewriteLines(lines, boiler)
-        .write.mode("append").parquet(out)
+        .write.mode("overwrite").parquet(s"$outPath/epoch=$batchId")
       lines.unpersist()
-      lastBatchId = batchId
+      val dp = new org.apache.hadoop.fs.Path(s"$root/df")
+      val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      committedEpochs(spark, s"$root/df", "e=").filter(_ < batchId)
+        .foreach(e => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$root/df/e=$e"), true))
     }
   }
 
