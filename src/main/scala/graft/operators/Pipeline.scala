@@ -421,31 +421,50 @@ object Pipeline {
     dsirScores(spark, dir).orderBy("doc_id")
   }
 
-  /** x129's scoring pipeline without the output ordering — (doc_id,
-    * source, n_feats, log2w_bits, mean_bits_ppm), shared by x129 and
-    * the x133 selection tier so the two cannot drift. */
-  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
-    val tk = T(spark, dir, "documents")
+  /** The hashed uni+bigram feature stream (doc_id, source, fb) — the
+    * shared front of DSIR model building and scoring. */
+  private[graft] def dsirFeatures(docs: DataFrame): DataFrame = {
+    val tk = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
     val uni = tk.select(col("doc_id"), col("source"), explode(col("t")).as("f"))
     val big = tk.filter(size(col("t")) >= 2) // duck range(1, 1) is empty too
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(0, size(t) - 2), " +
           "i -> concat(t[i], ' ', t[i+1]))")).as("f"))
-    val fe = uni.unionByName(big)
+    uni.unionByName(big)
       .withColumn("fb", expr(s"${H.s("f")} % $DsirBuckets"))
       .select("doc_id", "source", "fb")
+  }
+
+  /** The frozen DSIR model: target/corpus hashed-feature counts and
+    * totals — four domain-bounded frames (≤ [[DsirBuckets]] cells + two
+    * 1-row totals) built in ONE batch pass over the corpus. */
+  private[graft] case class DsirModel(tcnt: DataFrame, ttot: DataFrame,
+      rcnt: DataFrame, rtot: DataFrame)
+
+  private[graft] def dsirModel(spark: SparkSession, dir: String): DsirModel = {
+    val fe = dsirFeatures(T(spark, dir, "documents"))
     val refSrc = T(spark, dir, "documents")
       .agg(min(col("source")).as("rs"))
     val feT = fe.join(broadcast(refSrc), col("source") === col("rs"))
-    val tcnt = feT.groupBy("fb").agg(count(lit(1)).as("ct"))
-    val ttot = feT.agg(count(lit(1)).as("tt"))
-    val rcnt = fe.groupBy("fb").agg(count(lit(1)).as("cr"))
-    val rtot = fe.agg(count(lit(1)).as("tr"))
-    fe.join(broadcast(rcnt), Seq("fb"))
-      .join(broadcast(tcnt), Seq("fb"), "left")
-      .crossJoin(broadcast(rtot))
-      .crossJoin(broadcast(ttot))
+    DsirModel(
+      feT.groupBy("fb").agg(count(lit(1)).as("ct")),
+      feT.agg(count(lit(1)).as("tt")),
+      fe.groupBy("fb").agg(count(lit(1)).as("cr")),
+      fe.agg(count(lit(1)).as("tr")))
+  }
+
+  /** Score a (doc_id, source, text) frame against a FROZEN [[DsirModel]]
+    * — stateless per document, so the same code scores an ingest stream
+    * incrementally (DsirStreamSpec pins stream == batch; the x96/t34
+    * contract: model-BUILD is batch, model-APPLICATION streams). */
+  private[graft] def dsirScoreAgainst(docs: DataFrame,
+      m: DsirModel): DataFrame =
+    dsirFeatures(docs)
+      .join(broadcast(m.rcnt), Seq("fb"))
+      .join(broadcast(m.tcnt), Seq("fb"), "left")
+      .crossJoin(broadcast(m.rtot))
+      .crossJoin(broadcast(m.ttot))
       .withColumn("bits",
         ((length(bin(col("tr"))) - length(bin(col("cr") + 1)))
           - (length(bin(col("tt")))
@@ -454,7 +473,12 @@ object Pipeline {
       .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("log2w_bits"))
       .withColumn("mean_bits_ppm",
         expr("log2w_bits * 1000000 div n_feats"))
-  }
+
+  /** x129's scoring pipeline without the output ordering — (doc_id,
+    * source, n_feats, log2w_bits, mean_bits_ppm), shared by x129 and
+    * the x133 selection tier so the two cannot drift. */
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame =
+    dsirScoreAgainst(T(spark, dir, "documents"), dsirModel(spark, dir))
 
   /** x133: DSIR SELECTION — the resampling step that consumes x129's
     * importance scores: per source, the 25 most target-like documents
