@@ -1475,15 +1475,25 @@ object Dedup {
         FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         ORDER BY a_id, b_id""") { (spark, dir) =>
+    // r12 optimization — verification via per-doc capped ARRAYS (the
+    // d28/lshVerifiedPairs idiom) instead of re-joining the exploded
+    // index per candidate: the old tail was cand ⋈ ex(a) ⋈ ex(b,h) →
+    // groupBy(pair) → 2 sz joins — five exchanges carrying
+    // candidate×shingle exploded rows. Now ONE regroup of the cached
+    // index into (doc_id, th) feeds two doc-keyed joins and the
+    // intersect/sizes are map-side; n_common = |array_intersect| over
+    // distinct-per-doc sets is exactly the oracle's COUNT(*) on matched
+    // h. Candidate GENERATION (the prefix-filter index) is unchanged —
+    // that is the operator.
     val hs = shingleHashes(spark, dir).cache()
     val ex = cappedShingleIndex(hs).cache()
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sets = ex.groupBy("doc_id").agg(collect_list(col("h")).as("th")).cache()
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val pref = ex.join(dfreq, "h")
       .withColumn("rnk", row_number().over(wDoc))
-      .join(sz, "doc_id")
+      .join(sets.select(col("doc_id"), size(col("th")).as("n_sh")), "doc_id")
       .filter(col("rnk") <= expr("n_sh - ((n_sh + 1) div 2) + 1"))
       .select("doc_id", "h")
     val cand = pref.as("a")
@@ -1492,11 +1502,12 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cand
-      .join(ex.select(col("doc_id").as("a_id"), col("h")), "a_id")
-      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-      .join(sz.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sz.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .join(sets.select(col("doc_id").as("a_id"), col("th").as("th_a")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("th").as("th_b")), "b_id")
+      .withColumn("n_common",
+        size(array_intersect(col("th_a"), col("th_b"))).cast("long"))
+      .withColumn("n_a", size(col("th_a")).cast("long"))
+      .withColumn("n_b", size(col("th_b")).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)

@@ -509,15 +509,26 @@ object Events {
               CAST((MAX(tsn) - MIN(root_tsn)) // 1000000000 AS BIGINT) AS dur_s
        FROM chain GROUP BY user_id, root_id
        ORDER BY user_id, root_id""") { (spark, dir) =>
+    // r12 optimization: the recursive step references `s` once per
+    // iteration, and an inline CTE re-runs the LEAD/LAG windows (scan +
+    // user_id shuffle + sort) at EVERY recursion level. Materializing
+    // `s` as a cached view makes each level one keyed join against an
+    // in-memory relation — the windows run once, rows identical (the
+    // cache is built inside the timed query; the oracle statement is
+    // unchanged).
     T(spark, dir, "events").selectExpr("user_id", "event_id", "ts as tsn")
       .createOrReplaceTempView("q92_events")
     spark.sql(
+      """SELECT user_id, event_id, tsn,
+                LEAD(event_id) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nid,
+                LEAD(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nts,
+                LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pts
+         FROM q92_events""")
+      .cache()
+      .createOrReplaceTempView("q92_s")
+    spark.sql(
       """WITH RECURSIVE
-         s AS (SELECT user_id, event_id, tsn,
-                      LEAD(event_id) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nid,
-                      LEAD(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS nts,
-                      LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pts
-               FROM q92_events),
+         s AS (SELECT * FROM q92_s),
          chain(user_id, root_id, event_id, tsn, root_tsn) AS (
            SELECT user_id, event_id, event_id, tsn, tsn FROM s
            WHERE pts IS NULL OR tsn - pts > 1800000000000

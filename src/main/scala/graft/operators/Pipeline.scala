@@ -422,19 +422,24 @@ object Pipeline {
   }
 
   /** The hashed uni+bigram feature stream (doc_id, source, fb) — the
-    * shared front of DSIR model building and scoring. */
-  private[graft] def dsirFeatures(docs: DataFrame): DataFrame = {
-    val tk = docs
+    * shared front of DSIR model building and scoring.
+    *
+    * ONE corpus pass (r12 optimization): unigrams and bigrams explode
+    * from a single concatenated array per document instead of a
+    * union of two scans — the union form tokenized every document
+    * twice and read the source twice (guide §1.2: remove passes). The
+    * emitted (doc_id, source, fb) multiset is identical (downstream is
+    * all order-insensitive aggregation); the `size(t) >= 2` guard moves
+    * inside the row as an empty-array branch (duck `range(1, 1)` is
+    * empty too). */
+  private[graft] def dsirFeatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-    val uni = tk.select(col("doc_id"), col("source"), explode(col("t")).as("f"))
-    val big = tk.filter(size(col("t")) >= 2) // duck range(1, 1) is empty too
       .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(t) - 2), " +
-          "i -> concat(t[i], ' ', t[i+1]))")).as("f"))
-    uni.unionByName(big)
+        "concat(t, if(size(t) >= 2, transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i+1])), array()))")).as("f"))
       .withColumn("fb", expr(s"${H.s("f")} % $DsirBuckets"))
       .select("doc_id", "source", "fb")
-  }
 
   /** The frozen DSIR model: target/corpus hashed-feature counts and
     * totals — four domain-bounded frames (≤ [[DsirBuckets]] cells + two
@@ -442,17 +447,25 @@ object Pipeline {
   private[graft] case class DsirModel(tcnt: DataFrame, ttot: DataFrame,
       rcnt: DataFrame, rtot: DataFrame)
 
-  private[graft] def dsirModel(spark: SparkSession, dir: String): DsirModel = {
-    val fe = dsirFeatures(T(spark, dir, "documents"))
-    val refSrc = T(spark, dir, "documents")
-      .agg(min(col("source")).as("rs"))
+  /** Build the model from an (optionally cached) feature frame — the
+    * totals are rollups of the ≤ [[DsirBuckets]]-row cell tables (tt =
+    * Σ ct, tr = Σ cr, coalesced to 0 on an empty target), so the corpus
+    * is aggregated once per side, not twice (r12 optimization: two of
+    * the four corpus-sized aggregations became cell-table rollups). */
+  private[graft] def dsirModelFrom(fe: DataFrame, refSrc: DataFrame): DsirModel = {
     val feT = fe.join(broadcast(refSrc), col("source") === col("rs"))
+    val tcnt = feT.groupBy("fb").agg(count(lit(1)).as("ct"))
+    val rcnt = fe.groupBy("fb").agg(count(lit(1)).as("cr"))
     DsirModel(
-      feT.groupBy("fb").agg(count(lit(1)).as("ct")),
-      feT.agg(count(lit(1)).as("tt")),
-      fe.groupBy("fb").agg(count(lit(1)).as("cr")),
-      fe.agg(count(lit(1)).as("tr")))
+      tcnt,
+      tcnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")),
+      rcnt,
+      rcnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
   }
+
+  private[graft] def dsirModel(spark: SparkSession, dir: String): DsirModel =
+    dsirModelFrom(dsirFeatures(T(spark, dir, "documents")),
+      T(spark, dir, "documents").agg(min(col("source")).as("rs")))
 
   /** Score a (doc_id, source, text) frame against a FROZEN [[DsirModel]]
     * — stateless per document, so the same code scores an ingest stream
@@ -460,7 +473,12 @@ object Pipeline {
     * contract: model-BUILD is batch, model-APPLICATION streams). */
   private[graft] def dsirScoreAgainst(docs: DataFrame,
       m: DsirModel): DataFrame =
-    dsirFeatures(docs)
+    dsirScoreFeatures(dsirFeatures(docs), m)
+
+  /** Scoring from an already-derived feature frame — lets [[dsirScores]]
+    * reuse the one cached feature pass for both model build and scoring. */
+  private def dsirScoreFeatures(fe: DataFrame, m: DsirModel): DataFrame =
+    fe
       .join(broadcast(m.rcnt), Seq("fb"))
       .join(broadcast(m.tcnt), Seq("fb"), "left")
       .crossJoin(broadcast(m.rtot))
@@ -477,8 +495,17 @@ object Pipeline {
   /** x129's scoring pipeline without the output ordering — (doc_id,
     * source, n_feats, log2w_bits, mean_bits_ppm), shared by x129 and
     * the x133 selection tier so the two cannot drift. */
-  private def dsirScores(spark: SparkSession, dir: String): DataFrame =
-    dsirScoreAgainst(T(spark, dir, "documents"), dsirModel(spark, dir))
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+    // ONE cached feature pass feeds model build AND scoring (r12
+    // optimization: the previous form derived the explode+md5 feature
+    // stream five times per query — twice per model side, once for
+    // scoring; now the corpus is tokenized/hashed once and the model
+    // aggregations + scoring join all read the cached stream)
+    val docs = T(spark, dir, "documents")
+    val fe = dsirFeatures(docs).cache()
+    dsirScoreFeatures(fe,
+      dsirModelFrom(fe, docs.agg(min(col("source")).as("rs"))))
+  }
 
   /** x133: DSIR SELECTION — the resampling step that consumes x129's
     * importance scores: per source, the 25 most target-like documents
@@ -1024,22 +1051,66 @@ object Pipeline {
     *     also catches a duplicated boundary index). Split summaries are
     *     2 longs per (file, split) — tiny at any scale.
     * Keys are file×split → balanced at any scale. */
-  private[operators] def shardOrderInversions(
+  /** Per-(shard, file, read-split) audit partials from ONE pass over the
+    * exported layout (r12 optimization): the previous form read the
+    * export THREE times (content aggregate, intra-split inversion
+    * window, cross-split range summary) and shuffled every re-read row
+    * (plus its file name) through a (file, split) window. A parquet
+    * read-split delivers its rows in file order, so a per-partition
+    * kernel computes everything the three passes derived — count, XOR
+    * checksum, byte total, [min,max] index range, and ADJACENT-PAIR
+    * inversions in physical arrival order — in one scan with ZERO
+    * shuffle; the emitted partials are 2-9 longs per (file, split).
+    * Detector semantics are unchanged (ExportSpec pins all five audit
+    * behaviors, including the split-boundary inversion): detector 1 is
+    * the same adjacent comparison within each (file, split) window,
+    * detector 2 the same cross-split [min,max] overlap check, now over
+    * the kernel's split summaries. */
+  private def shardSplitPartials(
       spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.read.parquet(out)
+      .select(col("shard").cast("long"), col("global_idx").cast("long"),
+        expr(H.s("text")).as("th"), length(col("text")).cast("long"),
+        input_file_name())
+      .as[(Long, Long, Long, Long, String)]
+      .mapPartitions { it =>
+        // one row per (shard, file) within this split; a shard layout
+        // file carries one shard, so keying by (shard, f) is the old
+        // (f, pid) window granularity with pid = this task
+        final class Agg {
+          var cnt = 0L; var xor = 0L; var bytes = 0L
+          var min = Long.MaxValue; var max = Long.MinValue; var inv = 0L
+        }
+        val acc = scala.collection.mutable.LinkedHashMap.empty[(Long, String), Agg]
+        var prevF: String = null
+        var prevGi = 0L
+        it.foreach { case (shard, gi, th, len, f) =>
+          val a = acc.getOrElseUpdate((shard, f), new Agg)
+          a.cnt += 1; a.xor ^= th; a.bytes += len
+          if (gi < a.min) a.min = gi
+          if (gi > a.max) a.max = gi
+          if ((f eq prevF) || f == prevF) { if (prevGi > gi) a.inv += 1 }
+          prevF = f; prevGi = gi
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        acc.iterator.map { case ((shard, f), a) =>
+          (shard, f, pid, a.cnt, a.xor, a.bytes, a.min, a.max, a.inv)
+        }
+      }
+      .toDF("shard", "f", "pid", "cnt", "xor", "bytes", "smin", "smax", "inv")
+  }
+
+  /** (shard, inversions) from the split partials — detector 1 (intra-
+    * split adjacent inversions, summed) + detector 2 (overlapping
+    * [min,max] split ranges per file). */
+  private def inversionsFrom(parts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ordW = Window.partitionBy(col("f"), col("pid")).orderBy(col("pos"))
-    val rr = spark.read.parquet(out)
-      .select(col("shard").cast("long").as("shard"), col("global_idx"),
-        input_file_name().as("f"), spark_partition_id().as("pid"),
-        monotonically_increasing_id().as("pos"))
-    val intraInv = rr
-      .withColumn("prev", lag(col("global_idx"), 1).over(ordW))
-      .groupBy("shard")
-      .agg(sum(when(col("prev") > col("global_idx"), 1L).otherwise(0L))
-        .as("inversions"))
     val ordS = Window.partitionBy(col("f")).orderBy(col("smin"))
-    val crossInv = rr.groupBy(col("shard"), col("f"), col("pid"))
-      .agg(min(col("global_idx")).as("smin"), max(col("global_idx")).as("smax"))
+    val intraInv = parts.groupBy("shard")
+      .agg(sum(col("inv")).as("inversions"))
+    val crossInv = parts
       .withColumn("pmax", lag(col("smax"), 1).over(ordS))
       .groupBy("shard")
       .agg(sum(when(col("pmax") >= col("smin"), 1L).otherwise(0L))
@@ -1050,18 +1121,22 @@ object Pipeline {
           coalesce(col("xinversions"), lit(0L))).as("inversions"))
   }
 
+  private[operators] def shardOrderInversions(
+      spark: org.apache.spark.sql.SparkSession, out: String): DataFrame =
+    inversionsFrom(shardSplitPartials(spark, out))
+
   private[operators] def auditShards(
       spark: org.apache.spark.sql.SparkSession, dir: String, out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ra = spark.read.parquet(out)
-      .select(col("shard").cast("long").as("shard"), col("text"), col("global_idx"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("r_docs"),
-        expr(s"bit_xor(${H.s("text")})").as("r_checksum"),
-        sum(length(col("text")).cast("long")).as("r_bytes"),
-        min(col("global_idx")).as("r_min"),
-        max(col("global_idx")).as("r_max"))
-    val inv = shardOrderInversions(spark, out)
+    // ONE export read: the cached split partials feed the per-shard
+    // content rollup AND both order detectors (previously three reads)
+    val parts = shardSplitPartials(spark, out).cache()
+    val ra = parts.groupBy("shard")
+      .agg(sum(col("cnt")).as("r_docs"),
+        expr("bit_xor(xor)").as("r_checksum"),
+        sum(col("bytes")).as("r_bytes"),
+        min(col("smin")).as("r_min"),
+        max(col("smax")).as("r_max"))
+    val inv = inversionsFrom(parts)
     manifestFrame(spark, dir).join(ra, Seq("shard"), "full_outer")
       .join(inv, Seq("shard"), "left_outer")
       .select(col("shard"),
@@ -1112,6 +1187,12 @@ object Pipeline {
     val out = TmpLayouts.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
         s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}")
+    // r12 optimization: the export (join side) and the audit's manifest
+    // both derive from the SAME global-index plan — registering it in the
+    // cache once lets both consumers hit one materialization by plan
+    // canonicalization (the hs0 precedent) instead of re-running the
+    // bucket window + offset join per consumer
+    globalIndexFrame(spark, dir).cache()
     exportShards(spark, dir, out)
     auditShards(spark, dir, out)
   }
@@ -1256,7 +1337,12 @@ object Pipeline {
     val out = TmpLayouts.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_increxport_" +
         s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}")
-    val d = hashShardDocs(spark, dir)
+    // r12 optimization: the hashed corpus view feeds FOUR consumers (v1
+    // write, changed-shard set, delta write, audit source side) — each
+    // previously re-scanned documents and re-derived md5(text); one
+    // disk-spillable cache serves all four (the audit's identical
+    // hashShardDocs subtree hits this cache by plan canonicalization)
+    val d = hashShardDocs(spark, dir).cache()
     writeHashShards(d.filter(col("b") =!= 7), out, dynamic = false)
     // the delta arrives: rewrite only the shards it hashes into, with
     // those shards' full v2 content
