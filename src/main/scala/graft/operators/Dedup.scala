@@ -487,8 +487,18 @@ object Dedup {
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("w")))
       .repartition(col("w"))
       .ckptRound
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).ckptRound
+    // r12 optimization: initialize each label at min(id, min neighbor id)
+    // — exactly the result of the first HashMin round from the identity
+    // labeling, computed as ONE aggregate over the edge list instead of a
+    // distinct + a full propagate round (join + regroup + checkpoint +
+    // convergence count). HashMin is monotone toward the same fixpoint
+    // from any state ≥ it, so the final labels are bit-identical (d34's
+    // oracle and the d35 star-equality spec pin this); the loop just
+    // starts one hop further in. Every node appears as `u` in the
+    // doubled edge list, so the aggregate covers all nodes.
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("w")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("lbl")).ckptRound
     var changed = 1L
     var it = 0
     while (changed > 0 && it < CCMaxIter) {
@@ -975,11 +985,17 @@ object Dedup {
         col("tk"))
       .select(col("doc_id"), col("pos"),
         array_join(slice(col("tk"), col("pos"), lit(SpanGram)), " ").as("g"))
+      // r12 optimization: grams feeds the hot-gram profile AND the
+      // anti-join side, and every caller (d36, x128/x131) self-joins the
+      // returned occurrences — uncached, the tokenize+explode pipeline
+      // ran up to 4× per query. Both caches are disk-spillable, the d27
+      // `ex` precedent.
+      .cache()
     val hot = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > SpanGramDfCap)
       .select("g")
-    grams.join(hot, Seq("g"), "left_anti")
+    grams.join(hot, Seq("g"), "left_anti").cache()
   }
 
   /** Spark twin of [[duckSpanIslands]]: collapse a pair table (a_id,

@@ -711,10 +711,13 @@ object TextOps {
                    JOIN tot tb ON src_b = tb.source
         ORDER BY src_a, src_b""") { (spark, dir) =>
     val src = T(spark, dir, "documents").select("doc_id", "source")
+    // r12 optimization: ds feeds the totals AND both self-join sides —
+    // uncached, the shingle kernel + explode + join + distinct ran three
+    // times per query
     val ds = Dedup.shingleHashes(spark, dir)
       .select(col("doc_id"), explode(col("th")).as("h"))
       .join(src, "doc_id")
-      .select("source", "h").distinct()
+      .select("source", "h").distinct().cache()
     val tot = ds.groupBy("source").agg(count(lit(1)).as("n"))
     val a = ds.select(col("source").as("src_a"), col("h"))
     val b = ds.select(col("source").as("src_b"), col("h"))

@@ -600,21 +600,26 @@ object TpcH {
        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
        ORDER BY o_totalprice DESC, o_date_us, o_orderkey
        LIMIT 100""") { (spark, dir) =>
+    // r12 optimization (guide §2.3): the HAVING filter and the reported
+    // sum are the SAME per-order decimal aggregate — compute it once
+    // (one lineitem scan + one partial-aggregated shuffle, instead of
+    // two scans and a full-fact join) and carry the sum through the
+    // join. Each big order is one row, so the old post-join GROUP BY
+    // collapses to a projection; values identical (one exact decimal
+    // sum per order, cast once — dsum's formula split across the join).
     val big = T(spark, dir, "lineitem")
       .groupBy(col("l_orderkey").as("bk"))
       .agg(sum(dec(col("l_quantity"))).as("bq"))
-      .filter(col("bq") > 300).select(col("bk"))
+      .filter(col("bq") > 300)
     T(spark, dir, "customer")
       .join(T(spark, dir, "orders").hint("merge"),
         col("c_custkey") === col("o_custkey"))
-      .join(big.hint("merge"), col("o_orderkey") === col("bk"), "left_semi")
-      .hint("merge") // the semi-joined customer-order frame vs lineitem:
-      // linear-growth vs fact — shuffle at every size, like the rest
-      .join(T(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+      .hint("merge") // big-order aggregate vs customer-order frame:
+      // both grow with the fact — shuffle at every size, like the rest
+      .join(big, col("o_orderkey") === col("bk"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         expr("unix_micros(cast(o_orderdate as timestamp_ltz))").as("o_date_us"),
-        col("o_totalprice"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"))
+        col("o_totalprice"), col("bq").cast("double").as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_date_us"), col("o_orderkey"))
       .limit(100)
   }

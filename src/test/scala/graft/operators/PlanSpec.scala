@@ -676,11 +676,17 @@ class PlanSpec extends SparkSpec {
       "the part-type predicate must be a pushed parquet filter")
   }
 
-  test("tpch18: the >300-qty HAVING stays a semi join (no row multiplication " +
-    "before the re-aggregation)") {
+  test("tpch18: one lineitem scan feeding one pre-join aggregate (no row " +
+    "multiplication — the HAVING filter and the reported sum share it)") {
     val p = plan("q48_tpch18")
-    assert(p.contains("LeftSemi") || p.contains("left_semi") ||
-      analyzed("q48_tpch18").contains("LeftSemi"))
+    // r12 shape: the per-order quantity sum is computed ONCE before the
+    // join (partial + final HashAggregate over lineitem), the >300 filter
+    // runs on that aggregate, and NO aggregation follows the join — the
+    // old shape's semi join + full-fact re-join + re-aggregation is gone
+    assert("Location: [^\\n]*lineitem".r.findAllIn(p).size == 1,
+      "lineitem must be scanned exactly once")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "the per-order sum must combine map-side before its exchange")
   }
 
   test("s45: re-assignment scans the corpus against BROADCAST centroids only") {
