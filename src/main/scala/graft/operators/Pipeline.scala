@@ -453,14 +453,25 @@ object Pipeline {
     * is aggregated once per side, not twice (r12 optimization: two of
     * the four corpus-sized aggregations became cell-table rollups). */
   private[graft] def dsirModelFrom(fe: DataFrame, refSrc: DataFrame): DsirModel = {
-    val feT = fe.join(broadcast(refSrc), col("source") === col("rs"))
-    val tcnt = feT.groupBy("fb").agg(count(lit(1)).as("ct"))
-    val rcnt = fe.groupBy("fb").agg(count(lit(1)).as("cr"))
+    // ONE aggregation builds BOTH cell tables (the target count is a
+    // conditional count over the same bucket groups — the reference
+    // source rides in as a 1-row broadcast), and the totals are rollups
+    // of the ≤ DsirBuckets-row result: the corpus-sized feature stream
+    // is aggregated exactly once per model build.
+    val cells = fe
+      .join(broadcast(refSrc.select(col("rs"))), col("source") === col("rs"), "left")
+      .groupBy("fb")
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("rs").isNotNull, lit(1))).as("ct0"))
+      .cache() // ≤ DsirBuckets rows; consumed by both counts + both totals
+    val tcnt = cells.filter(col("ct0") > 0)
+      .select(col("fb"), col("ct0").as("ct"))
+    val rcnt = cells.select("fb", "cr")
     DsirModel(
       tcnt,
-      tcnt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")),
+      cells.agg(coalesce(sum(col("ct0")), lit(0L)).as("tt")),
       rcnt,
-      rcnt.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
+      cells.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
   }
 
   private[graft] def dsirModel(spark: SparkSession, dir: String): DsirModel =
@@ -1187,12 +1198,10 @@ object Pipeline {
     val out = TmpLayouts.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
         s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}")
-    // r12 optimization: the export (join side) and the audit's manifest
-    // both derive from the SAME global-index plan — registering it in the
-    // cache once lets both consumers hit one materialization by plan
-    // canonicalization (the hs0 precedent) instead of re-running the
-    // bucket window + offset join per consumer
-    globalIndexFrame(spark, dir).cache()
+    // (r12 note: caching the shared global-index plan was A/B-measured
+    // neutral-to-negative — globalIndexFrame already caches its hashed
+    // base internally, so the second consumer only re-runs a cheap
+    // window; left uncached deliberately.)
     exportShards(spark, dir, out)
     auditShards(spark, dir, out)
   }
@@ -1337,12 +1346,12 @@ object Pipeline {
     val out = TmpLayouts.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_increxport_" +
         s"${Scale.sourceKey(dir, "documents")}_${spark.sparkContext.applicationId}")
-    // r12 optimization: the hashed corpus view feeds FOUR consumers (v1
-    // write, changed-shard set, delta write, audit source side) — each
-    // previously re-scanned documents and re-derived md5(text); one
-    // disk-spillable cache serves all four (the audit's identical
-    // hashShardDocs subtree hits this cache by plan canonicalization)
-    val d = hashShardDocs(spark, dir).cache()
+    // (r12 note: caching this view was A/B-measured ~1.5x SLOWER — its
+    // four consumers each need only a narrow pruned slice of a cheap
+    // columnar scan, and two of them are writes, so the text column
+    // round-trips through the cache for no pruning benefit. Recompute
+    // wins at every scale here; left uncached deliberately.)
+    val d = hashShardDocs(spark, dir)
     writeHashShards(d.filter(col("b") =!= 7), out, dynamic = false)
     // the delta arrives: rewrite only the shards it hashes into, with
     // those shards' full v2 content
