@@ -985,16 +985,18 @@ object Dedup {
         col("tk"))
       .select(col("doc_id"), col("pos"),
         array_join(slice(col("tk"), col("pos"), lit(SpanGram)), " ").as("g"))
-      // r12 optimization: grams feeds the hot-gram profile AND the
-      // anti-join side, and every caller (d36, x128/x131) self-joins the
-      // returned occurrences — uncached, the tokenize+explode pipeline
-      // ran up to 4× per query. Both caches are disk-spillable, the d27
-      // `ex` precedent.
-      .cache()
     val hot = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > SpanGramDfCap)
       .select("g")
+    // r12 optimization: every caller (d36, x128/x131) consumes the capped
+    // occurrences 2-4× (self-join sides / split sides) — cache the
+    // POST-CAP frame so the tokenize+explode+cap pipeline runs once per
+    // query. Deliberately NOT caching the pre-cap `grams`: under a
+    // mass-duplicated corpus the uncapped explosion is unbounded, and
+    // materializing it regressed the skew gauntlet's d36 line ~8×
+    // (measured round 12) — the two pre-cap passes (df profile +
+    // anti-join side) stay streaming, the df cap bounds what is stored.
     grams.join(hot, Seq("g"), "left_anti").cache()
   }
 

@@ -124,6 +124,9 @@ object TpcH {
       .join(broadcast(T(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(T(spark, dir, "region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
+      // r12: consumed by the per-part min AND the final join — uncached,
+      // the lineitem-wide ps aggregation ran twice per query
+      .cache()
     val minCost = eligible.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_supplycost")).as("mc_cost"))
     eligible
@@ -403,6 +406,8 @@ object TpcH {
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).as("val"))
+      // r12: the Σval threshold and the filter probe share one aggregation
+      .cache()
     val total = v.agg(sum(col("val")).as("total"))
     v.crossJoin(broadcast(total))
       .filter(col("val") * 1000 > col("total"))
@@ -505,6 +510,8 @@ object TpcH {
         col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(rev).as("total_rev"))
+      // r12: the max threshold and the join probe share one aggregation
+      .cache()
     val mx = rev0.agg(max(col("total_rev")).as("mx"))
     T(spark, dir, "supplier")
       .join(rev0.crossJoin(broadcast(mx)).filter(col("total_rev") === col("mx")),
@@ -562,13 +569,21 @@ object TpcH {
        WHERE p_partkey = l_partkey AND pq_partkey = l_partkey
          AND p_brand = 'Brand#11' AND p_size <= 10
          AND 5 * CAST(l_quantity AS DECIMAL(12,4)) * cnt < sum_qty""") { (spark, dir) =>
+    // r12 optimization (guide §3.2 posture): pq rows for parts outside
+    // the brand/size filter can never survive the equi-join, so the
+    // per-part aggregate runs over the SEMI-JOIN-restricted lineitem —
+    // the aggregation shrinks by the part filter's selectivity, and the
+    // semi join shares its partkey exchange with the groupBy. Result
+    // rows identical.
+    val pSel = T(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#11" && col("p_size") <= 10)
     val pq = T(spark, dir, "lineitem")
+      .join(pSel.select(col("p_partkey").as("sel_partkey")),
+        col("l_partkey") === col("sel_partkey"), "left_semi")
       .groupBy(col("l_partkey").as("pq_partkey"))
       .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
     T(spark, dir, "lineitem")
-      .join(T(spark, dir, "part")
-          .filter(col("p_brand") === "Brand#11" && col("p_size") <= 10),
-        col("p_partkey") === col("l_partkey"))
+      .join(pSel, col("p_partkey") === col("l_partkey"))
       .join(pq, col("pq_partkey") === col("l_partkey"))
       .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sum_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
