@@ -162,13 +162,24 @@ object Bench {
     // across invocations, so without the clear later passes would time
     // cache reads, not the query. OS page cache staying warm across
     // passes is the intended steady state.
+    // r13: the q81/q83/q85 family's centsHist memo ALSO survives
+    // clearCache by design (its scaladoc documents the shared-scan
+    // session contract), which meant bench passes 2-3 timed a memoized
+    // histogram instead of the lineitem scan — min-of-3 picked the warm
+    // time. The bench's numbers must be cold-cost per entry like every
+    // other cache, so the memo is evicted alongside the SQL cache; the
+    // family's reported numbers RISE accordingly (honest cold cost).
+    def clearAll(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      graft.operators.Relational2.clearMemos()
+    }
     val qnames = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
       .filter(selected)
     for (_ <- 1 to 3) {
-      spark.sharedState.cacheManager.clearCache()
+      clearAll()
       runCanary()
       qnames.foreach { name =>
-        spark.sharedState.cacheManager.clearCache()
+        clearAll()
         sample(name) { SparkEntry.queries(name)(spark, sfDir).count(); () }
       }
     }
@@ -331,6 +342,13 @@ object Bench {
         java.nio.file.Paths.get("records/bench_last.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // bench output must never fail the run
+    // r13: a COMPACT summary as the FINAL stdout line. The full line above
+    // is ~6 kB at 233 entries, so a bounded tail capture (the round
+    // harness keeps 2000 chars) truncates its head and has never parsed
+    // it; this line is ≤ ~0.5 kB — totals, canary, errors, sf, cpus — and
+    // always lands complete inside any tail window. Per-query numbers stay
+    // in the full line and in records/bench_last.json.
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"canary_query":${JsonOut.str(canaryName)},"canary_sec":$cs,"regressions":$rs,"errors":$es,"sf":"$sfDir","cpus":$cpus,"queries_file":"records/bench_last.json"}""")
     spark.stop()
   }
 }

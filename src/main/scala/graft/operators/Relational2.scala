@@ -601,19 +601,6 @@ object Relational2 {
       .withColumn("cum", col("off") + col("cumIn"))
   }
 
-  /** Per-flag nearest-rank pct% value of `c` from a PRE-COUNTED
-    * (flag, c, cnt) value histogram — q81's exact-quantile-at-scale
-    * machinery as a reusable step (domain-bounded cells, integer ⌈q·n⌉,
-    * always a real data value), with [[histCum]]'s bucket-parallel
-    * prefix. [[q83MadOutliers]] runs it twice — on the price cells and
-    * on the derived deviation cells — without ever rescanning rows. */
-  private def histP(h: org.apache.spark.sql.DataFrame, pct: Int,
-      out: String): org.apache.spark.sql.DataFrame =
-    histCum(h)
-      .groupBy("flag")
-      .agg(min(when(col("cum") >= expr(s"((n * $pct) + 99) div 100"),
-        col("c"))).as(out))
-
   /** q83: robust outlier detection via median absolute deviation — per
     * return flag, the exact nearest-rank MEDIAN price, the exact median
     * of absolute deviations from it (MAD), and how many rows sit beyond
@@ -623,7 +610,7 @@ object Relational2 {
     * the MAD treatment).
     *
     * Both quantiles are q81's domain-bounded integer-cents histogram
-    * ([[histP]]) — the deviation histogram is domain-bounded too (devs
+    * machinery ([[histCum]]) — the deviation histogram is domain-bounded too (devs
     * live in the same cents range). Everything through the 3×MAD
     * comparison is bigint; the only doubles are the final threshold
     * casts. Thresholds broadcast (3 rows) into a map-side flag +
@@ -664,16 +651,27 @@ object Relational2 {
     // ONE row-level pass: the deviation histogram and the outlier counts
     // both derive from the price CELLS (|c−med| with the cell's count),
     // never from a second corpus scan — the same multiset the oracle's
-    // row-level dv computes, pre-aggregated
+    // row-level dv computes, pre-aggregated.
+    //
+    // r13 fuse: the price-axis cum runs ONCE (cached cells-sized frame
+    // feeding both the median and the fold), and the deviation cells are
+    // the FOLDED price cells directly — no groupBy(flag, dev) regroup.
+    // [[histCum]]'s running sum uses Spark's default RANGE frame, so the
+    // two price cells that share one dev value (med−d and med+d) form a
+    // tie group whose cum equals the grouped histogram's cum at d, and
+    // MIN(dev | cum ≥ ⌈n/2⌉) picks the identical mad; the final sums run
+    // over the same multiset the grouped form aggregated.
     val h = centsHist(spark, dir)
-    val med = histP(h, 50, "med")
-    val dvh = h.join(broadcast(med), "flag")
-      .groupBy(col("flag"), col("med"),
-        abs(col("c") - col("med")).as("c")) // dev cells, reusing histP's c
-      .agg(sum(col("cnt")).as("cnt"))
-      .cache()
-    val mad = histP(dvh.select("flag", "c", "cnt"), 50, "mad")
-    dvh.join(broadcast(mad), "flag")
+    val cum1 = histCum(h).select("flag", "c", "cnt", "cum", "n").cache()
+    val med = cum1.groupBy("flag").agg(
+      min(when(col("cum") >= expr("((n * 50) + 99) div 100"), col("c"))).as("med"))
+    val fold = cum1.join(broadcast(med), "flag")
+      .select(col("flag"), col("med"), abs(col("c") - col("med")).as("c"),
+        col("cnt"))
+    val cumd = histCum(fold).cache()
+    val mad = cumd.groupBy("flag").agg(
+      min(when(col("cum") >= expr("((n * 50) + 99) div 100"), col("c"))).as("mad"))
+    cumd.join(broadcast(mad), "flag")
       .groupBy("flag", "med", "mad")
       .agg(sum(col("cnt")).as("n_rows"),
         sum(when(col("c") > lit(3) * col("mad"), col("cnt")).otherwise(lit(0L)))
